@@ -1,0 +1,65 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+(count() on the result — forces the full plan without collecting wide rows
+to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "a4_group_avg",
+    "a6_pct_of_total",
+    "a7_pivot_counts",
+    "a10_histogram",
+    "a13_median",
+    "f11_f12_round_cast",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etl_pipeline_telecom_spark import catalog
+    from etl_pipeline_telecom_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n, s in catalog.specs().items() if "headline" in s.tags and n not in HEADLINE
+    ]
+
+    # warm the JVM + parquet footers once so per-query timings measure the plan
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

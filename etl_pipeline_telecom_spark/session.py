@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default all cores) but every
+config here is chosen to also hold on a multi-executor cluster:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching — the knobs that keep a 100 TB shuffle
+  from dying on a hot key.
+- Arrow on: vectorized Python interop for the few Pandas-UDF operators.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (naive-UTC timestamps).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a high initial count, so we set the initial
+  partition number rather than hand-tuning per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "etl-pipeline-telecom-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # fixture events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert in sources.load_table (ns → µs, truncating
+        # exactly like DuckDB's CAST(ts AS TIMESTAMP))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

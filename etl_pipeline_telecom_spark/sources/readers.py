@@ -1,0 +1,128 @@
+"""Scan operators (SURVEY.md §2.1: S1–S4).
+
+The reference reads CSV with inferred schemas at every stage
+(``scripts/extract.py:12``, ``scripts/transform.py:14``) and a Postgres
+table via PostgREST (``etl_analysis.ipynb cell4:6-10``). Here:
+
+- CSV scans take an explicit ``StructType`` (deterministic types; schema
+  inference is a convenience flag, never the engine default) — S1.
+- Parquet is the primary columnar format for the synthetic fixture tables;
+  Catalyst pushes filters and prunes columns into the scan for free.
+- JDBC scan/count (S2/S4) replaces the REST fetch; note the reference's
+  PostgREST read silently truncates at 1000 rows (SURVEY.md §4.3.7) — a
+  bug we deliberately do not reproduce.
+- ``load_with_fallback`` mirrors the notebook's source-resolution chain
+  (S3, ``etl_analysis.ipynb cell6:1-17``): try primary, fall back, else
+  raise.
+
+At 100 TB the scan is where most time goes: keep reads declarative so
+partition pruning / predicate pushdown reach the file source, and never
+``collect()`` a scan to re-parallelize it.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; pushdown + pruning handled by the parquet source."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan (S1). Prefer an explicit schema; ``infer`` only for ad-hoc use."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic fixture table from an sf directory.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
+    epoch-nanoseconds. Convert with integer division (``div`` keeps long
+    precision — a double division would lose bits above 2⁵³) to a
+    microsecond timestamp, matching DuckDB's ``CAST(ts AS TIMESTAMP)``
+    truncation semantics.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = FIXTURE_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC table scan (S2). Full-table, no page truncation.
+
+    Replaces the reference's PostgREST fetch (``etl_analysis.ipynb
+    cell4:6-10``) which silently capped at 1000 rows.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_count(spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None) -> int:
+    """Count-only remote scan (S4, ``scripts/validate.py:26-44``).
+
+    Pushes ``SELECT count(*)`` to the database instead of shipping rows.
+    """
+    q = f"(SELECT count(*) AS n FROM {table}) AS cnt"
+    return read_jdbc(spark, url, q, properties).collect()[0][0]
+
+
+def load_with_fallback(loaders: list[Callable[[], DataFrame]]) -> DataFrame:
+    """Source resolution chain (S3, ``etl_analysis.ipynb cell6:1-17``).
+
+    Try each loader in order; first success wins. Driver-side control
+    flow — the loaders themselves stay lazy DataFrames.
+    """
+    errors: list[str] = []
+    for loader in loaders:
+        try:
+            return loader()
+        except Exception as exc:  # noqa: BLE001 — mirror reference's broad fallback
+            errors.append(f"{loader}: {exc}")
+    raise RuntimeError("all sources failed: " + "; ".join(errors))

@@ -1,0 +1,99 @@
+"""Local mimic of the driver's DuckDB oracle comparison.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet fixtures, then compares row count, column names, and an
+order-insensitive value multiset. Exact equality is required — the driver
+hashes values, so "close" floats are failures here too.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+
+import duckdb
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _key(row):
+    return tuple((x is None, str(type(x)), x) for x in row)
+
+
+def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    duck_order = {c: i for i, c in enumerate(duck_cols)}
+    s_norm = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in spark_rows), key=_key
+    )
+    d_norm = sorted(
+        (tuple(_norm(r[duck_order[spark_cols[i]]]) for i in order) for r in duck_rows), key=_key
+    )
+    for idx, (a, b) in enumerate(zip(s_norm, d_norm)):
+        if a != b:
+            return False, f"first value mismatch at sorted-row {idx}: spark={a!r} duck={b!r}"
+    return True, "ok"
