@@ -1,1 +1,174 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Join operators (SURVEY.md §2.6 / §7 extensions).
+
+The reference has no joins (single-table model); these are the multi-table
+queries a user of a real analytics engine needs, designed Spark-first:
+
+- dimension tables (region, nation, small customer subsets) are
+  ``F.broadcast``-hinted — no shuffle of the fact side;
+- fact⋈fact joins (orders⋈lineitem) shuffle on the join key and rely on
+  AQE for skew splitting; at 100 TB both sides would be bucketed by
+  orderkey at write time to make this a zero-shuffle co-located join;
+- money sums follow the DECIMAL discipline from ``catalog.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register, sql_dec_sum
+from ..sources import load_table
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "j1_broadcast_join",
+    """SELECT r.r_name, COUNT(*) AS nation_cnt
+       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY r.r_name""",
+    tags=("join", "broadcast"),
+    doc="Inner equi-join with broadcast dimension (region is tiny)",
+)
+def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("nation_cnt"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "j2_revenue_topk",
+    """SELECT o.o_orderkey, c.c_mktsegment,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                   AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, c.c_mktsegment
+       ORDER BY revenue DESC, o.o_orderkey
+       LIMIT 10""",
+    tags=("join", "topk"),
+    doc="TPC-H Q3-style 3-way join + top-k (deterministic tiebreak on orderkey)",
+)
+def j2_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount")).cast(_DEC))
+    return (
+        # customer is filtered to one segment → small → broadcast into orders
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "j3_semi_join",
+    """SELECT c_mktsegment, COUNT(*) AS customers_with_orders
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       GROUP BY c_mktsegment""",
+    tags=("join", "semi"),
+    doc="Left-semi join: customers having at least one order",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_with_orders"))
+    )
+
+
+@register(
+    "j4_anti_join",
+    """SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       GROUP BY c_mktsegment""",
+    tags=("join", "anti"),
+    doc="Left-anti join: customers with no orders",
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+    )
+
+
+@register(
+    "j5_left_join_agg",
+    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt,
+              CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey""",
+    tags=("join", "outer"),
+    doc="Left outer join preserving order-less customers (count=0, spend=0)",
+)
+def j5_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j6_star_join",
+    f"""SELECT n.n_name,
+               {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)",
+                            "revenue",
+                            scale="DECIMAL(18,4)")}
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name""",
+    tags=("join", "star", "headline"),
+    doc="TPC-H Q5-style 5-table star join, dimensions broadcast",
+)
+def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # dimension chain region→nation→customer is small: broadcast the built-up
+    # dim so the two fact tables only shuffle on their own join key
+    dims = (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            customer.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    # decimal(18,4): the product of two 2-decimal quantities has 4 decimals —
+    # summing at scale 4 keeps the oracle comparison exact
+    rev = F.col("l_extendedprice").cast(_DEC).cast("decimal(18,4)") * (1 - F.col("l_discount")).cast(_DEC)
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

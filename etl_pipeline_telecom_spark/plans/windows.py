@@ -1,1 +1,168 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Window functions, rollup/cube, grouping sets (SURVEY.md §2.7 / §7).
+
+The reference's only window is the unpartitioned pct-of-total (A6). These
+extend to the full analytic-window surface: ranking, lag/lead, running
+frames, multi-level aggregation. All built-in Catalyst ``WindowExec`` —
+partitioned windows shuffle once on the partition key and sort within
+partitions; no unpartitioned windows over raw facts (those serialize onto
+one task — see ``operators/aggregates.py`` A6 for the safe pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+_DEC = "decimal(18,2)"
+
+
+@register(
+    "w1_rank_topk_per_group",
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer)
+       WHERE rn <= 3""",
+    tags=("window", "topk"),
+    doc="Top-3 per group via row_number (deterministic tiebreak on key)",
+)
+def w1_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        customer.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_delta",
+    """SELECT event_id, user_id,
+              ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id), 6)
+                  AS delta
+       FROM events""",
+    tags=("window", "lag"),
+    doc="Per-user lag delta ordered by event time (event_id tiebreak)",
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "w3_running_sum",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_spend
+       FROM orders""",
+    tags=("window", "frame"),
+    doc="Running per-customer spend: explicit ROWS frame, decimal-exact",
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "w4_dense_rank",
+    """SELECT s_nationkey, s_suppkey,
+              DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC)
+                  AS bal_rank
+       FROM supplier""",
+    tags=("window", "rank"),
+    doc="Dense rank of suppliers by balance within nation (decimal order key "
+    "so rank ties are well-defined cross-engine)",
+)
+def w4_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc(F.col("s_acctbal").cast(_DEC)))
+    return supplier.select("s_nationkey", "s_suppkey", F.dense_rank().over(w).alias("bal_rank"))
+
+
+@register(
+    "w5_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS cnt
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    tags=("window", "rollup"),
+    doc="Hierarchical totals: (flag,status), (flag), () — NULL-filled supergroups",
+)
+def w5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "w6_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    tags=("window", "cube"),
+    doc="All grouping combinations of status × priority",
+)
+def w6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "w7_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    tags=("window", "grouping-sets"),
+    doc="Explicit grouping sets (by flag alone, by status alone)",
+)
+def w7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
+@register(
+    "w8_pct_rank_cume",
+    """SELECT p_partkey,
+              ROUND(PERCENT_RANK() OVER (ORDER BY CAST(p_retailprice AS DECIMAL(18,2)), p_partkey), 9)
+                  AS price_pct_rank,
+              ROUND(CUME_DIST() OVER (ORDER BY CAST(p_retailprice AS DECIMAL(18,2)), p_partkey), 9)
+                  AS price_cume_dist
+       FROM part""",
+    tags=("window", "rank"),
+    doc="percent_rank + cume_dist over parts by price (global window is fine: "
+    "part is a dimension table; for facts, partition first)",
+)
+def w8_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_retailprice").cast(_DEC), F.col("p_partkey"))
+    return part.select(
+        "p_partkey",
+        F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
+    )
