@@ -1,0 +1,85 @@
+"""Text-analysis expression helpers (north-star extensions, BASELINE.json:6).
+
+All native Column expressions — tokenization, shingling, hashing, quality
+metrics stay inside whole-stage codegen; at 100 TB of documents these run
+as a narrow projection with zero Python involvement.
+
+Cross-engine determinism (DuckDB oracle):
+- token/shingle hash = first 8 hex chars of md5 → bigint. md5 is identical
+  in Spark and DuckDB; the hex slice keeps it under 2³² so downstream
+  modular arithmetic stays in exact bigint range.
+- ratios are int÷int double divisions (identical IEEE results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a small English stopword set for quality scoring (public-domain list)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with", "is", "are", "was",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization over lower-cased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def alnum_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of [A-Za-z0-9]+ runs (regexp, not split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit("[A-Za-z0-9]+"))
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-word shingles: ["a","b","c","d"] → ["a b c", "b c d"] (n=3).
+
+    Empty result when the doc has fewer than n tokens. Shingles — not raw
+    tokens — are the dedup unit: with a small vocabulary, token *sets*
+    collide constantly (measured Jaccard baseline 0.63 on the fixture
+    corpus) while 3-word shingles stay sparse.
+    """
+    t = tokens_col
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, gen).otherwise(F.array().cast("array<string>"))
+
+
+def hash32(col: Column | str) -> Column:
+    """Deterministic 32-bit hash of a string, identical in Spark and DuckDB.
+
+    ``conv(substr(md5(x),1,8), 16, 10)`` ≡ DuckDB
+    ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def stopword_ratio(tokens_col: Column) -> Column:
+    """Fraction of tokens that are stopwords (int÷int — oracle-exact)."""
+    hits = F.size(F.filter(tokens_col, lambda t: t.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(tokens_col)
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite quality score in [0,1]: length, stopword and alpha signals.
+
+    Heuristic in the spirit of C4/Gopher quality filters: reward
+    mid-length docs with some function words and mostly-alphabetic tokens.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = tokens(c)
+    n = F.size(t)
+    len_score = F.least(n.cast("double") / 50.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+    alpha_ratio = F.regexp_count(c, F.lit("[A-Za-z]")).cast("double") / F.length(c)
+    return F.round(0.4 * len_score + 0.3 * stop_score + 0.3 * alpha_ratio, 6)

@@ -1,1 +1,296 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Deduplication operators over ``documents`` (north-star extensions).
+
+Exact dedup (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and direct n-gram Jaccard. The similarity unit is
+the 3-word shingle — the fixture vocabulary is tiny (31 words), so token
+*sets* collide constantly (baseline Jaccard 0.63) while shingles stay
+sparse (space ≈ 31³).
+
+Scale design:
+- the fixture corpus has no duplicates, so the dedup queries operate on a
+  deterministic corpus-with-dups: every doc_id % 10 == 0 is re-inserted
+  with doc_id + 10_000_000 (pure projection; no driver-side data).
+- MinHash/LSH is the 100 TB path: signatures are a narrow projection per
+  doc; candidate generation shuffles only (band, band-signature) keys;
+  the quadratic Jaccard verification runs ONLY on bucket-collision pairs.
+- all hashes are md5-derived (``functions.text.hash32``) so the DuckDB
+  oracle computes bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.text import hash32, shingles, tokens
+from ..sources import load_table
+
+# (a, b) parameters for the 8 universal-hash functions h_i(x) = (a·x + b) mod P
+_MH_PARAMS = [
+    (2971, 12041), (4111, 5678), (5077, 91011), (6353, 121314),
+    (7919, 151617), (9173, 181920), (10663, 212223), (12041, 242526),
+]
+_MH_PRIME = 4_294_967_311  # smallest prime > 2^32
+_DUP_OFFSET = 10_000_000
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+# 3-word shingles in DuckDB: slice is 1-based inclusive, range end-exclusive
+_SQL_SHINGLES = (
+    f"CASE WHEN len({_SQL_TOKENS}) >= 3 THEN "
+    f"list_transform(range(1, len({_SQL_TOKENS}) - 1), "
+    f"i -> array_to_string(({_SQL_TOKENS})[i:i+2], ' ')) "
+    f"ELSE [] END"
+)
+_SQL_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+_SQL_DOC_SHINGLE = f"""
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM ({_SQL_CORPUS}))
+"""
+_SQL_H32 = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus deterministic duplicate re-insertions (see module doc)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the set representation of each doc."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "d1_exact_dedup",
+    f"""SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS copies
+        FROM (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM ({_SQL_CORPUS}))
+        GROUP BY fingerprint""",
+    tags=("dedup",),
+    doc="Exact dedup: hash-groupBy on normalized-text fingerprint, min-id canonical",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+@register(
+    "d2_dedup_stats",
+    f"""SELECT COUNT(*) AS total_docs,
+               COUNT(DISTINCT md5(lower(trim(text)))) AS unique_docs,
+               COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS removed
+        FROM ({_SQL_CORPUS})""",
+    tags=("dedup",),
+    doc="Dedup summary: corpus size before/after exact dedup",
+)
+def d2_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return corpus.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count_distinct(fp).alias("unique_docs"),
+        (F.count(F.lit(1)) - F.count_distinct(fp)).alias("removed"),
+    )
+
+
+def _minhash_aggs() -> list[Column]:
+    h = F.col("h")
+    return [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+
+
+def _sql_minhash_cols() -> str:
+    return ", ".join(
+        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS mh{i}" for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+
+
+_SQL_SIGNATURES = f"""
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM (SELECT doc_id, {_SQL_H32} AS h FROM ({_SQL_DOC_SHINGLE}))
+  GROUP BY doc_id
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = doc_shingles(spark, sf_dir).select("doc_id", hash32("shingle").alias("h"))
+    return hashed.groupBy("doc_id").agg(*_minhash_aggs())
+
+
+@register(
+    "d3_minhash_signatures",
+    _SQL_SIGNATURES,
+    tags=("dedup", "minhash"),
+    doc="MinHash signatures (8 md5-derived universal hashes over 3-word shingles)",
+)
+def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir)
+
+
+# LSH: 4 bands × 2 rows — a pair collides if any band's 2-tuple matches
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _sql_band_pairs() -> str:
+    unions = [
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON a.mh{i} = b.mh{i} AND a.mh{j} = b.mh{j} AND a.doc_id < b.doc_id"""
+        for i, j in _BANDS
+    ]
+    return " UNION ".join(unions)
+
+
+@register(
+    "d4_lsh_candidates",
+    f"""WITH sig AS ({_SQL_SIGNATURES})
+        SELECT doc_a, doc_b FROM ({_sql_band_pairs()})""",
+    tags=("dedup", "minhash", "lsh"),
+    doc="LSH candidate pairs: banded signature bucket-join (4 bands × 2 rows)",
+)
+def d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir).cache()
+    pairs = None
+    for i, j in _BANDS:
+        a, b = sig.alias("a"), sig.alias("b")
+        band = a.join(
+            b,
+            (F.col(f"a.mh{i}") == F.col(f"b.mh{i}"))
+            & (F.col(f"a.mh{j}") == F.col(f"b.mh{j}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs = band if pairs is None else pairs.union(band)
+    return pairs.distinct()
+
+
+@register(
+    "d5_lsh_jaccard_dedup",
+    f"""WITH sig AS ({_SQL_SIGNATURES}),
+        cand AS (SELECT doc_a, doc_b FROM ({_sql_band_pairs()})),
+        ds AS ({_SQL_DOC_SHINGLE}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS both_cnt
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.doc_a
+          JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) >= 0.5""",
+    tags=("dedup", "minhash", "lsh", "headline"),
+    doc="Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ 0.5. "
+    "The quadratic verification only touches bucket-collision pairs — the 100 TB path.",
+)
+def d5_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = d4_lsh_candidates(spark, sf_dir)
+    ds = doc_shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both_cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("both_cnt"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "d6_simhash",
+    f"""SELECT doc_id,
+               CAST(SUM(CASE WHEN bit_set THEN power_of_two ELSE 0 END) AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id, b.bit AS bit_no, CAST(POW(2, b.bit) AS BIGINT) AS power_of_two,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) >= 0 AS bit_set
+          FROM (SELECT doc_id, {_SQL_H32} AS h FROM ({_SQL_DOC_SHINGLE})),
+               (SELECT unnest(range(0, 16)) AS bit) b
+          GROUP BY doc_id, b.bit)
+        GROUP BY doc_id""",
+    tags=("dedup", "simhash"),
+    doc="16-bit SimHash over shingle hashes (bitwise majority vote)",
+)
+def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = doc_shingles(spark, sf_dir).select("doc_id", hash32("shingle").alias("h"))
+    bits = hashed.crossJoin(spark.range(16).select(F.col("id").alias("bit_no")))
+    # python F.shiftright needs a literal shift; the SQL form takes a column
+    bit_of_h = F.expr("shiftright(h, cast(bit_no AS int))").bitwiseAND(F.lit(1))
+    per_bit = (
+        bits.groupBy("doc_id", "bit_no")
+        .agg((F.sum(F.when(bit_of_h == 1, 1).otherwise(-1)) >= 0).alias("bit_set"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bit_set"), F.pow(F.lit(2), F.col("bit_no")).cast("bigint")).otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+
+
+@register(
+    "d7_ngram_jaccard_pairs",
+    f"""WITH ds AS ({_SQL_DOC_SHINGLE}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) >= 0.3""",
+    tags=("dedup", "ngram"),
+    doc="Direct n-gram Jaccard pairs (shingle join, no LSH prefilter) — the "
+    "exhaustive baseline LSH is compared against",
+)
+def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both_cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("both_cnt"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

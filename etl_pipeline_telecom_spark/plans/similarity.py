@@ -1,1 +1,163 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Similarity search over the ``embeddings`` fixture (north-star extensions).
+
+Brute-force cosine top-k as the correctness baseline, a partition-pruned
+(IVF-style) variant as the scale path, per-label centroids, and
+embedding-cosine near-dup pairs.
+
+Cross-engine exactness trick: embeddings are quantized to integer-valued
+doubles (``round(x · 1000)``) before any arithmetic. Dot products are then
+sums of integers < 2⁵³ — exact in IEEE double regardless of accumulation
+order, so Spark's ``aggregate(zip_with(...))`` and DuckDB's
+``list_dot_product`` produce bit-identical results, and cosine =
+dot/(√na·√nb) is identical IEEE arithmetic on identical operands.
+
+Scale design (100 TB / billions of vectors):
+- brute force is O(Q·N·d) — kept for small Q (re-ranking, evaluation);
+- the partitioned variant prunes candidates to one coarse partition
+  (here: ``label``; in production: IVF cluster id assigned at ingest),
+  turning the cross join into a co-partitioned equi-join — the
+  standard IVF trade of recall for a ~n_partitions× cost cut;
+- per-dimension long format (posexplode) keeps centroid computation a
+  plain hash aggregate — no driver-side vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+_SQL_QVEC = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+_SQL_EMB = f"SELECT vec_id, label, {_SQL_QVEC} AS qv FROM embeddings"
+_SQL_COS = (
+    "list_dot_product(a.qv, b.qv) / "
+    "(sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))"
+)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000))
+    return emb.select("vec_id", "label", qv.alias("qv"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "v1_knn_brute",
+    f"""WITH q AS ({_SQL_EMB})
+        SELECT query_id, neighbor_id, cos_sim, rn FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROUND({_SQL_COS}, 6) AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+          FROM q a, q b
+          WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+        WHERE rn <= 5""",
+    tags=("similarity", "knn"),
+    doc="Brute-force cosine top-5 for 10 query vectors against the full corpus",
+)
+def v1_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    cos = _cosine(F.col("qa"), F.col("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
+    return (
+        # broadcast the tiny query side; candidates stream partition-local
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
+            ).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "v2_knn_partitioned",
+    f"""WITH q AS ({_SQL_EMB})
+        SELECT query_id, neighbor_id, cos_sim, rn FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROUND({_SQL_COS}, 6) AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+          FROM q a JOIN q b ON a.label = b.label AND b.vec_id <> a.vec_id
+          WHERE a.vec_id < 20)
+        WHERE rn <= 3""",
+    tags=("similarity", "knn", "ivf"),
+    doc="IVF-style partition-pruned top-3: candidates restricted to the query's "
+    "coarse partition (label ≙ cluster id) — equi-join instead of cross join",
+)
+def v2_knn_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"), F.col("qv").alias("qa")
+    )
+    cos = _cosine(F.col("qa"), F.col("qv"))
+    return (
+        emb.join(F.broadcast(queries), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
+            ).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "v3_label_centroids",
+    f"""SELECT label, dim, ROUND(SUM(val) / COUNT(*), 6) AS centroid
+        FROM (
+          SELECT label, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS val
+          FROM ({_SQL_EMB}))
+        GROUP BY label, dim""",
+    tags=("similarity", "centroid"),
+    doc="Per-label centroid in long (label, dim) format — hash aggregate, no "
+    "driver-side vectors; the ingest step of an IVF index build",
+)
+def v3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    exploded = emb.select("label", F.posexplode("qv").alias("dim", "val"))
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid")
+    )
+
+
+@register(
+    "v4_embedding_neardup",
+    f"""WITH q AS ({_SQL_EMB})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_SQL_COS}, 6) AS cos_sim
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= 0.4""",
+    tags=("similarity", "dedup"),
+    doc="Embedding-cosine near-dup pairs within coarse partitions (threshold 0.4)",
+)
+def v4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("qv").alias("qa"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("qv").alias("qb"))
+    cos = _cosine(F.col("qa"), F.col("qb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )

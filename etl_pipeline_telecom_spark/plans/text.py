@@ -1,1 +1,152 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Text-analysis catalog queries over the ``documents`` fixture.
+
+North-star extensions (BASELINE.json:6): token counting, quality scoring,
+language-ID heuristic, document fingerprinting, corpus word stats. Every
+query is a narrow projection + small aggregation — shuffle only on
+low-cardinality keys (lang) or bounded outputs (top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.text import STOPWORDS, alnum_token_count, quality_score, token_count, tokens
+from ..sources import load_table
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "t1_token_stats",
+    f"""SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alnum_tokens,
+               len(text) AS text_len
+        FROM documents""",
+    tags=("text",),
+    doc="Token counting: whitespace tokens + regex alnum runs + char length",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        alnum_token_count("text").alias("n_alnum_tokens"),
+        F.length("text").alias("text_len"),
+    )
+
+
+_SQL_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "t2_quality_score",
+    f"""SELECT doc_id,
+               ROUND(0.4 * LEAST(len({_SQL_TOKENS}) / 50.0, 1.0)
+                   + 0.3 * LEAST(CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SQL_STOP_LIST}))) AS DOUBLE)
+                                 / len({_SQL_TOKENS}) * 5.0, 1.0)
+                   + 0.3 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text)), 6)
+                   AS quality
+        FROM documents""",
+    tags=("text",),
+    doc="Composite quality score (length / stopword / alpha signals, C4-style)",
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic;
+# scored against the text, priority order breaks ties deterministically
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with"),
+    "es": ("el", "la", "de", "con"),
+    "de": ("der", "die", "und", "mit"),
+    "fr": ("le", "la", "et", "avec"),
+    "zh": ("de5", "shi4", "zai4", "he2"),
+}
+
+
+def _sql_lang_score(lang: str) -> str:
+    toks = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, t -> t IN ({toks})))"
+
+
+@register(
+    "t3_langid",
+    f"""WITH scored AS (
+          SELECT doc_id, lang,
+                 {_sql_lang_score('en')} AS s_en, {_sql_lang_score('es')} AS s_es,
+                 {_sql_lang_score('de')} AS s_de, {_sql_lang_score('fr')} AS s_fr,
+                 {_sql_lang_score('zh')} AS s_zh
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM scored""",
+    tags=("text",),
+    doc="Language-ID heuristic: marker-token voting with fixed tie-break order",
+)
+def t3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    scores = {
+        lang: F.size(F.filter(t, lambda tok: tok.isin(*markers))).alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    s = {k: F.col(f"s_{k}") for k in _LANG_MARKERS}
+    pred = (
+        F.when(s["en"] + s["es"] + s["de"] + s["fr"] + s["zh"] == 0, "und")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register(
+    "t4_fingerprint",
+    """WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents)
+       SELECT doc_id, fingerprint,
+              CAST(COUNT(*) OVER (PARTITION BY fingerprint) > 1 AS INT) AS is_duplicated
+       FROM fp""",
+    tags=("text", "dedup"),
+    doc="Document fingerprinting (md5 of normalized text) + duplicate flag",
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint", (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_duplicated")
+    )
+
+
+@register(
+    "t5_top_words_per_lang",
+    f"""SELECT lang, tok, cnt, rn FROM (
+          SELECT lang, tok, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+          FROM (
+            SELECT lang, tok, COUNT(*) AS cnt
+            FROM (SELECT lang, unnest({_SQL_TOKENS}) AS tok FROM documents)
+            GROUP BY lang, tok))
+        WHERE rn <= 5""",
+    tags=("text",),
+    doc="Top-5 tokens per language: explode → count → windowed top-k",
+)
+def t5_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("lang", F.explode(tokens("text")).alias("tok"))
+    counts = exploded.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tok")
+    return counts.select("lang", "tok", "cnt", F.row_number().over(w).alias("rn")).where(F.col("rn") <= 5)
