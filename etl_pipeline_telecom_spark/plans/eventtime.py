@@ -1,1 +1,188 @@
-"""Placeholder plan module — filled in a later milestone."""
+"""Event-time analytics over the ``events`` fixture (SURVEY.md §2.10 / §7).
+
+The reference is batch-only with zero time semantics; these are the §7
+extension operators a telemetry/training-data pipeline needs. Batch forms
+here (SQL-oracle-checkable); the Structured Streaming forms live in
+``streaming/`` and are asserted equal to these batch plans in tests.
+
+Scale notes (100 TB):
+- Tumbling/sliding ``F.window`` is a plain projection + hash aggregate —
+  one shuffle on (window, key); partial aggregation is map-side, so
+  cardinality in flight is windows × keys, not events.
+- ``session_window`` shuffles once on the user key, then sorts within
+  partitions to merge gaps — skewed users are the risk; AQE skew-join
+  handles the shuffle, and a two-level (user_id, day) pre-split would cap
+  worst-case session length if a single user dominated.
+- The as-of join is an equi-join on the user key plus a time inequality;
+  expressed as join + ``max_by`` partial aggregation (NOT row_number over
+  the exploded join, which would shuffle the explosion twice). At scale,
+  bucket both sides by user_id to make it a co-located sort-merge join.
+- The band join broadcasts the tiny dimension — BroadcastNestedLoopJoin
+  with a 3-row build side, never a shuffle of the fact table.
+
+All timestamps are compared as epoch microseconds (``unix_micros`` /
+DuckDB ``epoch_us``) — integer-exact cross-engine, no float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import dec_sum, register
+from ..sources import load_table
+
+_US_30M = 30 * 60 * 1_000_000
+_US_1H = 60 * 60 * 1_000_000
+
+
+@register(
+    "e1_tumbling_window",
+    f"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_1H}) * {_US_1H} AS window_start_us,
+              event_type, COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2""",
+    tags=("eventtime", "window-agg", "headline"),
+    doc="Hourly tumbling-window counts+sums per event type (F.window)",
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value", "sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "e2_sliding_window",
+    f"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_30M}) * {_US_30M} - o.o * {_US_30M}
+                  AS window_start_us,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o) o
+       GROUP BY 1""",
+    tags=("eventtime", "window-agg"),
+    doc="Sliding 1h windows every 30min: each event lands in exactly two "
+    "windows; oracle replays that membership with a 2-row cross join",
+)
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value", "sum_value"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "cnt", "sum_value")
+    )
+
+
+@register(
+    "e3_session_window",
+    f"""WITH t AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+       ), g AS (
+         SELECT *, CASE WHEN LAG(t) OVER w IS NULL
+                          OR t - LAG(t) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+         FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+       ), s AS (
+         SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM g
+       )
+       SELECT user_id,
+              epoch_us(MIN(t)) AS session_start_us,
+              epoch_us(MAX(t)) + {_US_30M} AS session_end_us,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM s GROUP BY user_id, sid""",
+    tags=("eventtime", "session"),
+    doc="Per-user session windows (30min gap); oracle is the classic "
+    "gaps-and-islands rewrite. Session end = last event + gap, matching "
+    "Spark's exclusive-end semantics (new session when gap >= threshold)",
+)
+def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "e4_asof_join",
+    """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                  FROM events WHERE event_type = 'click'),
+            e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                  FROM events WHERE event_type = 'error')
+       SELECT event_id, user_id, last_error_id, last_error_us FROM (
+         SELECT c.event_id, c.user_id,
+                e.event_id AS last_error_id,
+                epoch_us(e.t) AS last_error_us,
+                ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                   ORDER BY e.t DESC, e.event_id DESC) AS rn
+         FROM c LEFT JOIN e ON e.user_id = c.user_id AND e.t <= c.t)
+       WHERE rn = 1""",
+    tags=("eventtime", "asof-join"),
+    doc="As-of join: for each click, the most recent error by the same user "
+    "at-or-before it. Spark side is equi-join + max_by partial aggregation "
+    "(no window over the exploded join); bucket both sides on user_id at "
+    "scale for a co-located sort-merge join",
+)
+def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    j = clicks.join(
+        errors,
+        (clicks.user_id == errors.err_user) & (errors.err_ts <= clicks.ts),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.max_by("err_id", F.struct("err_ts", "err_id")).alias("last_error_id"),
+        F.max(F.unix_micros("err_ts")).alias("last_error_us"),
+    )
+
+
+@register(
+    "e5_band_range_join",
+    """SELECT band, COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events
+       JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 15.0), ('high', 15.0, 1e9))
+            AS b(band, lo, hi)
+         ON value >= lo AND value < hi
+       GROUP BY band""",
+    tags=("eventtime", "range-join"),
+    doc="Range (band) join: broadcast the 3-row band dimension so the fact "
+    "side never shuffles — BroadcastNestedLoopJoin on the inequality",
+)
+def e5_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 15.0), ("high", 15.0, 1e9)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value", "sum_value"))
+    )
