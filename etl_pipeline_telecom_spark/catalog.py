@@ -85,6 +85,7 @@ def _load_all_plans() -> None:
         dedup,
         similarity,
         eventtime,
+        streaming,
     )
 
 

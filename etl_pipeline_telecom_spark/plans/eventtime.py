@@ -35,13 +35,17 @@ from ..sources import load_table
 _US_30M = 30 * 60 * 1_000_000
 _US_1H = 60 * 60 * 1_000_000
 
+# shared with plans/streaming.py: the streaming tumbling plan must satisfy
+# the exact same oracle as the batch form
+E1_TUMBLING_SQL = f"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_1H}) * {_US_1H} AS window_start_us,
+              event_type, COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2"""
+
 
 @register(
     "e1_tumbling_window",
-    f"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_1H}) * {_US_1H} AS window_start_us,
-              event_type, COUNT(*) AS cnt,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       FROM events GROUP BY 1, 2""",
+    E1_TUMBLING_SQL,
     tags=("eventtime", "window-agg", "headline"),
     doc="Hourly tumbling-window counts+sums per event type (F.window)",
 )

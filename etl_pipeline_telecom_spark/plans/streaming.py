@@ -1,0 +1,77 @@
+"""Catalog entries for the Structured Streaming plans.
+
+Each entry replays the sf directory's ``events.parquet`` through a real
+``readStream`` → transformation → availableNow run, then returns the
+emitted rows as a batch DataFrame — so the driver's DuckDB oracle can
+check STREAMING results against the same SQL as the batch forms.
+
+- ``st1``: tumbling-window agg in complete mode ≡ ``e1_tumbling_window``
+  (complete mode on a bounded replay emits every window exactly once).
+- ``st2``: ``dropDuplicatesWithinWatermark`` — a bounded replay keeps
+  exactly one row per key, so the deduped count equals DISTINCT.
+- ``st3``: custom stateful sessionizer (``applyInPandasWithState``) —
+  which sessions CLOSE depends on watermark advancement across
+  micro-batches, so the full result is not SQL-expressible → rows-only
+  here; exact subset/parity assertions live in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from .eventtime import E1_TUMBLING_SQL
+
+
+@register(
+    "st1_stream_tumbling",
+    E1_TUMBLING_SQL,
+    tags=("streaming", "window-agg"),
+    doc="Streaming hourly tumbling agg (readStream → availableNow), same "
+    "oracle as the batch e1 plan",
+)
+def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream_tumbling_counts
+    from ..streaming.jobs import stream_events_dir_as_batch
+
+    return stream_events_dir_as_batch(
+        spark, sf_dir, stream_tumbling_counts, glob="events.parquet", output_mode="complete"
+    )
+
+
+@register(
+    "st2_stream_dedup",
+    """SELECT COUNT(*) AS n_unique
+       FROM (SELECT DISTINCT user_id, event_type FROM events)""",
+    tags=("streaming", "dedup"),
+    doc="Streaming dropDuplicatesWithinWatermark on (user_id, event_type); "
+    "bounded replay keeps one row per key → count equals DISTINCT",
+)
+def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stream_dedup
+    from ..streaming.jobs import stream_events_dir_as_batch
+
+    deduped = stream_events_dir_as_batch(
+        spark,
+        sf_dir,
+        lambda ev: stream_dedup(ev, keys=["user_id", "event_type"]),
+        glob="events.parquet",
+    )
+    return deduped.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "st3_stream_sessionize",
+    None,  # closure set depends on micro-batch watermark progress → rows-only
+    tags=("streaming", "stateful"),
+    doc="Custom stateful sessionizer (applyInPandasWithState, event-time "
+    "timeout). Exact parity with e3_session_window asserted in tests",
+)
+def st3_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import sessionize_with_state
+    from ..streaming.jobs import stream_events_dir_as_batch
+
+    return stream_events_dir_as_batch(
+        spark, sf_dir, sessionize_with_state, glob="events.parquet"
+    )

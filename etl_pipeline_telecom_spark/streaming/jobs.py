@@ -1,0 +1,125 @@
+"""Streaming transformations + the availableNow→memory-sink harness.
+
+Each transformation mirrors a batch plan in ``plans/eventtime.py`` so
+streaming results can be asserted equal to (a subset of) the batch
+results:
+
+- tumbling window agg   ↔ ``e1_tumbling_window``
+- session window agg    ↔ ``e3_session_window``
+- dropDuplicatesWithinWatermark ↔ ``d1``-style exact dedup
+
+Scale notes: streaming state lives in the state store keyed by
+(window, key) / session key — watermarks bound that state, which is why
+every aggregation here sets one. Complete-output mode is used only in
+the harness for exact batch parity on bounded replays; a production
+stream would run append mode with the same plans.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_ids = itertools.count()
+
+
+def stream_tumbling_counts(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Hourly tumbling counts+sums per event type (streaming e1).
+
+    Decimal-exact sum so the result hash-matches the batch oracle.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (streaming e3). Append mode emits a session
+    once the watermark passes its end — i.e. once it can no longer grow."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, *, keys: list[str] | None = None, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once style dedup: state is bounded by the watermark, so a
+    duplicate arriving within the watermark window is dropped while state
+    stays finite (the unbounded-state alternative, plain dropDuplicates,
+    would OOM a long-running stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> tuple[DataFrame, dict]:
+    """Run a streaming DataFrame to completion over the currently-available
+    files and return (result-as-batch-DataFrame, last progress dict).
+
+    availableNow + memory sink: the standard bounded-replay harness. The
+    memory sink keeps results on the driver — fine for aggregated test
+    output, never for raw 100 TB streams (those sink to parquet/Kafka).
+    """
+    name = f"stream_result_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    progress = q.lastProgress or {}
+    spark = df.sparkSession
+    return spark.table(name), progress
+
+
+def stream_events_dir_as_batch(
+    spark: SparkSession,
+    directory: str,
+    transform,
+    *,
+    glob: str = "*.parquet",
+    output_mode: str = "append",
+) -> DataFrame:
+    """One-call helper: stream files → transform → run to completion →
+    batch DataFrame of the emitted rows (used by catalog entries so the
+    driver's DuckDB oracle can check a streaming plan)."""
+    from .source import read_events_stream
+
+    stream = read_events_stream(spark, directory, glob=glob)
+    out, _ = run_available_now(transform(stream), output_mode=output_mode)
+    return out

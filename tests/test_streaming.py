@@ -1,0 +1,89 @@
+"""Structured Streaming parity tests (SURVEY.md §2.10 / §7).
+
+Strategy: replay the events fixture through real file-based streams and
+assert the emitted rows against the BATCH event-time plans —
+``e1_tumbling_window`` / ``e3_session_window`` are the ground truth.
+
+Multi-batch tests split the fixture into time-ordered files and replay
+one file per micro-batch so the watermark actually advances between
+batches (single-file replays never close an append-mode window).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from etl_pipeline_telecom_spark.plans.eventtime import e1_tumbling_window, e3_session_window
+from etl_pipeline_telecom_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionize_with_state,
+    stream_dedup,
+    stream_session_agg,
+    stream_tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def _split_events(out_dir: str, n_files: int = 4, copies: int = 1) -> None:
+    """Write the fixture's events as n time-ordered parquet files with
+    strictly increasing mtimes (FileStreamSource replays oldest-first).
+    ``ts`` is cast to int64 epoch-nanos — same shape the engine reads."""
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    ts_idx = t.schema.get_field_index("ts")
+    t = t.set_column(ts_idx, "ts", t["ts"].cast("int64"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    step = math.ceil(t.num_rows / n_files)
+    base = time.time() - 3600
+    for i in range(n_files):
+        chunk = t.slice(i * step, step)
+        for c in range(copies):
+            path = os.path.join(out_dir, f"{i:02d}_{c}.parquet")
+            pq.write_table(chunk, path)
+            os.utime(path, (base + 10 * i + c, base + 10 * i + c))
+
+
+def _rows(df) -> set[tuple]:
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_tumbling_complete_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+    out, _ = run_available_now(stream_tumbling_counts(stream), output_mode="complete")
+    assert _rows(out) == _rows(e1_tumbling_window(spark, sf_dir))
+
+
+def test_stream_session_append_multibatch(spark, sf_dir, tmp_path):
+    _split_events(str(tmp_path), n_files=4)
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    out, progress = run_available_now(stream_session_agg(stream))
+    emitted = _rows(out)
+    batch = _rows(e3_session_window(spark, sf_dir))
+    assert emitted, "no sessions closed across 4 micro-batches"
+    assert emitted <= batch, f"streaming emitted sessions not in batch result: {sorted(emitted - batch)[:3]}"
+
+
+def test_stateful_sessionize_multibatch(spark, sf_dir, tmp_path):
+    _split_events(str(tmp_path), n_files=4)
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    out, _ = run_available_now(sessionize_with_state(stream))
+    emitted = _rows(out)
+    batch = _rows(e3_session_window(spark, sf_dir))
+    assert emitted, "stateful sessionizer emitted nothing"
+    assert emitted <= batch, f"stateful sessions diverge from batch: {sorted(emitted - batch)[:3]}"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    # every file written twice → exact duplicates within the watermark window
+    _split_events(str(tmp_path), n_files=2, copies=2)
+    n_events = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    out, _ = run_available_now(stream_dedup(stream, keys=["event_id"]))
+    assert out.count() == n_events
