@@ -86,6 +86,7 @@ def _load_all_plans() -> None:
         similarity,
         eventtime,
         streaming,
+        multimodal,
     )
 
 
