@@ -87,6 +87,7 @@ def _load_all_plans() -> None:
         eventtime,
         streaming,
         multimodal,
+        quality,
     )
 
 
