@@ -47,6 +47,11 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     corpus) while 3-word shingles stay sparse.
     """
     t = tokens_col
+    # one F.slice per shingle measured ~3× faster than n element_at calls:
+    # higher-order lambdas re-evaluate each OUTER expression reference, so
+    # fewer references to `t` inside the lambda wins. Consumers should
+    # evaluate this once per row into a materialized column (see
+    # plans/dedup.corpus_shingled) — never explode it inline.
     gen = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
