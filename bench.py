@@ -14,6 +14,9 @@ import sys
 import time
 
 
+# one representative per operator family (aggregation, transform, join,
+# window, set-op, text, dedup, similarity, multimodal, event-time,
+# streaming, data-quality)
 HEADLINE = [
     "a4_group_avg",
     "a6_pct_of_total",
@@ -21,6 +24,15 @@ HEADLINE = [
     "a10_histogram",
     "a13_median",
     "f11_f12_round_cast",
+    "j2_revenue_topk",
+    "w1_rank_topk_per_group",
+    "s1_union_distinct",
+    "t2_quality_score",
+    "v4_embedding_neardup",
+    "m1_media_features",
+    "e3_session_window",
+    "st1_stream_tumbling",
+    "dq1_lineitem_checks",
 ]
 
 

@@ -47,6 +47,16 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Attach ‖qv‖ as a real column BEFORE any pairwise join.
+
+    Norms are per-vector, so computing them inside a per-pair cosine
+    (dot(a,a), dot(b,b) per pair) does |pairs|×2 redundant O(d) passes;
+    as join-input columns they are computed once per vector and carried
+    through the join materialized."""
+    return df.withColumn("nrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+
+
 def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -66,23 +76,29 @@ def _cosine(a: Column, b: Column) -> Column:
     doc="Brute-force cosine top-5 for 10 query vectors against the full corpus",
 )
 def v1_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _quantized(spark, sf_dir)
+    emb = _with_norm(_quantized(spark, sf_dir))
     queries = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nrm").alias("qn")
     )
-    cos = _cosine(F.col("qa"), F.col("qv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
-    return (
+    # cosine computed ONCE per pair into a column; the window sorts and the
+    # final projection rounds that column instead of re-deriving the dots
+    scored = (
         # broadcast the tiny query side; candidates stream partition-local
         emb.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
-            ).alias("rn"),
+            (_dot(F.col("qa"), F.col("qv")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= 5)
     )
@@ -104,20 +120,31 @@ def v1_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coarse partition (label ≙ cluster id) — equi-join instead of cross join",
 )
 def v2_knn_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _quantized(spark, sf_dir)
+    emb = _with_norm(_quantized(spark, sf_dir))
     queries = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"), F.col("qv").alias("qa")
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
     )
-    cos = _cosine(F.col("qa"), F.col("qv"))
-    return (
-        emb.join(F.broadcast(queries), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc(cos), F.col("vec_id"))
-            ).alias("rn"),
+            (_dot(F.col("qa"), F.col("qv")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -152,10 +179,16 @@ def v3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup pairs within coarse partitions (threshold 0.4)",
 )
 def v4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _quantized(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("qv").alias("qa"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("qv").alias("qb"))
-    cos = _cosine(F.col("qa"), F.col("qb"))
+    emb = _with_norm(_quantized(spark, sf_dir))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .where(cos >= 0.4)
