@@ -88,6 +88,7 @@ def _load_all_plans() -> None:
         streaming,
         multimodal,
         quality,
+        sketches,
     )
 
 

@@ -1,0 +1,26 @@
+"""Error-bound tests for the approximate/sketch operators.
+
+Sketch values are engine-specific (no DuckDB hash oracle), so the
+contract tested here is the one that matters: bounded relative error
+against the exact answer computed in the same engine.
+"""
+
+from __future__ import annotations
+
+from etl_pipeline_telecom_spark.plans.sketches import (
+    a14_approx_distinct,
+    a15_percentile_approx,
+)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    row = a14_approx_distinct(spark, sf_dir).collect()[0]
+    rel_err = abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"]
+    assert rel_err < 0.05, f"HLL rel err {rel_err:.4f} vs exact {row['exact_orders']}"
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    row = a15_percentile_approx(spark, sf_dir).collect()[0]
+    for approx, exact in zip(row["approx_quartiles"], row["exact_quartiles"]):
+        rel_err = abs(approx - exact) / max(abs(exact), 1e-9)
+        assert rel_err < 0.05, f"quantile rel err {rel_err:.4f} ({approx} vs {exact})"
