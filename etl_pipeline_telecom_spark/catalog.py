@@ -89,6 +89,7 @@ def _load_all_plans() -> None:
         multimodal,
         quality,
         sketches,
+        semistructured,
     )
 
 

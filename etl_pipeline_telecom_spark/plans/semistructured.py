@@ -1,0 +1,148 @@
+"""Semi-structured data + reproducible sampling + Python-UDF parity ops.
+
+Training-data pipelines live on these four shapes:
+
+- JSON columns (``events.props``): parse/extract with the native JSON
+  functions — never a Python UDF — so Catalyst can prune and codegen.
+- Reproducible sampling: ``TABLESAMPLE``/``df.sample`` are seed- and
+  partitioning-dependent, useless for auditable corpus cuts. Hash-mod
+  sampling (md5 of the key) is deterministic on ANY engine and cluster
+  layout — the only sane way to cut a 100 TB corpus reproducibly.
+- Arrow-vectorized scalar UDFs (``pandas_udf``): the sanctioned escape
+  hatch when an expression can't be built from pyspark.sql.functions;
+  here one computes a text-quality score and is held to the SAME DuckDB
+  oracle as a native expression would be (integer-ratio arithmetic →
+  bit-identical doubles).
+- Grouped-map ``applyInPandas``: whole-group pandas logic (per-group
+  median here) — shuffles once on the group key; each group must fit in
+  one executor's memory, which is the documented contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from ..catalog import register
+from ..sources import load_table
+
+
+@register(
+    "x1_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1""",
+    tags=("json", "semistructured"),
+    doc="Native JSON extraction over events.props (get_json_object) feeding "
+    "a bucketed aggregate — JVM-side, no Python in the loop",
+)
+def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_HASH_MOD = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "sm1_hash_sample",
+    f"""SELECT doc_id, lang FROM documents WHERE {_HASH_MOD} < 20""",
+    tags=("sampling",),
+    doc="Deterministic ~20% corpus sample by key-hash mod — reproducible "
+    "across engines, partitionings, and reruns (unlike df.sample)",
+)
+def sm1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.where(bucket < 20).select("doc_id", "lang")
+
+
+@register(
+    "sm2_stratified_sample",
+    f"""SELECT lang, COUNT(*) AS sampled
+       FROM documents WHERE {_HASH_MOD} < 50
+       GROUP BY lang""",
+    tags=("sampling", "stratified"),
+    doc="Stratified cut: the hash-mod predicate applies uniformly within "
+    "each stratum, so per-language proportions hold without a shuffle",
+)
+def sm2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.where(bucket < 50).groupBy("lang").agg(F.count(F.lit(1)).alias("sampled"))
+
+
+# DoubleType() not the DDL string "double": the string form would parse
+# DDL at import time, which needs a live SparkSession
+@pandas_udf(DoubleType())
+def _quality_score_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched scalar UDF: tokens-per-100-chars density score.
+
+    Integer counts divided as doubles → bit-identical to the SQL oracle's
+    arithmetic; vectorized pandas string ops, no per-row Python.
+    """
+    n_tokens = text.str.strip().str.split(r"\s+").str.len()
+    n_chars = text.str.len()
+    return (n_tokens * 100.0) / n_chars
+
+
+@register(
+    "u1_pandas_udf_score",
+    """SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 100 / len(text)
+                  AS density
+       FROM documents""",
+    tags=("pandas-udf",),
+    doc="Arrow-vectorized pandas_udf held to the same DuckDB oracle as a "
+    "native expression (token density per 100 chars)",
+)
+def u1_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _quality_score_udf("text").alias("density"))
+
+
+_GROUP_MEDIAN_SCHEMA = "source string, median_chars double, n_docs long"
+
+
+def _group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "source": pdf["source"].iloc[0],
+                "median_chars": float(pdf["n_chars"].median()),
+                "n_docs": len(pdf),
+            }
+        ]
+    )
+
+
+@register(
+    "g1_grouped_median",
+    """SELECT source,
+              CAST(median(n_chars) AS DOUBLE) AS median_chars,
+              COUNT(*) AS n_docs
+       FROM documents GROUP BY source""",
+    tags=("applyInPandas", "grouped-map"),
+    doc="Grouped-map applyInPandas (per-source exact median in pandas) vs "
+    "SQL median — one shuffle on the group key; group-fits-in-memory "
+    "contract documented",
+)
+def g1_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return docs.groupBy("source").applyInPandas(_group_median, schema=_GROUP_MEDIAN_SCHEMA)
