@@ -172,3 +172,57 @@ def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, replicate the dim side.
+
+    A hot key (one customer with 10% of all orders) turns a shuffle join
+    into one straggler task. Salting splits each key into ``salts``
+    sub-keys: the fact row's salt is a DETERMINISTIC hash of a high-
+    cardinality column (``salt_source``, defaults to the fact key itself —
+    pass a row-unique column for real skew), and the dim side is exploded
+    ``salts``× so every (key, salt) pair finds its match. Join output is
+    row-identical to the plain join — the oracle for ``j7_salted_join``
+    is the UNSALTED SQL join, which is the whole point.
+
+    AQE's skew-join splitting handles moderate skew automatically; manual
+    salting is for the pathological keys AQE's split granularity can't
+    fix (one key bigger than a whole executor).
+    """
+    src = F.col(salt_source if salt_source is not None else fact_key)
+    fact_s = fact.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(salts)).cast("int"))
+    dim_s = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return fact_s.join(
+        dim_s, (F.col(fact_key) == F.col(dim_key)) & (fact_s["_salt"] == dim_s["_salt"])
+    ).drop("_salt")
+
+
+@register(
+    "j7_salted_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_spend
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+    tags=("join", "skew", "salting"),
+    doc="Skew-salted fact-dim join; the oracle is the PLAIN join — salting "
+    "must be a pure physical rewrite with identical results",
+)
+def j7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_equi_join(
+        orders, customer, "o_custkey", "c_custkey", salts=8, salt_source="o_orderkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("segment_spend"),
+    )
