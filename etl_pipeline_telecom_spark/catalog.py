@@ -90,6 +90,7 @@ def _load_all_plans() -> None:
         quality,
         sketches,
         semistructured,
+        pipeline,
     )
 
 

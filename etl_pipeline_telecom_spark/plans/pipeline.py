@@ -1,0 +1,116 @@
+"""End-to-end training-corpus operators: near-dup clustering (connected
+components) and the composed C4-style cleaning pipeline.
+
+``d8_neardup_clusters`` is the dedup endgame: LSH gives PAIRS, but
+removal needs CLUSTERS (A~B, B~C ⇒ {A,B,C} keep one). Components are
+computed by iterative min-label propagation — each round is one join +
+one groupBy-min, lineage cut with ``localCheckpoint`` so the plan stays
+flat; rounds needed = graph diameter (near-dup graphs are shallow).
+Iterative graph state can't be expressed in one SQL statement, so the
+oracle is a pytest union-find over the same pairs instead of DuckDB
+(driver records the rows-only check).
+
+``pipe1_corpus_clean`` chains the §7 text operators the way a real
+pre-training cleanup would: language filter → quality threshold →
+exact-dedup to the canonical copy. One declarative plan: Catalyst fuses
+the filters into the scan and the only shuffle is the fingerprint
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.text import quality_score
+from ..sources import load_table
+from .dedup import _DUP_OFFSET, d5_lsh_jaccard_dedup
+from .text import _SQL_STOP_LIST, _SQL_TOKENS
+
+# exactly t2_quality_score's oracle expression (plans/text.py) — one source
+# of truth for the quality formula on the SQL side
+_SQL_QUALITY = f"""ROUND(0.4 * LEAST(len({_SQL_TOKENS}) / 50.0, 1.0)
+                + 0.3 * LEAST(CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({_SQL_STOP_LIST}))) AS DOUBLE)
+                              / len({_SQL_TOKENS}) * 5.0, 1.0)
+                + 0.3 * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text)), 6)"""
+
+
+@register(
+    "d8_neardup_clusters",
+    None,  # iterative fixpoint — verified by union-find in tests, rows-only here
+    tags=("dedup", "clustering", "iterative"),
+    doc="Connected components over LSH near-dup pairs via min-label "
+    "propagation (join + groupBy-min per round, localCheckpoint between "
+    "rounds); rep = min doc_id of the component",
+)
+def d8_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        propagated = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "rep"
+        )
+        new_labels = (
+            labels.union(propagated)
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()  # truncate lineage each round — keeps plans O(1)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+            .where(F.col("rep") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+@register(
+    "pipe1_corpus_clean",
+    f"""WITH corpus AS (
+         SELECT doc_id, lang, text FROM documents
+         UNION ALL
+         SELECT doc_id + {_DUP_OFFSET} AS doc_id, lang, text FROM documents
+         WHERE doc_id % 10 = 0
+       ), scored AS (
+         SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
+                {_SQL_QUALITY} AS quality
+         FROM corpus
+       ), kept AS (
+         SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+         FROM scored
+         WHERE quality >= 0.5 AND lang IN ('en','es','de','fr')
+       )
+       SELECT doc_id, lang, quality FROM kept WHERE doc_id = canonical""",
+    tags=("pipeline", "text", "dedup"),
+    doc="Composed cleanup: language filter → quality threshold → exact-dedup "
+    "canonical selection, as one declarative plan (single window shuffle)",
+)
+def pipe1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(dups)
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "de", "fr")
+    ).withColumn("canonical", F.min("doc_id").over(Window.partitionBy("fp")))
+    return kept.where(F.col("doc_id") == F.col("canonical")).select("doc_id", "lang", "quality")
