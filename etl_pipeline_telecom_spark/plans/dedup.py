@@ -71,18 +71,46 @@ def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens get an empty array (filtered where a set is required).
 
     The cache is load-bearing, not an optimization garnish: the shingle
-    expression is a nest of higher-order functions that (a) Generate
-    re-evaluates per OUTPUT row if exploded inline (measured 30s vs 0.3s
-    at sf0.1) and (b) every downstream reference would recompute. One
+    array would otherwise be recomputed by every downstream reference,
+    and Spark's Generate re-evaluates an inline generator expression per
+    OUTPUT row when exploded (measured 30s vs 0.3s at sf0.1). One
     evaluation per row at fill time, materialized arrays for everyone
     after. Spark dedups cache entries by plan, so the queries sharing this
     builder share one cached table. At 100 TB the same role is played by a
     materialized (doc_id, sh) parquet/bucketed intermediate instead of
-    executor memory."""
+    executor memory.
+
+    The array itself is built in an Arrow ``mapInPandas`` batch, not the
+    native ``transform``/``slice`` expression chain: higher-order
+    functions run interpreted (no codegen) and re-evaluate outer
+    expression references per element, measured ~3.2s vs ~0.6s here at
+    sf0.1. The python tokenizer pins Java's ASCII ``\\s`` class so the
+    values stay byte-identical to the DuckDB oracle's
+    ``string_split_regex`` (the equivalent native expression is
+    ``functions.text.shingles``, kept as the expression-level API)."""
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/DuckDB \s (ASCII), not python's unicode \s
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            sh = [
+                list(
+                    dict.fromkeys(  # array_distinct: first-occurrence order
+                        " ".join(tk[i : i + 3])
+                        for i in range(len(tk) - 2)
+                    )
+                )
+                if len(tk := ws.split(txt.strip().lower())) >= 3
+                else []
+                for txt in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": sh})
+
     corpus = corpus_with_dups(spark, sf_dir)
-    return corpus.select(
-        "doc_id", F.array_distinct(shingles(tokens("text"))).alias("sh")
-    ).cache()
+    return corpus.mapInPandas(batches, schema="doc_id long, sh array<string>").cache()
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
