@@ -75,3 +75,33 @@ def st3_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_dir_as_batch(
         spark, sf_dir, sessionize_with_state, glob="events.parquet"
     )
+
+
+@register(
+    "st4_stream_stream_join",
+    """SELECT c.event_id AS click_id, e.event_id AS error_id,
+              c.user_id,
+              epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+              epoch_us(CAST(e.ts AS TIMESTAMP)) AS error_us
+       FROM events c JOIN events e
+         ON c.event_type = 'click' AND e.event_type = 'error'
+        AND e.user_id = c.user_id
+        AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL '5 minutes'""",
+    tags=("streaming", "stream-stream-join"),
+    doc="Watermarked stream-stream inner join (clicks × same-user errors "
+    "within 5 min); inner joins with event-time bounds are complete on a "
+    "bounded replay, so the batch SQL is a valid oracle",
+)
+def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import run_available_now, stream_stream_click_error_join
+
+    clicks = read_events_stream(spark, sf_dir, glob="events.parquet").where(
+        F.col("event_type") == "click"
+    )
+    errors = read_events_stream(spark, sf_dir, glob="events.parquet").where(
+        F.col("event_type") == "error"
+    )
+    out, _ = run_available_now(stream_stream_click_error_join(clicks, errors))
+    return out

@@ -123,3 +123,43 @@ def stream_events_dir_as_batch(
     stream = read_events_stream(spark, directory, glob=glob)
     out, _ = run_available_now(transform(stream), output_mode=output_mode)
     return out
+
+
+def stream_stream_click_error_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with same-user errors in
+    the preceding ``window``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can evict rows once the watermark passes
+    — the requirement for an unbounded-stream join to run with finite
+    state. Inner joins under these bounds are COMPLETE on a bounded
+    replay (every match is eventually emitted), which is why the catalog
+    entry for this plan can hold it to the same DuckDB oracle as the
+    batch form.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    e = errors.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("c_ts"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "click_id", "error_id", F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"), F.unix_micros("e_ts").alias("error_us"),
+    )

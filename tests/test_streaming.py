@@ -87,3 +87,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
     out, _ = run_available_now(stream_dedup(stream, keys=["event_id"]))
     assert out.count() == n_events
+
+
+def test_stream_stream_join_multibatch(spark, sf_dir, tmp_path):
+    """The join must stay complete when the replay spans micro-batches and
+    the watermark evicts state between them."""
+    from etl_pipeline_telecom_spark.plans.streaming import st4_stream_stream_join
+    from etl_pipeline_telecom_spark.streaming.jobs import stream_stream_click_error_join
+    import pyspark.sql.functions as F
+
+    _split_events(str(tmp_path), n_files=4)
+    clicks = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    errors = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1).where(
+        F.col("event_type") == "error"
+    )
+    out, _ = run_available_now(stream_stream_click_error_join(clicks, errors))
+    # batch ground truth via the single-batch catalog entry (oracle-checked)
+    batch = _rows(st4_stream_stream_join(spark, sf_dir))
+    assert _rows(out) == batch
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch — write each micro-batch
+    to parquet and verify the union of batches is exactly the input."""
+    import pyspark.sql.functions as F
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _split_events(str(src_dir), n_files=3)
+    out_dir = str(tmp_path / "out")
+    stream = read_events_stream(spark, str(src_dir), max_files_per_trigger=1)
+
+    def write_batch(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    written = spark.read.parquet(out_dir)
+    n_events = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
+    assert written.count() == n_events
+    assert written.select("epoch").distinct().count() == 3  # one write per micro-batch
+    assert written.select("event_id").distinct().count() == n_events
