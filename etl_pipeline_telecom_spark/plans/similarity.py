@@ -194,3 +194,62 @@ def v4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+# 8 deterministic ±1 hyperplanes: plane i gives dimension d the sign of
+# ((d + 1) * P_i) mod 2 == 0 ? +1 : -1 with odd multipliers — fixed,
+# engine-independent, and literal-expressible in the SQL oracle
+_HYPERPLANES = [
+    [1 if ((d + 1) * p) % 3 == 0 else -1 for d in range(64)]
+    for p in (3, 5, 7, 11, 13, 17, 19, 23)
+]
+
+
+def _sql_hyperplane_bucket() -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product(qv, {plane}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_HYPERPLANES)
+    ]
+    return " + ".join(bits)
+
+
+def _hyperplane_bucket() -> Column:
+    bits = [
+        F.when(_dot(F.col("qv"), F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1 << i).otherwise(0)
+        for i, plane in enumerate(_HYPERPLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register(
+    "v5_lsh_bucketed_neardup",
+    f"""WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+        h AS (SELECT vec_id, qv, {_sql_hyperplane_bucket()} AS bucket FROM q)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_SQL_COS}, 6) AS cos_sim
+        FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= 0.4""",
+    tags=("similarity", "lsh", "dedup"),
+    doc="Random-hyperplane LSH near-dup: 8-bit sign signature → bucket "
+    "equi-join → exact cosine on collisions only. Same trade as MinHash "
+    "banding: the quadratic verify touches same-bucket pairs, not N² — "
+    "the embedding-side scale path (v4 without the coarse label crutch)",
+)
+def v5_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(_quantized(spark, sf_dir)).withColumn("bucket", _hyperplane_bucket())
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba"),
+        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb"),
+        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
