@@ -135,3 +135,42 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert written.count() == n_events
     assert written.select("epoch").distinct().count() == 3  # one write per micro-batch
     assert written.select("event_id").distinct().count() == n_events
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting from a checkpoint must not re-emit already-processed files:
+    run 1 sees file A; run 2 (same checkpoint) sees A+B and must emit only B."""
+    import pyspark.sql.functions as F
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    ts_idx = t.schema.get_field_index("ts")
+    t = t.set_column(ts_idx, "ts", t["ts"].cast("int64"))
+    half = t.num_rows // 2
+
+    def run_once():
+        stream = read_events_stream(spark, str(src_dir))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pq.write_table(t.slice(0, half), str(src_dir / "a.parquet"))
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first == half
+
+    pq.write_table(t.slice(half), str(src_dir / "b.parquet"))
+    run_once()
+    written = spark.read.parquet(out_dir)
+    assert written.count() == t.num_rows  # B emitted once, A NOT re-emitted
+    assert written.select("event_id").distinct().count() == t.num_rows
