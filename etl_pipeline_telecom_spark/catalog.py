@@ -91,6 +91,7 @@ def _load_all_plans() -> None:
         sketches,
         semistructured,
         pipeline,
+        reshape,
     )
 
 
