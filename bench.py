@@ -49,8 +49,12 @@ def main() -> None:
         n for n, s in catalog.specs().items() if "headline" in s.tags and n not in HEADLINE
     ]
 
-    # warm the JVM + parquet footers once so per-query timings measure the plan
+    # warm the JVM + parquet footers + python workers once so per-query
+    # timings measure the plan, not interpreter/process spin-up
     qs[names[0]](spark, sf_dir).count()
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

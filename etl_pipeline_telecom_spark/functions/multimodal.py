@@ -118,9 +118,19 @@ def _media_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions that the python stage uses every core —
+    a single-file landing table arrives as 1-2 partitions and would run
+    the Arrow batches serially. No-op when the input is already wide."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """decode + feature-extract + resize, one Arrow pass over payloads."""
-    return media.select("doc_id", "media_type", "payload").mapInPandas(
+    return _spread(media.select("doc_id", "media_type", "payload")).mapInPandas(
         _media_features_batches, schema=MEDIA_FEATURES_SCHEMA
     )
 
@@ -141,4 +151,6 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def frame_sample(media: DataFrame) -> DataFrame:
     """Frame sampler: fixed-stride 'frames' of each payload, keeping every
     k-th — the row-explosion shape of a video frame extractor."""
-    return media.select("doc_id", "payload").mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+    return _spread(media.select("doc_id", "payload")).mapInPandas(
+        _frame_sample_batches, schema=FRAME_SCHEMA
+    )

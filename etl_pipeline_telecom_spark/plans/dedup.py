@@ -110,6 +110,12 @@ def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": sh})
 
     corpus = corpus_with_dups(spark, sf_dir)
+    # the fixture is a single small file → 1-2 input partitions, which
+    # would serialize the python stage onto one core; spread it. At real
+    # scale the input already has many partitions and this branch is a no-op
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     return corpus.mapInPandas(batches, schema="doc_id long, sh array<string>").cache()
 
 
