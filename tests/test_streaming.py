@@ -174,3 +174,20 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     written = spark.read.parquet(out_dir)
     assert written.count() == t.num_rows  # B emitted once, A NOT re-emitted
     assert written.select("event_id").distinct().count() == t.num_rows
+
+
+def test_incremental_hourly_rollup(spark, sf_dir, tmp_path):
+    """The continuously-maintained rollup must converge to the batch answer:
+    every hour partition holds the final complete totals after replay."""
+    from etl_pipeline_telecom_spark.streaming.jobs import maintain_hourly_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _split_events(str(src), n_files=4)
+    out = str(tmp_path / "rollup")
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    maintain_hourly_rollup(stream, out)
+    rollup = {tuple(r) for r in spark.read.parquet(out).select(
+        "window_start_us", "event_type", "cnt", "sum_value").collect()}
+    batch = _rows(e1_tumbling_window(spark, sf_dir))
+    assert rollup == batch
