@@ -77,6 +77,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if name == "events":
+        # defensive: the engine's own session factory sets this, but the
+        # DRIVER may hand us a session without it, and TIMESTAMP(NANOS)
+        # parquet throws PARQUET_TYPE_ILLEGAL otherwise; it is runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -35,6 +35,9 @@ def read_events_stream(
     test harness uses that to exercise watermark advancement across
     batches exactly as a production stream would see it.
     """
+    # same defense as sources.load_table: a session without the legacy conf
+    # rejects TIMESTAMP(NANOS) parquet outright
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", glob)
