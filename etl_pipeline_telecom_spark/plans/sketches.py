@@ -72,3 +72,16 @@ def p1_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "customer_name", "c_mktsegment")  # P1
         .distinct()  # P5
     )
+
+
+@register(
+    "a16_freq_items",
+    None,  # single-pass heavy-hitter sketch — superset guarantee tested instead
+    tags=("sketch", "approx", "heavy-hitters"),
+    doc="freqItems heavy-hitter sketch over order priorities: one pass, "
+    "fixed memory; guaranteed superset of all items above the support "
+    "threshold (may include false positives, never misses)",
+)
+def a16_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.stat.freqItems(["o_orderpriority"], support=0.15)

@@ -28,6 +28,7 @@ def test_rows_only_queries_are_justified():
     assert rows_only == {
         "a14_approx_distinct",
         "a15_percentile_approx",
+        "a16_freq_items",
         "d8_neardup_clusters",
         "st3_stream_sessionize",
     }, f"new rows-only query needs an explicit justification: {rows_only}"

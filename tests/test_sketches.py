@@ -24,3 +24,20 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
     for approx, exact in zip(row["approx_quartiles"], row["exact_quartiles"]):
         rel_err = abs(approx - exact) / max(abs(exact), 1e-9)
         assert rel_err < 0.05, f"quantile rel err {rel_err:.4f} ({approx} vs {exact})"
+
+
+def test_freq_items_contains_true_heavy_hitters(spark, sf_dir):
+    from etl_pipeline_telecom_spark.plans.sketches import a16_freq_items
+    from etl_pipeline_telecom_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    found = set(a16_freq_items(spark, sf_dir).collect()[0][0])
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    true_heavy = {
+        r["o_orderpriority"]
+        for r in orders.groupBy("o_orderpriority").count().collect()
+        if r["count"] / total > 0.15
+    }
+    assert true_heavy, "fixture should have heavy hitters at 15% support"
+    assert true_heavy <= found  # sketch may over-report, must never miss
