@@ -38,6 +38,11 @@ def get_spark(app_name: str = "etl-pipeline-telecom-spark", *, shuffle_partition
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # broadcast true dimensions only: the 10MB default is large enough to
+        # broadcast-build a mid-size FACT at local scale (sf0.1 lineitem ≈
+        # 8MB), which inverts on a cluster; measured perf-neutral locally,
+        # and AQE still upgrades genuinely small sides at runtime
+        .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # fixture events.ts is parquet TIMESTAMP(NANOS) which Spark rejects;
