@@ -253,3 +253,48 @@ def v5_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+def _gemm_pairs(pdf):
+    """Within one coarse partition: all-pairs cosine via one BLAS matmul.
+
+    Exactness: quantized vectors are integer-valued float64, so V·Vᵀ
+    entries are sums of ≤d exact integer products — exact in any
+    accumulation order, including BLAS blocking. Rounding stays OUT of
+    python (numpy rounds half-even, Spark/DuckDB half-up) — the plan
+    applies F.round after.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = np.stack(pdf["qv"].to_numpy())          # (n, d) integer-valued float64
+    ids = pdf["vec_id"].to_numpy()
+    g = v @ v.T                                  # exact gram matrix
+    nrm = np.sqrt(np.diag(g))
+    cos = g / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    # enforce vec_a < vec_b regardless of group row order
+    a, b = ids[iu], ids[ju]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = cos[iu, ju] >= 0.4
+    return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cos_raw": cos[iu, ju][keep]})
+
+
+@register(
+    "v6_gemm_neardup",
+    f"""WITH q AS ({_SQL_EMB})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({_SQL_COS}, 6) AS cos_sim
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS} >= 0.4""",
+    tags=("similarity", "dedup", "gemm", "headline"),
+    doc="Same result as v4_embedding_neardup (identical oracle) via "
+    "applyInPandas + one BLAS matmul per coarse partition — the vectorized "
+    "escape hatch when per-pair HOF dot products dominate; each partition "
+    "must fit one executor (the IVF partition contract)",
+)
+def v6_gemm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _quantized(spark, sf_dir)
+    pairs = emb.groupBy("label").applyInPandas(
+        _gemm_pairs, schema="vec_a long, vec_b long, cos_raw double"
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
