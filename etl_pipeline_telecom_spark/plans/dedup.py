@@ -393,3 +393,33 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.3)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "d9_mllib_minhash",
+    None,  # MLlib's hash family is seed-dependent → rows-only; recall vs the
+    # exact d5 pipeline is asserted in tests/test_clustering.py
+    tags=("dedup", "minhash", "lsh", "mllib"),
+    doc="MLlib MinHashLSH approxSimilarityJoin over hashed shingle vectors "
+    "(seeded, deterministic per seed) — the library alternative to the "
+    "hand-rolled d3-d5 pipeline; distance threshold 0.5 ≙ jaccard ≥ 0.5",
+)
+def d9_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    # shingle set → sparse binary vector (HashingTF binary mode keeps set
+    # semantics; 2^18 buckets keeps collisions negligible for this corpus)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    vecs = tf.transform(shing).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )

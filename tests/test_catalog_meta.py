@@ -30,6 +30,7 @@ def test_rows_only_queries_are_justified():
         "a15_percentile_approx",
         "a16_freq_items",
         "d8_neardup_clusters",
+        "d9_mllib_minhash",
         "st3_stream_sessionize",
     }, f"new rows-only query needs an explicit justification: {rows_only}"
 
