@@ -111,9 +111,12 @@ def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = corpus_with_dups(spark, sf_dir)
     # the fixture is a single small file → 1-2 input partitions, which
-    # would serialize the python stage onto one core; spread it. At real
-    # scale the input already has many partitions and this branch is a no-op
-    par = spark.sparkContext.defaultParallelism
+    # would serialize the python stage onto one core; spread it, but cap at
+    # 8: the python work here is sub-second, so more workers only add
+    # process spin-up and scheduler contention (worst-case bench runs under
+    # load traced to a 32-way fan-out of ~170-row batches). At real scale
+    # the input is already wide and this branch is a no-op
+    par = min(spark.sparkContext.defaultParallelism, 8)
     if corpus.rdd.getNumPartitions() < par:
         corpus = corpus.repartition(par)
     return corpus.mapInPandas(batches, schema="doc_id long, sh array<string>").cache()
