@@ -85,3 +85,24 @@ def p1_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a16_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.stat.freqItems(["o_orderpriority"], support=0.15)
+
+
+@register(
+    "a17_grouped_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              COUNT(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag""",
+    tags=("agg", "percentile"),
+    doc="Exact grouped percentiles (linear interpolation) — cross-engine "
+    "safe because l_quantity is integer-valued, so the lerp operands are "
+    "identical doubles in both engines",
+)
+def a17_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
