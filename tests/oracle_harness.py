@@ -97,3 +97,36 @@ def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
         if a != b:
             return False, f"first value mismatch at sorted-row {idx}: spark={a!r} duck={b!r}"
     return True, "ok"
+
+
+def main() -> int:
+    """CLI: run every oracle-backed catalog query against DuckDB.
+
+    Usage: python -m tests.oracle_harness [sf_dir] [name_substring...]
+    """
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from etl_pipeline_telecom_spark import catalog
+    from etl_pipeline_telecom_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    filters = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("oracle-harness")
+    fails = 0
+    for name, spec in sorted(catalog.specs().items()):
+        if filters and not any(f in name for f in filters):
+            continue
+        if spec.sql is None:
+            print(f"ROWS-ONLY {name}: {spec.fn(spark, sf_dir).count()} rows")
+            continue
+        ok, msg = compare(spark, sf_dir, spec.fn, spec.sql)
+        print(("PASS " if ok else "FAIL ") + name + ("" if ok else f" :: {msg}"))
+        fails += 0 if ok else 1
+    print(f"FAILS: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
