@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import register, sql_dec_sum
+from ..catalog import register
 from ..sources import load_table
 
 _DEC = "decimal(18,2)"
@@ -44,8 +44,9 @@ def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j2_revenue_topk",
     """SELECT o.o_orderkey, c.c_mktsegment,
-              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2)))
-                   AS DOUBLE) AS revenue
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+                  AS revenue
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -54,19 +55,23 @@ def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORDER BY revenue DESC, o.o_orderkey
        LIMIT 10""",
     tags=("join", "topk"),
-    doc="TPC-H Q3-style 3-way join + top-k (deterministic tiebreak on orderkey)",
+    doc="TPC-H Q3-style 3-way join + top-k (deterministic tiebreak on "
+    "orderkey). Revenue in integer cents×pct units (2-decimal inputs → "
+    "exact longs, ~2× cheaper than decimal multiply, same exactness)",
 )
 def j2_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount")).cast(_DEC))
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         # customer is filtered to one segment → small → broadcast into orders
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "c_mktsegment")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev_units).cast("double") / 10000).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -134,10 +139,10 @@ def j5_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j6_star_join",
-    f"""SELECT n.n_name,
-               {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)",
-                            "revenue",
-                            scale="DECIMAL(18,4)")}
+    """SELECT n.n_name,
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+                  AS revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -163,14 +168,17 @@ def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "n_name")
     )
-    # decimal(18,4): the product of two 2-decimal quantities has 4 decimals —
-    # summing at scale 4 keeps the oracle comparison exact
-    rev = F.col("l_extendedprice").cast(_DEC).cast("decimal(18,4)") * (1 - F.col("l_discount")).cast(_DEC)
+    # integer cents×pct units: 2-decimal inputs make round(x*100) an exact
+    # long, so the sum is exact in any order and ~2× cheaper than the
+    # decimal(18,4) product it replaces
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev_units).cast("double") / 10000).alias("revenue"))
     )
 
 
