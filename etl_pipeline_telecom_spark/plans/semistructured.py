@@ -146,3 +146,32 @@ def _group_median(pdf: pd.DataFrame) -> pd.DataFrame:
 def g1_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     return docs.groupBy("source").applyInPandas(_group_median, schema=_GROUP_MEDIAN_SCHEMA)
+
+
+@register(
+    "x2_event_type_map",
+    """SELECT user_id,
+              list_aggregate(list_sort(list(event_type || ':' || cnt)), 'string_agg', ',')
+                  AS type_counts
+       FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+             FROM events GROUP BY user_id, event_type)
+       GROUP BY user_id""",
+    tags=("map-type", "semistructured"),
+    doc="MapType aggregation: per-user event_type→count map built with "
+    "map_from_entries, then canonicalized to a sorted entries string "
+    "(engines surface MAP values in incompatible python shapes, so the "
+    "oracle compares the canonical form; the map itself is real Spark "
+    "MapType mid-plan)",
+)
+def x2_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    entries = F.transform(
+        F.map_entries("m"), lambda e: F.concat_ws(":", e["key"], e["value"].cast("string"))
+    )
+    return mapped.select(
+        "user_id", F.array_join(F.array_sort(entries), ",").alias("type_counts")
+    )
