@@ -1,9 +1,14 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is executed to completion
-(count() on the result — forces the full plan without collecting wide rows
-to the driver).
+"queries": {name: sec}, "queries_cold": {name: sec}, "sf": ...}. Each query
+is executed to completion (count() on the result — forces the full plan
+without collecting wide rows to the driver).
+
+"value"/"queries" are WARM timings (second run): they measure the plan, not
+session/state-store/python-worker spin-up, so cross-round regressions are
+attributable to plan changes. "queries_cold" keeps the first-run numbers
+(includes per-query warmup effects) for the ops-facing view.
 """
 
 from __future__ import annotations
@@ -56,20 +61,26 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -95,16 +95,61 @@ def _load_all_plans() -> None:
     )
 
 
-def queries() -> dict[str, QueryFn]:
+# The driver's CORRECTNESS gate verifies only the FIRST 50 entries of
+# ``queries()``. Round 1 proved the parity block (a1..f12, joins, windows,
+# set ops, text, d1–d4) — see CORRECTNESS_r01.json. Round 2 rotates into
+# the window: the 39 queries with no round-1 driver verdict, the two
+# round-1 hash-fails (a8/a11, oracle typing fixed), and one regression
+# canary per already-proven family. Everything past 50 keeps its round-1
+# verdict; this tuple is the explicit, test-asserted window.
+DRIVER_WINDOW = (
+    # dedup + similarity flagships
+    "d5_lsh_jaccard_dedup", "d6_simhash", "d7_ngram_jaccard_pairs", "d8_neardup_clusters",
+    "d9_mllib_minhash",
+    "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
+    "v5_lsh_bucketed_neardup", "v6_gemm_neardup",
+    # event-time + streaming
+    "e1_tumbling_window", "e2_sliding_window", "e3_session_window", "e4_asof_join",
+    "e5_band_range_join",
+    "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
+    # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
+    "m1_media_features", "m2_frame_sample", "m3_media_type_stats",
+    "dq1_lineitem_checks", "dq2_orders_checks",
+    "a14_approx_distinct", "a15_percentile_approx", "a16_freq_items", "a17_grouped_percentiles",
+    "p1_projection_ops",
+    "x1_json_extract", "x2_event_type_map",
+    "sm1_hash_sample", "sm2_stratified_sample",
+    "u1_pandas_udf_score", "g1_grouped_median",
+    "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
+    # round-1 hash-fails, oracle typing fixed this round
+    "a8_pivot_rate", "a11_null_counts",
+    # regression canaries: one per round-1-proven family
+    "a4_group_avg", "a13_median", "f6_f8_flags", "j2_revenue_topk", "j6_star_join",
+    "w1_rank_topk_per_group", "s1_union_distinct", "t2_quality_score", "d1_exact_dedup",
+)
+
+
+def _ordered_names() -> list[str]:
+    """DRIVER_WINDOW first (verbatim order), then the rest by registration."""
     _load_all_plans()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names not registered: {missing}")
+    window = set(DRIVER_WINDOW)
+    return list(DRIVER_WINDOW) + [n for n in REGISTRY if n not in window]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all_plans()
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    return {
+        name: REGISTRY[name].sql
+        for name in _ordered_names()
+        if REGISTRY[name].sql is not None
+    }
 
 
 def specs() -> dict[str, QuerySpec]:
-    _load_all_plans()
-    return dict(REGISTRY)
+    return {name: REGISTRY[name] for name in _ordered_names()}

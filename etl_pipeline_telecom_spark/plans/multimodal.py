@@ -66,8 +66,8 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(octet_length(encode(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))) AS BIGINT)
                   AS frame_nbytes,
               md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
-       FROM media CROSS JOIN range(0, 64) t(i)
-       WHERE i * {FRAME_BYTES} < nbytes AND i % {FRAME_SAMPLE_EVERY} = 0""",
+       FROM media, LATERAL (SELECT unnest(range(0, CAST(CEIL(CAST(nbytes AS DOUBLE) / {FRAME_BYTES}) AS BIGINT))) AS i) t
+       WHERE i % {FRAME_SAMPLE_EVERY} = 0""",
     tags=("multimodal", "mapInPandas", "explode"),
     doc="Frame sampler: fixed-stride frames, every 4th kept — row-exploding "
     "mapInPandas; oracle replays the stride with a range cross join",

@@ -114,10 +114,10 @@ def a7_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a8_pivot_rate",
     """SELECT o_orderpriority,
-              SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS not_churned_count,
-              SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS churned_count,
-              COUNT(*) AS total,
-              ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 3)
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS not_churned_count,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS churned_count,
+              CAST(COUNT(*) AS BIGINT) AS total,
+              ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 100 / COUNT(*), 3)
                   AS churn_rate_pct
        FROM orders GROUP BY o_orderpriority""",
     tags=("parity", "agg", "pivot"),
@@ -171,9 +171,9 @@ def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a11_null_counts",
-    """SELECT SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-              SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
-              SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls
+    """SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+              CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+              CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls
        FROM events""",
     tags=("parity", "agg", "validation"),
     doc="A11 per-column null counts (validate.py:70-73)",

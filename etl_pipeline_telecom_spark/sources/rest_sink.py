@@ -2,12 +2,16 @@
 distributed ``foreachPartition`` sink (SURVEY.md §2.2 K4).
 
 ``scripts/load.py:95-230`` slices the table into 200-row batches,
-converts NaN→None, POSTs each batch, retries ≤3 times with exponential
-backoff ``2.0**attempt`` seconds, and aborts to a local copy on a remote
+converts NaN→None, POSTs each batch with an initial attempt plus up to
+``max_retries`` retries (4 total tries at the default 3), sleeping
+``backoff ** attempt`` seconds with ``attempt`` counting from 1
+(2s, 4s, 8s at backoff 2.0 — ``load.py:196-199,223-226``), SKIPS the
+batch once retries are exhausted, and aborts to a local copy on a remote
 schema error. Here each EXECUTOR partition streams its rows into batches
-and posts them — the driver never materializes the table — while batch
-size, retry count, backoff base, and the schema-error abort keep the
-reference's exact semantics.
+and posts them — the driver never materializes the table — with the
+reference's exact retry/backoff/skip semantics by default;
+``on_exhausted="raise"`` opts into stricter fail-the-job behavior for
+pipelines where silent batch loss is unacceptable.
 
 The transport is injected as a factory (called once per partition, on the
 executor) so the sink is testable without a network and swappable between
@@ -47,17 +51,27 @@ def _post_with_retry(
     max_retries: int,
     backoff: float,
     sleep: Callable[[float], None],
-) -> None:
-    for attempt in range(max_retries):
+    on_exhausted: str = "skip",
+) -> bool:
+    """One initial attempt + up to ``max_retries`` retries (load.py:175-226).
+
+    Returns True if the batch was posted, False if it was skipped after
+    exhausting retries (the reference prints and moves on — load.py:196-198).
+    """
+    attempt = 0
+    while True:
         try:
             transport(batch)
-            return
+            return True
         except RestSchemaError:
             raise  # schema errors abort immediately (load.py:186-193)
         except Exception:
-            if attempt == max_retries - 1:
-                raise
-            sleep(backoff**attempt)  # 1s, 2s, 4s… (load.py:199,225)
+            attempt += 1
+            if attempt > max_retries:
+                if on_exhausted == "raise":
+                    raise
+                return False  # skip this batch, keep loading (load.py:196-198,223-226)
+            sleep(backoff**attempt)  # 2s, 4s, 8s… (load.py:199,225)
 
 
 def write_rest_batched(
@@ -68,11 +82,14 @@ def write_rest_batched(
     max_retries: int = 3,
     backoff: float = 2.0,
     sleep: Callable[[float], None] = time.sleep,
+    on_exhausted: str = "skip",
 ) -> None:
     """Stream every partition into ``batch_size`` POSTs with retry/backoff.
 
     Runs as one Spark action; per-partition state is a ≤``batch_size`` row
     buffer, so memory is O(batch), independent of table size.
+    ``on_exhausted``: "skip" drops a batch whose retries are exhausted
+    (reference behavior); "raise" fails the job instead.
     """
 
     def send_partition(rows: Iterator) -> None:
@@ -82,7 +99,12 @@ def write_rest_batched(
         def flush() -> None:
             if buf:
                 _post_with_retry(
-                    transport, buf, max_retries=max_retries, backoff=backoff, sleep=sleep
+                    transport,
+                    buf,
+                    max_retries=max_retries,
+                    backoff=backoff,
+                    sleep=sleep,
+                    on_exhausted=on_exhausted,
                 )
                 buf.clear()
 

@@ -72,7 +72,10 @@ def _sessionize_group(
             closed.append(_emit(user_id, *open_sess))
             open_sess = [ts_us, ts_us, 1, _cents(value)]
         else:
-            open_sess[1] = ts_us
+            # a late in-watermark event from a later micro-batch may carry
+            # ts_us < the open session's last event; max() keeps the session
+            # end monotone so gap checks match batch session_window semantics
+            open_sess[1] = max(open_sess[1], ts_us)
             open_sess[2] += 1
             open_sess[3] += _cents(value)
 

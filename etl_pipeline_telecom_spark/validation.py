@@ -58,18 +58,29 @@ def expect_row_count(minimum: int = 1) -> Expectation:
 def expect_domain(col: str, allowed: set, *, subset: bool = False, as_violations: bool = False) -> Expectation:
     """V4–V6 — distinct values equal (or ⊆) an allowed set
     (``validate.py:94-118``). ``as_violations`` counts out-of-domain rows
-    instead of collecting the set — the scale-safe form."""
+    instead of collecting the set — the scale-safe form.
+
+    NULLs count as an observed value ``∅NULL∅`` (the reference's pandas
+    ``unique()`` surfaces NaN and fails set equality — ``validate.py:97``),
+    so null contamination fails the check in both forms. ``collect_set``
+    alone would silently drop them."""
     allowed_sorted = sorted(str(a) for a in allowed)
     if as_violations:
         return Expectation(
             name=f"domain_violations:{col}",
-            observed=F.sum((~F.col(col).isin(list(allowed))).cast("long")),
+            # isin is NULL on NULL input; coalesce(False) makes NULL a violation
+            observed=F.sum(
+                (~F.coalesce(F.col(col).isin(list(allowed)), F.lit(False))).cast("long")
+            ),
             expected="0",
             passed=lambda v: v == 0,
         )
     return Expectation(
         name=f"domain:{col}",
-        observed=F.array_join(F.array_sort(F.collect_set(F.col(col).cast("string"))), ","),
+        observed=F.array_join(
+            F.array_sort(F.collect_set(F.coalesce(F.col(col).cast("string"), F.lit("∅NULL∅")))),
+            ",",
+        ),
         expected=("⊆" if subset else "=") + "{" + ",".join(allowed_sorted) + "}",
         passed=(
             (lambda v, a=set(allowed_sorted): set(v.split(",")) <= a)

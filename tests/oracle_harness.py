@@ -69,19 +69,67 @@ def _key(row):
     return tuple((x is None, str(type(x)), x) for x in row)
 
 
+def _canon_spark_type(t: str) -> str:
+    """Spark dtype string → canonical kind for cross-engine type parity."""
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if t in ("float", "double"):
+        return "f"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array") or t.startswith("map") or t.startswith("struct"):
+        return "nested"
+    if t in ("string", "varchar"):
+        return "str"
+    return t
+
+
+def _canon_duck_type(t: str) -> str:
+    """DuckDB logical type → canonical kind.
+
+    HUGEINT and DECIMAL are kept distinct on purpose: the driver's value
+    hash goes through Arrow, where HUGEINT→float64 and DECIMAL→decimal128
+    diverge from Spark's int64/float64 even when the python cell values
+    compare equal (round-1 a8/a11 failures)."""
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "i"
+    if t in ("FLOAT", "DOUBLE"):
+        return "f"
+    if t == "HUGEINT" or t == "UBIGINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if "[]" in t or t.startswith("MAP") or t.startswith("STRUCT") or t.startswith("LIST"):
+        return "nested"
+    if t == "VARCHAR":
+        return "str"
+    return t.lower()
+
+
 def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
+    spark_types = {c: _canon_spark_type(t) for c, t in sdf.dtypes}
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_types = {c: _canon_duck_type(t) for c, t in zip(rel.columns, rel.types)}
+    duck_rows = rel.fetchall()
     con.close()
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    type_diffs = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+    }
+    if type_diffs:
+        return False, f"column TYPES differ (driver hash is type-sensitive): {type_diffs}"
     if len(spark_rows) != len(duck_rows):
         return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
 

@@ -51,3 +51,37 @@ def test_oracle_sql_has_no_unaliased_aggregates():
 def test_query_names_are_stable_identifiers():
     for name in SPECS:
         assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
+
+
+# Queries the round-1 driver never checked (CORRECTNESS_r01.json covers only
+# the first 50 registered entries) plus the two round-1 hash-fails whose
+# oracle typing was fixed in round 2 — all MUST sit in the driver's window.
+_MUST_BE_IN_WINDOW = {
+    "d5_lsh_jaccard_dedup", "d6_simhash", "d7_ngram_jaccard_pairs", "d8_neardup_clusters",
+    "d9_mllib_minhash", "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids",
+    "v4_embedding_neardup", "v5_lsh_bucketed_neardup", "v6_gemm_neardup",
+    "e1_tumbling_window", "e2_sliding_window", "e3_session_window", "e4_asof_join",
+    "e5_band_range_join", "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
+    "st4_stream_stream_join", "m1_media_features", "m2_frame_sample", "m3_media_type_stats",
+    "dq1_lineitem_checks", "dq2_orders_checks", "a14_approx_distinct", "a15_percentile_approx",
+    "a16_freq_items", "a17_grouped_percentiles", "p1_projection_ops", "x1_json_extract",
+    "x2_event_type_map", "sm1_hash_sample", "sm2_stratified_sample", "u1_pandas_udf_score",
+    "g1_grouped_median", "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
+    "a8_pivot_rate", "a11_null_counts",
+}
+
+
+def test_driver_window_covers_unverified_queries():
+    """The driver verifies only the first 50 entries of queries()."""
+    names = list(catalog.queries())
+    assert len(names) == len(set(names))
+    first50 = set(names[:50])
+    missing = _MUST_BE_IN_WINDOW - first50
+    assert not missing, f"queries with no driver verdict outside the window: {sorted(missing)}"
+    assert list(names[: len(catalog.DRIVER_WINDOW)]) == list(catalog.DRIVER_WINDOW)
+
+
+def test_registry_complete_vs_window():
+    # every DRIVER_WINDOW name registered, and window is exactly 50 wide
+    assert len(catalog.DRIVER_WINDOW) == 50
+    assert set(catalog.DRIVER_WINDOW) <= set(SPECS)

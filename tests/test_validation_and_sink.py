@@ -42,6 +42,28 @@ def test_validation_detects_failures(spark):
     assert not results["domain:b"]["passed"]
 
 
+def test_domain_check_fails_on_nulls(spark):
+    """NULLs must fail domain checks as the reference's unique() does
+    (validate.py:97 surfaces NaN) — collect_set alone would drop them."""
+    from etl_pipeline_telecom_spark.validation import expect_domain
+
+    df = spark.createDataFrame([("x",), ("y",), (None,)], "b string")
+    checks = [
+        expect_domain("b", {"x", "y"}),
+        expect_domain("b", {"x", "y"}, subset=True),
+        expect_domain("b", {"x", "y"}, as_violations=True),
+    ]
+    results = {r["check"]: r for r in run_expectations(df, checks).collect()}
+    assert not results["domain:b"]["passed"]
+    assert "∅NULL∅" in results["domain:b"]["observed"]
+    assert not results["domain_violations:b"]["passed"]
+    assert results["domain_violations:b"]["observed"] == "1"
+
+    clean = spark.createDataFrame([("x",), ("y",)], "b string")
+    ok = {r["check"]: r for r in run_expectations(clean, checks).collect()}
+    assert all(r["passed"] for r in ok.values())
+
+
 def _file_transport_factory(out_dir: str, fail_first: int = 0):
     """Each partition appends its batches as JSON lines under out_dir.
     ``fail_first`` simulates transient HTTP failures before succeeding."""
@@ -84,6 +106,34 @@ def test_rest_sink_retries_transient_failures(spark, tmp_path):
     rows = [r for f in glob.glob(str(tmp_path / "batches.*.jsonl")) for line in open(f) for r in json.loads(line)]
     assert {r["id"] for r in rows} == {1, 2}
     assert len(glob.glob(str(tmp_path / "failures*"))) == 2  # two retries happened
+
+
+def test_rest_sink_retry_semantics_match_reference():
+    """load.py:175-226 — initial try + max_retries retries (4 total),
+    sleeps backoff**attempt with attempt from 1 (2s,4s,8s), then SKIPS."""
+    calls, sleeps = [], []
+
+    def always_fail(batch):
+        calls.append(batch)
+        raise ConnectionError("down")
+
+    posted = _post_with_retry(
+        always_fail, [{"a": 1}], max_retries=3, backoff=2.0, sleep=sleeps.append
+    )
+    assert posted is False  # batch skipped, not raised (load.py:196-198)
+    assert len(calls) == 4  # 1 initial + 3 retries
+    assert sleeps == [2.0, 4.0, 8.0]  # backoff**attempt, attempt from 1
+
+
+def test_rest_sink_on_exhausted_raise():
+    def always_fail(batch):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        _post_with_retry(
+            always_fail, [{"a": 1}], max_retries=1, backoff=2.0,
+            sleep=lambda s: None, on_exhausted="raise",
+        )
 
 
 def test_rest_sink_schema_error_aborts_without_retry():
