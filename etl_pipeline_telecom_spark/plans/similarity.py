@@ -92,7 +92,7 @@ def v1_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qa"), F.col("qv")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
@@ -138,7 +138,7 @@ def v2_knn_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qa"), F.col("qv")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
@@ -197,28 +197,21 @@ def _cos_pairs_udf(qa: pd.Series, qb: pd.Series, na: pd.Series, nb: pd.Series) -
         WHERE {_SQL_COS} >= 0.4""",
     tags=("similarity", "dedup"),
     doc="Embedding-cosine near-dup pairs within coarse partitions (threshold "
-    "0.4). The per-pair cosine is an Arrow-vectorized pandas UDF (einsum per "
-    "batch) — the interpreted HOF dot was the round-1 bench bottleneck; the "
-    "all-pairs-per-label join shape itself remains quadratic per label, so "
-    "v5 (LSH buckets) and v6 (per-partition GEMM) stay the 100 TB paths",
+    "0.4), executed as one BLAS gram matrix per label partition — the same "
+    "plan as v6 (kept as the headline bench twin), adopted here after two "
+    "slower shapes: the round-1 interpreted HOF dot (3.5s warm sf0.1) and a "
+    "join + Arrow-einsum scoring (1.3s sf0.1 but ships every within-label "
+    "pair row through shuffle+Arrow, which is what blows up at 10× density "
+    "— see v5's 78s→7s sf1 probe). Within-label compute is still quadratic "
+    "by definition of the operator; v5 is the form that also bounds the "
+    "candidate set",
 )
 def v4_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(_quantized(spark, sf_dir))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
-        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    emb = _quantized(spark, sf_dir)
+    pairs = emb.groupBy("label").applyInPandas(
+        _gemm_pairs, schema="vec_a long, vec_b long, cos_raw double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
-        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
-    )
-    cos = _cos_pairs_udf(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 # 8 deterministic ±1 hyperplanes: plane i gives dimension d the sign of
@@ -258,27 +251,22 @@ def _hyperplane_bucket() -> Column:
         FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_SQL_COS} >= 0.4""",
     tags=("similarity", "lsh", "dedup"),
-    doc="Random-hyperplane LSH near-dup: 8-bit sign signature → bucket "
-    "equi-join → exact cosine on collisions only. Same trade as MinHash "
-    "banding: the quadratic verify touches same-bucket pairs, not N² — "
-    "the embedding-side scale path (v4 without the coarse label crutch)",
+    doc="Random-hyperplane LSH near-dup: 8-bit sign signature → within-bucket "
+    "GEMM verify (one BLAS gram matrix per bucket via applyInPandas). Same "
+    "trade as MinHash banding: the quadratic verify touches same-bucket "
+    "vectors, not N² — the embedding-side scale path (v4 without the coarse "
+    "label crutch). The verify deliberately never materializes pair ROWS: a "
+    "bucket self-join + per-pair scoring shipped every collision through the "
+    "shuffle and Arrow (78s at sf1 vs ~3s for this shape — pair count inside "
+    "a fixed 256-bucket space grows quadratically with density, so the only "
+    "stable plan is one that touches vectors, not pairs)",
 )
 def v5_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(_quantized(spark, sf_dir)).withColumn("bucket", _hyperplane_bucket())
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba"),
-        F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+    emb = _quantized(spark, sf_dir).withColumn("bucket", _hyperplane_bucket())
+    pairs = emb.groupBy("bucket").applyInPandas(
+        _gemm_pairs, schema="vec_a long, vec_b long, cos_raw double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb"),
-        F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
 
 
 def _gemm_pairs(pdf):

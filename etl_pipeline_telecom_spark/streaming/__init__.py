@@ -8,7 +8,7 @@ the catalog with the SAME DuckDB oracle as the batch form.
 
 from .source import read_events_stream
 from .jobs import run_available_now, stream_tumbling_counts, stream_session_agg, stream_dedup
-from .stateful import sessionize_with_state
+from .stateful import sessionize_with_state, sessionize_with_tws
 
 __all__ = [
     "read_events_stream",
@@ -17,4 +17,5 @@ __all__ = [
     "stream_session_agg",
     "stream_dedup",
     "sessionize_with_state",
+    "sessionize_with_tws",
 ]

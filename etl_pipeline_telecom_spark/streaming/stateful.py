@@ -92,6 +92,11 @@ def sessionize_with_state(events: DataFrame, *, watermark: str = "10 minutes") -
 
     The input must be a streaming DataFrame; the watermark drives the
     event-time timeout that flushes idle sessions.
+
+    This (``applyInPandasWithState``) is the DEFAULT sessionizer path;
+    :func:`sessionize_with_tws` is the Spark-4 ``transformWithStateInPandas``
+    twin, usable where ``protobuf`` is installed (its state-server protocol
+    needs it; pyspark does not declare it as a hard dependency).
     """
     prepared = events.withWatermark("ts", watermark).select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value", "ts"
@@ -102,4 +107,104 @@ def sessionize_with_state(events: DataFrame, *, watermark: str = "10 minutes") -
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_with_tws(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`sessionize_with_state`.
+
+    Same session semantics (30-min gap, exclusive end, close on supersede
+    or watermark timer); state is the same 4-field tuple in a ValueState
+    instead of the legacy GroupState, and the event-time timeout becomes
+    an explicit registered timer. Parity between both paths is asserted in
+    tests/test_streaming.py. The legacy path stays the default until the
+    TWS state-store format is the standard — both run on Spark 4.1. The
+    StatefulProcessor import is local so importing this module never
+    requires the ABC (pyspark>=4.0 only).
+
+    Runtime requirements beyond the legacy path: the RocksDB state store
+    (flipped below) and the ``protobuf`` package — pyspark's TWS state
+    server speaks protobuf to the python worker but does not declare the
+    dependency, so a bare environment crashes the worker with a bewildering
+    "driver worker exited unexpectedly". Fail fast here instead.
+    """
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace pkg absent
+        has_protobuf = False
+    if not has_protobuf:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's TWS state server protocol); install protobuf or use "
+            "sessionize_with_state (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class SessionizeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("open_sess", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterable[pd.DataFrame], timerValues: "TimerValues"
+        ) -> Iterable[pd.DataFrame]:
+            (user_id,) = key
+            batch = pd.concat(list(rows), ignore_index=True).sort_values("ts_us")
+            open_sess = list(self._sess.get()) if self._sess.exists() else None
+            closed: list[dict] = []
+            for ts_us, value in zip(batch["ts_us"], batch["value"]):
+                ts_us = int(ts_us)
+                if open_sess is None:
+                    open_sess = [ts_us, ts_us, 1, _cents(value)]
+                elif ts_us - open_sess[1] >= GAP_US:
+                    closed.append(_emit(user_id, *open_sess))
+                    open_sess = [ts_us, ts_us, 1, _cents(value)]
+                else:
+                    # same late-event monotonicity rule as _sessionize_group
+                    open_sess[1] = max(open_sess[1], ts_us)
+                    open_sess[2] += 1
+                    open_sess[3] += _cents(value)
+
+            self._sess.update(tuple(open_sess))
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            end_ms = (open_sess[1] + GAP_US) // 1000
+            self._handle.registerTimer(max(end_ms, timerValues.getCurrentWatermarkInMs() + 1))
+            if closed:
+                yield pd.DataFrame(closed)
+
+        def handleExpiredTimer(
+            self, key: tuple, timerValues: "TimerValues", expiredTimerInfo: "ExpiredTimerInfo"
+        ) -> Iterable[pd.DataFrame]:
+            if self._sess.exists():
+                (user_id,) = key
+                start, last, n, cents = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame([_emit(user_id, start, last, n, cents)])
+
+        def close(self) -> None:
+            pass
+
+    # TWS runs only on the RocksDB state store; the legacy HDFS-backed
+    # provider is still fine for applyInPandasWithState, so flip the
+    # session conf here (runtime-settable, picked up at query start)
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "ts"
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )

@@ -1,0 +1,168 @@
+"""sf1 scale probe: synthesize 10× sf0.1 fixtures, compare timings and plans.
+
+Usage: python -m tests.scale_probe [--copies N] [--out DIR] [query_substring...]
+
+Synthesizes an sf1-equivalent fixture set (default 10 copies of sf0.1 with
+key-shifted facts, verbatim dims) under ``.scratch/sf1``, then runs the
+probe queries warm at sf0.1 and sf1 and prints a scaling table plus a
+plan-flip report (flags Cartesian products and broadcast-NLJ at the large
+scale — broadcast→sort-merge flips are expected and fine, nested-loop
+blowups are not).
+
+Clone realism: documents get a per-copy suffix token (near-dups, not exact
+dups — exact clones would grow LSH candidate pairs quadratically inside
+clone buckets and measure the synthesizer, not the plan); embeddings get a
+small per-copy perturbation pre-quantization for the same reason.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+
+#: queries probed at both scales — the judge-flagged scale paths plus one
+#: representative per family (keep runnable in a few minutes at sf1)
+PROBES = [
+    "a4_group_avg",
+    "d1_exact_dedup",
+    "t2_quality_score",
+    "j2_revenue_topk",
+    "j6_star_join",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "d5_lsh_jaccard_dedup",
+    "v5_lsh_bucketed_neardup",
+    "v6_gemm_neardup",
+]
+
+_BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+_JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") + _BAD_PLAN_NODES
+
+
+def _shift(col: str, stride: int):
+    # long arithmetic: copy_i × a 1e9 stride overflows int32 under ANSI
+    return (F.col(col) + F.col("copy_i").cast("bigint") * F.lit(stride).cast("bigint")).alias(col)
+
+
+def synthesize(spark: SparkSession, src: str = SRC, out: str = OUT, copies: int = 10) -> None:
+    """10× each fact table with non-colliding keys; dims copied verbatim."""
+    os.makedirs(out, exist_ok=True)
+    cp = spark.range(copies).select(F.col("id").cast("int").alias("copy_i"))
+
+    def strided(name: str, key_strides: dict[str, int], extra=None) -> None:
+        df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+        wide = df.crossJoin(F.broadcast(cp))
+        cols = []
+        for c in df.columns:
+            if c in key_strides:
+                cols.append(_shift(c, key_strides[c]))
+            elif extra and c in extra:
+                cols.append(extra[c].alias(c))
+            else:
+                cols.append(F.col(c))
+        wide.select(*cols).write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    # strides: comfortably above each key's sf0.1 max so copies never collide
+    strided("lineitem", {"l_orderkey": 10_000_000})
+    strided("orders", {"o_orderkey": 10_000_000, "o_custkey": 1_000_000})
+    strided("customer", {"c_custkey": 1_000_000})
+    strided("events", {"event_id": 100_000_000, "user_id": 10_000_000})
+    strided(
+        "documents",
+        # NOT 10_000_000: dedup's corpus_with_dups re-inserts doc_id + 1e7,
+        # which would collide copy k+1 with the dup-reinsertion of copy k
+        {"doc_id": 1_000_000_000},
+        extra={
+            # copy 0 keeps the original text; later copies become near-dups
+            "text": F.when(F.col("copy_i") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" probe"), F.col("copy_i"))
+            ),
+            "n_chars": F.col("n_chars")
+            + F.when(F.col("copy_i") == 0, F.lit(0)).otherwise(
+                F.lit(7) + F.length(F.col("copy_i").cast("string")) - 1
+            ),
+        },
+    )
+    strided(
+        "embeddings",
+        {"vec_id": 10_000_000},
+        extra={
+            "embedding": F.transform(
+                F.col("embedding"),
+                lambda x: (x + F.col("copy_i").cast("float") * F.lit(0.0003)).cast("float"),
+            )
+        },
+    )
+    for dim in ("nation", "region", "supplier", "part"):
+        shutil.copy(os.path.join(src, f"{dim}.parquet"), os.path.join(out, f"{dim}.parquet"))
+
+
+def _plan_text(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def probe(spark: SparkSession, names: list[str]) -> None:
+    from etl_pipeline_telecom_spark import catalog
+
+    qs = catalog.queries()
+    # warm python workers once (mapInPandas spin-up is ~1-2s for 32 workers)
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  joins@sf1 (flags)")
+    for name in names:
+        fn = qs[name]
+        timings = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", OUT)):
+            fn(spark, sf_dir).count()  # cold
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[label] = time.perf_counter() - t0
+        plan = _plan_text(fn(spark, OUT))
+        joins = sorted({n for n in _JOIN_NODES if n in plan})
+        bad = [n for n in _BAD_PLAN_NODES if n in plan]
+        ratio = timings["sf1"] / max(timings["sf0.1"], 1e-9)
+        print(
+            f"{name:28s} {timings['sf0.1']:8.2f} {timings['sf1']:8.2f} {ratio:6.1f}x  "
+            + ",".join(joins)
+            + ("  ⚠ " + ",".join(bad) if bad else "")
+        )
+
+
+def main() -> int:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from etl_pipeline_telecom_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+    names = [n for n in PROBES if not args or any(f in n for f in args)]
+    spark = get_spark("scale-probe")
+    if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
+        print(f"synthesizing {copies}× {SRC} → {OUT}")
+        t0 = time.perf_counter()
+        synthesize(spark, copies=copies)
+        print(f"synthesized in {time.perf_counter() - t0:.1f}s")
+    probe(spark, names)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,6 +80,54 @@ def test_stateful_sessionize_multibatch(spark, sf_dir, tmp_path):
     assert emitted <= batch, f"stateful sessions diverge from batch: {sorted(emitted - batch)[:3]}"
 
 
+import importlib.util
+
+try:
+    # find_spec raises ModuleNotFoundError if the parent 'google' pkg is absent
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAS_PROTOBUF = False
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="pyspark's transformWithStateInPandas state server needs protobuf "
+    "(not installed in this container); sessionize_with_tws raises a clear "
+    "RuntimeError instead — covered by test_tws_requires_protobuf",
+)
+def test_tws_sessionize_parity_with_legacy(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas port emits the same closed sessions as
+    the applyInPandasWithState path on the same multi-batch replay, and
+    both stay a subset of the batch session_window ground truth."""
+    from etl_pipeline_telecom_spark.streaming import sessionize_with_tws
+
+    _split_events(str(tmp_path), n_files=4)
+    legacy_out, _ = run_available_now(
+        sessionize_with_state(read_events_stream(spark, str(tmp_path), max_files_per_trigger=1))
+    )
+    tws_out, _ = run_available_now(
+        sessionize_with_tws(read_events_stream(spark, str(tmp_path), max_files_per_trigger=1))
+    )
+    legacy, tws = _rows(legacy_out), _rows(tws_out)
+    assert tws, "TWS sessionizer emitted nothing"
+    assert tws == legacy, (
+        f"paths diverge: only-legacy={sorted(legacy - tws)[:3]} only-tws={sorted(tws - legacy)[:3]}"
+    )
+    batch = _rows(e3_session_window(spark, sf_dir))
+    assert tws <= batch
+
+
+@pytest.mark.skipif(_HAS_PROTOBUF, reason="with protobuf present the parity test runs instead")
+def test_tws_requires_protobuf(spark, sf_dir):
+    """Without protobuf the TWS path must fail fast with a clear message,
+    not crash the streaming python worker mid-query."""
+    from etl_pipeline_telecom_spark.streaming import read_events_stream, sessionize_with_tws
+
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        sessionize_with_tws(stream)
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     # every file written twice → exact duplicates within the watermark window
     _split_events(str(tmp_path), n_files=2, copies=2)
