@@ -38,6 +38,7 @@ HEADLINE = [
     "e3_session_window",
     "st1_stream_tumbling",
     "dq1_lineitem_checks",
+    "d10_contamination_check",
 ]
 
 

@@ -123,9 +123,11 @@ DRIVER_WINDOW = (
     "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
     # round-1 hash-fails, oracle typing fixed this round
     "a8_pivot_rate", "a11_null_counts",
+    # new round-2 queries (need their first driver verdict)
+    "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
     # regression canaries: one per round-1-proven family
-    "a4_group_avg", "a13_median", "f6_f8_flags", "j2_revenue_topk", "j6_star_join",
-    "w1_rank_topk_per_group", "s1_union_distinct", "t2_quality_score", "d1_exact_dedup",
+    "a4_group_avg", "a13_median", "j2_revenue_topk",
+    "w1_rank_topk_per_group", "s1_union_distinct", "d1_exact_dedup",
 )
 
 

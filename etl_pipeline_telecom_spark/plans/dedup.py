@@ -426,3 +426,48 @@ def d9_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+
+
+_SQL_DOC_SHINGLE_PLAIN = f"""
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM documents)
+"""
+
+
+@register(
+    "d10_contamination_check",
+    f"""WITH ds AS ({_SQL_DOC_SHINGLE_PLAIN}),
+        ev AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 = 0),
+        tr AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 <> 0)
+        SELECT ev.doc_id AS eval_doc_id,
+               CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+               CAST(COUNT(DISTINCT ev.shingle) AS BIGINT) AS n_shared_shingles
+        FROM ev JOIN tr ON ev.shingle = tr.shingle
+        GROUP BY ev.doc_id""",
+    tags=("dedup", "contamination"),
+    doc="Eval-set decontamination: for each held-out doc (doc_id % 5 == 0), "
+    "count training docs sharing any 3-word shingle and the number of shared "
+    "shingles — the standard benchmark-leakage check before training. Plan: "
+    "one equi-join shuffled on the shingle key (reuses the cached shingle "
+    "sets; originals only — the synthetic dup re-insertions are excluded so "
+    "the result reflects the real corpus). At 100 TB the join key becomes "
+    "the 64-bit shingle hash and the train side gets a bloom-filter "
+    "prefilter, but the shape — shuffle on shingle, aggregate on eval doc — "
+    "is exactly this.",
+)
+def d10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
+    ev = ds.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = ds.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+        )
+    )

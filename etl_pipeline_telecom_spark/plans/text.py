@@ -132,6 +132,79 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t6_repetition_stats",
+    f"""WITH wc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents)
+          GROUP BY doc_id, tok)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS repetition_ratio,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_word_frac
+        FROM wc GROUP BY doc_id""",
+    tags=("text", "quality"),
+    doc="Per-doc repetition signals (Gopher/C4-style quality filters): word "
+    "count, distinct-word count, repeated-word ratio, top-word fraction. "
+    "Two hash aggregations (doc,word)→doc — shuffle keys stay bounded by "
+    "the corpus, no per-doc state beyond the aggregate",
+)
+def t6_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_words = F.sum("cnt")
+    n_distinct = F.count(F.lit(1))
+    return wc.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(1.0 - n_distinct.cast("double") / n_words.cast("double"), 6).alias("repetition_ratio"),
+        F.round(F.max("cnt").cast("double") / n_words.cast("double"), 6).alias("top_word_frac"),
+    )
+
+
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    "t7_doc_chunks",
+    f"""WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        n AS (SELECT doc_id, t,
+                     1 + CAST(CEIL(GREATEST(len(t) - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT) AS n_chunks
+              FROM tok)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               CAST(len(t[(CAST(i AS INT) * {_STRIDE} + 1):(CAST(i AS INT) * {_STRIDE} + {_CHUNK})]) AS BIGINT)
+                   AS n_words,
+               md5(array_to_string(t[(CAST(i AS INT) * {_STRIDE} + 1):(CAST(i AS INT) * {_STRIDE} + {_CHUNK})], ' '))
+                   AS chunk_md5
+        FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u""",
+    tags=("text", "chunking"),
+    doc=f"Overlapping context-window chunking ({_CHUNK}-word chunks, stride "
+    f"{_STRIDE}): the standard LLM-pretraining doc→sample split. Narrow plan "
+    "(tokenize → explode chunk index → slice); every chunk is identified by "
+    "(doc_id, chunk_idx) with an md5 over its words so downstream dedup can "
+    "run at chunk granularity",
+)
+def t7_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n_chunks = 1 + F.ceil(F.greatest(F.size(t) - _CHUNK, F.lit(0)) / float(_STRIDE))
+    exploded = docs.select(
+        "doc_id", t.alias("t"), F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+    chunk = F.slice(F.col("t"), F.col("i") * _STRIDE + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
     "t5_top_words_per_lang",
     f"""SELECT lang, tok, cnt, rn FROM (
           SELECT lang, tok, cnt,

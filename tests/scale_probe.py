@@ -42,6 +42,13 @@ PROBES = [
     "d5_lsh_jaccard_dedup",
     "v5_lsh_bucketed_neardup",
     "v6_gemm_neardup",
+    "v2_knn_partitioned",
+    "m1_media_features",
+    "x1_json_extract",
+    "pipe1_corpus_clean",
+    "t6_repetition_stats",
+    "t7_doc_chunks",
+    "d10_contamination_check",
 ]
 
 _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")

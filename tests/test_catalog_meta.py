@@ -68,6 +68,8 @@ _MUST_BE_IN_WINDOW = {
     "x2_event_type_map", "sm1_hash_sample", "sm2_stratified_sample", "u1_pandas_udf_score",
     "g1_grouped_median", "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
     "a8_pivot_rate", "a11_null_counts",
+    # round-2 additions — first-ever driver verdict needed
+    "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
 }
 
 
