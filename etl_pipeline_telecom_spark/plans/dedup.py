@@ -302,27 +302,31 @@ def d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d5_lsh_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE cached table feeds everything: shingle sets → signatures →
-    # candidates, and the same sets drive the Jaccard verification. Set
-    # sizes are F.size of the array — no aggregation job.
+    # candidates, and the same sets drive the Jaccard verification.
+    #
+    # The verify attaches the shingle ARRAYS to the candidate pairs (two
+    # equi-joins against the |docs|-row cached table) and intersects
+    # per-pair with array_intersect — set sizes are F.size of the array.
+    # The previous shape exploded every (doc, shingle) row and re-joined on
+    # the shingle key: a |docs|·|shingles-per-doc|-row shuffle (~800k rows
+    # at sf0.1) to serve a few hundred candidate pairs. Shuffling array
+    # payloads only for docs that appear in candidates is also the 100 TB
+    # shape — verification cost tracks the candidate count, not the corpus.
     shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
     cand = _candidates_from_sig(_signatures_from_shingled(shing))
-    ds = shing.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = shing.select("doc_id", F.size("sh").alias("n"))
-    sa = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    arr_a = shing.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    arr_b = shing.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    both = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("both_cnt", both)
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("both_cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("both_cnt"))
+    jac = F.col("both_cnt").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("both_cnt")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(jac >= 0.5)
+        pairs.where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -69,3 +69,70 @@ def test_coerce_numeric_matches_to_numeric_coerce(spark, values):
             assert g is None or math.isnan(g)
         else:
             assert g == e
+
+
+_WORDS = st.lists(
+    st.sampled_from("key agg row scan slow fast table value part hash".split()),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(words=_WORDS)
+@settings(max_examples=12, deadline=None)
+def test_doc_chunks_cover_and_reconstruct(spark, words):
+    """t7 semantic property (not just oracle parity): the stride-24 windows
+    cover every word exactly, and stitching chunk[0:stride] prefixes plus
+    the last chunk's tail reconstructs the document."""
+    from etl_pipeline_telecom_spark.plans.text import _CHUNK, _STRIDE, t7_doc_chunks
+
+    text = " ".join(words)
+    # run the same plan against an in-memory single-doc table by monkey-free
+    # construction: reuse the chunk expressions through a temp parquet dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = sorted(
+            (r["chunk_idx"], r["n_words"]) for r in t7_doc_chunks(spark, d).collect()
+        )
+    n = len(words)
+    n_chunks = 1 + max(0, math.ceil((n - _CHUNK) / _STRIDE))
+    assert [i for i, _ in rows] == list(range(n_chunks))
+    # each chunk holds exactly the words its window covers, clamped at EOF,
+    # and the final window reaches the last word (full coverage)
+    for i, nw in rows:
+        assert nw == min(_CHUNK, n - i * _STRIDE)
+    last_idx, last_nw = rows[-1]
+    assert last_idx * _STRIDE + last_nw == n or last_nw == _CHUNK
+    assert last_idx * _STRIDE + last_nw >= n  # coverage of the tail
+
+
+@given(words=_WORDS)
+@settings(max_examples=12, deadline=None)
+def test_repetition_stats_bounds(spark, words):
+    """t6 invariants: n_words == len(tokens), 0 <= repetition_ratio < 1,
+    top_word_frac in (0, 1], and distinct <= total."""
+    from etl_pipeline_telecom_spark.plans.text import t6_repetition_stats
+
+    import os
+    import tempfile
+
+    text = " ".join(words)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        r = t6_repetition_stats(spark, d).collect()[0]
+    assert r["n_words"] == len(words)
+    assert 1 <= r["n_distinct_words"] <= r["n_words"]
+    assert 0.0 <= r["repetition_ratio"] < 1.0
+    assert 0.0 < r["top_word_frac"] <= 1.0
+    assert math.isclose(
+        r["repetition_ratio"], round(1.0 - r["n_distinct_words"] / r["n_words"], 6), abs_tol=1e-9
+    )
