@@ -113,6 +113,56 @@ def synthesize(spark: SparkSession, src: str = SRC, out: str = OUT, copies: int 
         shutil.copy(os.path.join(src, f"{dim}.parquet"), os.path.join(out, f"{dim}.parquet"))
 
 
+SKEW_OUT = OUT + "skew"
+
+
+def synthesize_skew(spark: SparkSession, src: str = OUT, out: str = SKEW_OUT) -> None:
+    """Hot-key variant of the sf1 fixtures: ~30% of events collapse onto one
+    user and ~30% of orders onto one customer (deterministic by id). The
+    interesting failures this surfaces are straggler tasks in per-key
+    stateful ops (e3 sessions) and reducer blowup in joins (j5 vs salted j7).
+    """
+    os.makedirs(out, exist_ok=True)
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(42)).otherwise(F.col("user_id")),
+    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    od = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    od.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(7)).otherwise(F.col("o_custkey")),
+    ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    for t in ("lineitem", "customer", "documents", "embeddings", "nation", "region", "supplier", "part"):
+        src_path = os.path.join(src, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.isdir(src_path):
+            shutil.copytree(src_path, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src_path, dst)
+
+
+def probe_skew(spark: SparkSession, names: list[str]) -> None:
+    """Uniform sf1 vs hot-key sf1: a plan that survives skew shows a ratio
+    near the hot fraction's work increase, not a straggler cliff."""
+    from etl_pipeline_telecom_spark import catalog
+
+    qs = catalog.queries()
+    print(f"{'query':28s} {'sf1':>8s} {'sf1skew':>9s} {'ratio':>7s}")
+    for name in names:
+        fn = qs[name]
+        timings = {}
+        for label, sf_dir in (("sf1", OUT), ("skew", SKEW_OUT)):
+            fn(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[label] = time.perf_counter() - t0
+        print(
+            f"{name:28s} {timings['sf1']:8.2f} {timings['skew']:9.2f} "
+            f"{timings['skew'] / max(timings['sf1'], 1e-9):6.1f}x"
+        )
+
+
 def _plan_text(df: DataFrame) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -160,13 +210,26 @@ def main() -> int:
     for a in sys.argv[1:]:
         if a.startswith("--copies="):
             copies = int(a.split("=", 1)[1])
-    names = [n for n in PROBES if not args or any(f in n for f in args)]
+    if args:
+        # filters select from the FULL catalog, so any query can be probed ad hoc
+        from etl_pipeline_telecom_spark import catalog as _cat
+
+        names = [n for n in _cat.queries() if any(f in n for f in args)]
+    else:
+        names = list(PROBES)
     spark = get_spark("scale-probe")
     if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
         print(f"synthesizing {copies}× {SRC} → {OUT}")
         t0 = time.perf_counter()
         synthesize(spark, copies=copies)
         print(f"synthesized in {time.perf_counter() - t0:.1f}s")
+    if "--skew" in sys.argv:
+        if not os.path.exists(os.path.join(SKEW_OUT, "events.parquet")):
+            print(f"synthesizing hot-key variant → {SKEW_OUT}")
+            synthesize_skew(spark)
+        skew_default = ["e1_tumbling_window", "e3_session_window", "j5_left_join_agg", "j7_salted_join"]
+        probe_skew(spark, names if args else skew_default)
+        return 0
     probe(spark, names)
     return 0
 
