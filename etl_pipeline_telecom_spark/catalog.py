@@ -125,9 +125,10 @@ DRIVER_WINDOW = (
     "a8_pivot_rate", "a11_null_counts",
     # new round-2 queries (need their first driver verdict)
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
+    "d11_incremental_dedup",
     # regression canaries: one per round-1-proven family
     "a4_group_avg", "a13_median", "j2_revenue_topk",
-    "w1_rank_topk_per_group", "s1_union_distinct", "d1_exact_dedup",
+    "s1_union_distinct", "d1_exact_dedup",
 )
 
 

@@ -475,3 +475,77 @@ def d10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+def _sql_new_old_band_pairs() -> str:
+    """Band-collision pairs NEW × OLD (vs _sql_band_pairs' self-pairs)."""
+    unions = [
+        f"""SELECT a.doc_id AS new_doc, b.doc_id AS old_doc
+            FROM sig a JOIN sig b
+              ON a.mh{i} = b.mh{i} AND a.mh{j} = b.mh{j}
+             AND a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3"""
+        for i, j in _BANDS
+    ]
+    return " UNION ".join(unions)
+
+
+@register(
+    "d11_incremental_dedup",
+    f"""WITH sig AS ({_SQL_SIGNATURES}),
+        cand AS (SELECT DISTINCT new_doc, old_doc FROM ({_sql_new_old_band_pairs()})),
+        ds AS ({_SQL_DOC_SHINGLE}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.new_doc, c.old_doc, COUNT(*) AS both_cnt
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.new_doc
+          JOIN ds sb ON sb.doc_id = c.old_doc AND sb.shingle = sa.shingle
+          GROUP BY c.new_doc, c.old_doc),
+        scored AS (
+          SELECT i.new_doc, i.old_doc,
+                 CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) AS j
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.new_doc
+          JOIN sizes nb ON nb.doc_id = i.old_doc
+          WHERE CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) >= 0.5)
+        SELECT new_doc_id, match_doc_id, ROUND(j, 6) AS jaccard FROM (
+          SELECT new_doc AS new_doc_id, old_doc AS match_doc_id, j,
+                 ROW_NUMBER() OVER (PARTITION BY new_doc ORDER BY j DESC, old_doc) AS rn
+          FROM scored)
+        WHERE rn = 1""",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+    doc="Incremental dedup — the production shape for continuous ingestion: "
+    "an arriving batch (doc_id % 7 == 3) is checked against the EXISTING "
+    "corpus only, via a new×old band-bucket join (never new×new or the full "
+    "self-join a batch re-run would pay), then array_intersect Jaccard ≥ 0.5 "
+    "on collisions and best-match-per-new-doc (ties → lowest doc id). At "
+    "100 TB the old side's bucket rows are a persisted LSH index that the "
+    "batch's 4·|batch| bucket rows shuffle-join against.",
+)
+def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    bk = _band_buckets(_signatures_from_shingled(shing))
+    is_new = F.col("doc_id") % 7 == 3
+    new_b = bk.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "k1", "k2")
+    old_b = bk.where(~is_new).select(F.col("doc_id").alias("old_doc"), "band", "k1", "k2")
+    cand = new_b.join(old_b, ["band", "k1", "k2"]).select("new_doc", "old_doc").distinct()
+    arr_n = shing.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
+    arr_o = shing.select(F.col("doc_id").alias("old_doc"), F.col("sh").alias("sh_o"))
+    both = F.size(F.array_intersect("sh_n", "sh_o"))
+    pairs = cand.join(arr_n, "new_doc").join(arr_o, "old_doc").withColumn("both_cnt", both)
+    jac = F.col("both_cnt").cast("double") / (
+        F.size("sh_n") + F.size("sh_o") - F.col("both_cnt")
+    )
+    scored = pairs.withColumn("j", jac).where(F.col("j") >= 0.5)
+    w = Window.partitionBy("new_doc").orderBy(F.desc("j"), "old_doc")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("new_doc").alias("new_doc_id"),
+            F.col("old_doc").alias("match_doc_id"),
+            F.round("j", 6).alias("jaccard"),
+        )
+    )

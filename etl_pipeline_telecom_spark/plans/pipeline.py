@@ -22,11 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import register
+from ..catalog import REGISTRY, register
 from ..functions.text import quality_score
 from ..sources import load_table
 from .dedup import _DUP_OFFSET, d5_lsh_jaccard_dedup
 from .text import _SQL_STOP_LIST, _SQL_TOKENS
+
+# d5's full oracle SQL (registered before this module imports) — d8's oracle
+# clusters exactly the pairs d5 emits, so reuse its text verbatim
+_SQL_D5_PAIRS = REGISTRY["d5_lsh_jaccard_dedup"].sql
 
 # exactly t2_quality_score's oracle expression (plans/text.py) — one source
 # of truth for the quality formula on the SQL side
@@ -38,11 +42,24 @@ _SQL_QUALITY = f"""ROUND(0.4 * LEAST(len({_SQL_TOKENS}) / 50.0, 1.0)
 
 @register(
     "d8_neardup_clusters",
-    None,  # iterative fixpoint — verified by union-find in tests, rows-only here
+    f"""WITH RECURSIVE
+        pairs AS (SELECT doc_a, doc_b FROM ({_SQL_D5_PAIRS})),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+        SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src""",
     tags=("dedup", "clustering", "iterative"),
     doc="Connected components over LSH near-dup pairs via min-label "
     "propagation (join + groupBy-min per round, localCheckpoint between "
-    "rounds); rep = min doc_id of the component",
+    "rounds); rep = min doc_id of the component. The oracle is a recursive "
+    "transitive closure (DuckDB WITH RECURSIVE) over the same d5 pairs — "
+    "sound at oracle scale where closure size is bounded by the small "
+    "clone-cluster components; Spark runs the O(diameter)-round fixpoint "
+    "that scales instead",
 )
 def d8_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")

@@ -29,7 +29,6 @@ def test_rows_only_queries_are_justified():
         "a14_approx_distinct",
         "a15_percentile_approx",
         "a16_freq_items",
-        "d8_neardup_clusters",
         "d9_mllib_minhash",
         "st3_stream_sessionize",
     }, f"new rows-only query needs an explicit justification: {rows_only}"
@@ -70,6 +69,7 @@ _MUST_BE_IN_WINDOW = {
     "a8_pivot_rate", "a11_null_counts",
     # round-2 additions — first-ever driver verdict needed
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
+    "d11_incremental_dedup",
 }
 
 
