@@ -57,7 +57,13 @@ def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "topk"),
     doc="TPC-H Q3-style 3-way join + top-k (deterministic tiebreak on "
     "orderkey). Revenue in integer cents×pct units (2-decimal inputs → "
-    "exact longs, ~2× cheaper than decimal multiply, same exactness)",
+    "exact longs, ~2× cheaper than decimal multiply, same exactness). "
+    "Lineitem revenue is PRE-AGGREGATED per order key BEFORE the join "
+    "(eager aggregation pushdown — sound because orderkey determines the "
+    "group): the fact table crosses its one shuffle as |orders| partial "
+    "sums instead of |lineitem| full rows, and the orders side (already "
+    "segment-filtered via broadcast) then broadcasts into the result — the "
+    "wide fact never shuffles as rows at all",
 )
 def j2_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -66,12 +72,17 @@ def j2_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         100 - F.round(F.col("l_discount") * 100).cast("long")
     )
+    li_rev = lineitem.groupBy("l_orderkey").agg(F.sum(rev_units).alias("units"))
+    building_orders = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_mktsegment")
     return (
-        # customer is filtered to one segment → small → broadcast into orders
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "c_mktsegment")
-        .agg((F.sum(rev_units).cast("double") / 10000).alias("revenue"))
+        # no broadcast hint on the order side: it is a fact SLICE, small here
+        # but not at 100 TB — AQE picks broadcast when it fits, SMJ when not
+        li_rev.join(building_orders, li_rev.l_orderkey == building_orders.o_orderkey)
+        .select(
+            "o_orderkey", "c_mktsegment", (F.col("units").cast("double") / 10000).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
