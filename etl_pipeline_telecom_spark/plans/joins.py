@@ -162,7 +162,10 @@ def j5_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name""",
     tags=("join", "star", "headline"),
-    doc="TPC-H Q5-style 5-table star join, dimensions broadcast",
+    doc="TPC-H Q5-style 5-table star join, dimensions broadcast; lineitem "
+    "revenue pre-aggregated per order key below the join (same eager "
+    "aggregation pushdown as j2 — the wide fact crosses its shuffle as "
+    "partial sums, never as rows)",
 )
 def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -185,11 +188,15 @@ def j6_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         100 - F.round(F.col("l_discount") * 100).cast("long")
     )
+    li_rev = lineitem.groupBy("l_orderkey").agg(F.sum(rev_units).alias("units"))
+    asia_orders = orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "n_name"
+    )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
-        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        # order side is a fact slice: no broadcast hint, AQE decides
+        li_rev.join(asia_orders, li_rev.l_orderkey == asia_orders.o_orderkey)
         .groupBy("n_name")
-        .agg((F.sum(rev_units).cast("double") / 10000).alias("revenue"))
+        .agg((F.sum("units").cast("double") / 10000).alias("revenue"))
     )
 
 
