@@ -125,10 +125,9 @@ DRIVER_WINDOW = (
     "a8_pivot_rate", "a11_null_counts",
     # new round-2 queries (need their first driver verdict)
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
-    "d11_incremental_dedup",
+    "d11_incremental_dedup", "t8_chunk_dedup",
     # regression canaries: one per round-1-proven family
-    "a4_group_avg", "a13_median", "j2_revenue_topk",
-    "s1_union_distinct", "d1_exact_dedup",
+    "a4_group_avg", "a13_median", "j2_revenue_topk", "d1_exact_dedup",
 )
 
 

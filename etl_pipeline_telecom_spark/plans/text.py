@@ -223,3 +223,37 @@ def t5_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tok")
     return counts.select("lang", "tok", "cnt", F.row_number().over(w).alias("rn")).where(F.col("rn") <= 5)
+
+
+@register(
+    "t8_chunk_dedup",
+    f"""WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        n AS (SELECT doc_id, t,
+                     1 + CAST(CEIL(GREATEST(len(t) - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT) AS n_chunks
+              FROM tok),
+        chunks AS (
+          SELECT doc_id,
+                 md5(array_to_string(t[(CAST(i AS INT) * {_STRIDE} + 1):(CAST(i AS INT) * {_STRIDE} + {_CHUNK})], ' '))
+                     AS chunk_md5
+          FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u)
+        SELECT chunk_md5,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS canonical_doc_id
+        FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) > 1""",
+    tags=("text", "chunking", "dedup"),
+    doc="Chunk-granularity exact dedup (C4-style span dedup): hash-groupBy "
+    "over t7's context-window fingerprints, emitting each duplicated chunk "
+    "group with its copy count and min-doc canonical. Composes chunking + "
+    "dedup the way a pre-training pipeline dedups repeated boilerplate "
+    "spans across documents; one hash aggregation on the chunk fingerprint",
+)
+def t8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = t7_doc_chunks(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

@@ -69,7 +69,7 @@ _MUST_BE_IN_WINDOW = {
     "a8_pivot_rate", "a11_null_counts",
     # round-2 additions — first-ever driver verdict needed
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
-    "d11_incremental_dedup",
+    "d11_incremental_dedup", "t8_chunk_dedup",
 }
 
 
