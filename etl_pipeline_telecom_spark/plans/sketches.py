@@ -40,18 +40,60 @@ def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A15_PS = (0.25, 0.5, 0.75)
+# GK sketch at accuracy 10_000 bounds rank error to n/10_000 (0.01% of
+# rows); on this distribution that is orders of magnitude inside a 1%
+# VALUE tolerance (measured ~1e-5 relative at sf0.1), so the bound check
+# below is a stable deterministic output, not a flaky tolerance.
+_A15_REL_TOL = 0.01
+
+_SQL_A15_CENTS = (
+    "SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM lineitem"
+)
+
+
+def _sql_a15() -> str:
+    branches = [
+        f"""SELECT CAST({p} AS DOUBLE) AS p,
+                   quantile_cont(c, {p}) / 100.0 AS exact_value,
+                   TRUE AS approx_ok
+            FROM ({_SQL_A15_CENTS})"""
+        for p in _A15_PS
+    ]
+    return " UNION ALL ".join(branches)
+
+
 @register(
     "a15_percentile_approx",
-    None,  # sketch quantiles are engine-specific → rows-only; bounded in tests
+    _sql_a15(),
     tags=("sketch", "approx"),
-    doc="approx_percentile quantiles of extended price — the no-full-sort "
-    "form of a13_median, the SURVEY §7 scale path for exact median",
+    doc="approx_percentile quartiles of extended price — the no-full-sort "
+    "form of a13_median, the SURVEY §7 scale path for exact median. One "
+    "scalar row per quartile (p, exact_value, approx_ok): exact_value is "
+    "interpolated over integer CENTS so the lerp operands are identical "
+    "doubles in Spark and DuckDB (the a17 trick — bit-exact hash verdict); "
+    "the sketch value itself is engine-specific, so it is verified as a "
+    "deterministic error-bound check (approx within 1% of exact — the GK "
+    "rank guarantee at accuracy 10k leaves ~3 orders of magnitude of "
+    "margin) whose oracle expectation is the literal TRUE. The raw sketch "
+    "error is additionally bounded in tests/test_sketches.py.",
 )
 def a15_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias("approx_quartiles"),
-        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("exact_quartiles"),
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    ps_sql = ", ".join(str(p) for p in _A15_PS)
+    agg = li.select(cents.alias("c")).agg(
+        F.percentile_approx("c", list(_A15_PS), 10_000).alias("ap"),
+        F.expr(f"percentile(c, array({ps_sql}))").alias("ex"),
+    )
+    zipped = agg.select(F.posexplode(F.arrays_zip("ap", "ex")).alias("pos", "z"))
+    p = F.element_at(F.array(*[F.lit(float(x)) for x in _A15_PS]), F.col("pos") + 1)
+    ap = F.col("z.ap").cast("double")
+    ex = F.col("z.ex")
+    return zipped.select(
+        p.alias("p"),
+        (ex / F.lit(100.0)).alias("exact_value"),
+        (F.abs(ap - ex) <= F.lit(_A15_REL_TOL) * ex).alias("approx_ok"),
     )
 
 

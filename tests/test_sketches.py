@@ -20,10 +20,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 
 
 def test_percentile_approx_close_to_exact(spark, sf_dir):
-    row = a15_percentile_approx(spark, sf_dir).collect()[0]
-    for approx, exact in zip(row["approx_quartiles"], row["exact_quartiles"]):
+    rows = a15_percentile_approx(spark, sf_dir).collect()
+    assert sorted(r["p"] for r in rows) == [0.25, 0.5, 0.75]
+    for r in rows:
+        assert r["approx_ok"], f"sketch outside 1% bound at p={r['p']}"
+        assert r["exact_value"] > 0
+
+
+def test_percentile_approx_raw_error_bound(spark, sf_dir):
+    """The raw sketch error (not just the plan's boolean) stays well inside
+    the GK rank guarantee: measured ~1e-4 relative at the test SFs."""
+    from etl_pipeline_telecom_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    row = li.select(cents.alias("c")).agg(
+        F.percentile_approx("c", [0.25, 0.5, 0.75], 10_000).alias("ap"),
+        F.expr("percentile(c, array(0.25, 0.5, 0.75))").alias("ex"),
+    ).collect()[0]
+    for approx, exact in zip(row["ap"], row["ex"]):
         rel_err = abs(approx - exact) / max(abs(exact), 1e-9)
-        assert rel_err < 0.05, f"quantile rel err {rel_err:.4f} ({approx} vs {exact})"
+        assert rel_err < 0.01, f"quantile rel err {rel_err:.6f} ({approx} vs {exact})"
 
 
 def test_freq_items_contains_true_heavy_hitters(spark, sf_dir):
