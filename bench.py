@@ -5,10 +5,15 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 is executed to completion (count() on the result — forces the full plan
 without collecting wide rows to the driver).
 
-"value"/"queries" are WARM timings (second run): they measure the plan, not
-session/state-store/python-worker spin-up, so cross-round regressions are
-attributable to plan changes. "queries_cold" keeps the first-run numbers
-(includes per-query warmup effects) for the ops-facing view.
+"value"/"queries" are WARM timings — the MINIMUM of WARM_RUNS repeat runs
+after the cold pass: they measure the plan, not session/state-store/
+python-worker spin-up, and min-of-k makes one noisy-neighbor spike unable
+to invert the recorded signal (BENCH_r02's single warm sample recorded
+32.4s under load for a ~15s engine). "queries_cold" keeps the first-run
+numbers (includes per-query warmup effects) for the ops-facing view.
+Metric definition history: r1 = single cold-ish run; r2 = single warm run;
+r3+ = min-of-2 warm (name flags it). A warm>cold query is a load-noise
+signature and is reported on stderr, never in the JSON line.
 """
 
 from __future__ import annotations
@@ -62,22 +67,32 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    cold: dict[str, float] = {}
+    WARM_RUNS = 2
+
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
+    cold = {name: timed(name) for name in names}
     warm: dict[str, float] = {}
+    for _ in range(WARM_RUNS):
+        for name in names:
+            t = timed(name)
+            warm[name] = min(warm.get(name, t), t)
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        if warm[name] > cold[name]:
+            print(
+                f"WARN {name}: warm {warm[name]}s > cold {cold[name]}s "
+                "(load-contention signature — rerun on a quiet machine)",
+                file=sys.stderr,
+            )
 
     total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_warm_min2",
                 "value": total,
                 "unit": "sec",
                 "queries": warm,

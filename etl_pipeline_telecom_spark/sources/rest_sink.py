@@ -83,22 +83,35 @@ def write_rest_batched(
     backoff: float = 2.0,
     sleep: Callable[[float], None] = time.sleep,
     on_exhausted: str = "skip",
-) -> None:
+) -> dict[str, int]:
     """Stream every partition into ``batch_size`` POSTs with retry/backoff.
 
     Runs as one Spark action; per-partition state is a ≤``batch_size`` row
     buffer, so memory is O(batch), independent of table size.
     ``on_exhausted``: "skip" drops a batch whose retries are exhausted
     (reference behavior); "raise" fails the job instead.
+
+    Returns ``{"batches_posted": n, "batches_skipped": n, "rows_skipped": n}``
+    aggregated across executors via Spark accumulators — skipped batches are
+    never silent: each one is also logged from the executor (the reference
+    prints "Skipping batch" — load.py:196-198), and callers that cannot
+    tolerate loss should check ``batches_skipped`` or pass
+    ``on_exhausted="raise"``.
     """
+    sc = df.sparkSession.sparkContext
+    acc_posted = sc.accumulator(0)
+    acc_skipped = sc.accumulator(0)
+    acc_rows_skipped = sc.accumulator(0)
 
     def send_partition(rows: Iterator) -> None:
+        import sys
+
         transport = transport_factory()
         buf: list[dict] = []
 
         def flush() -> None:
             if buf:
-                _post_with_retry(
+                posted = _post_with_retry(
                     transport,
                     buf,
                     max_retries=max_retries,
@@ -106,6 +119,16 @@ def write_rest_batched(
                     sleep=sleep,
                     on_exhausted=on_exhausted,
                 )
+                if posted:
+                    acc_posted.add(1)
+                else:
+                    acc_skipped.add(1)
+                    acc_rows_skipped.add(len(buf))
+                    print(
+                        f"Skipping batch of {len(buf)} rows after "
+                        f"{max_retries} retries",
+                        file=sys.stderr,
+                    )
                 buf.clear()
 
         for row in rows:
@@ -115,3 +138,8 @@ def write_rest_batched(
         flush()
 
     df.foreachPartition(send_partition)
+    return {
+        "batches_posted": acc_posted.value,
+        "batches_skipped": acc_skipped.value,
+        "rows_skipped": acc_rows_skipped.value,
+    }

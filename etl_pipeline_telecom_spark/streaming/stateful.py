@@ -194,11 +194,29 @@ def sessionize_with_tws(events: DataFrame, *, watermark: str = "10 minutes") -> 
 
     # TWS runs only on the RocksDB state store; the legacy HDFS-backed
     # provider is still fine for applyInPandasWithState, so flip the
-    # session conf here (runtime-settable, picked up at query start)
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # session conf here (runtime-settable, picked up at query start).
+    # CAUTION: this conf is SESSION-GLOBAL — every streaming query started
+    # after this call inherits RocksDB, and a legacy query restarting from
+    # an HDFS-provider checkpoint would hit a state-store format mismatch.
+    # We therefore refuse to clobber an explicit non-default user setting
+    # instead of silently overriding it (ADVICE r2).
+    _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+    _HDFS_DEFAULT = (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     )
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    current = events.sparkSession.conf.get(_PROVIDER_CONF, _HDFS_DEFAULT)
+    if current not in (_HDFS_DEFAULT, _ROCKSDB):
+        raise RuntimeError(
+            f"sessionize_with_tws needs the RocksDB state store, but "
+            f"{_PROVIDER_CONF} is explicitly set to {current!r}; refusing to "
+            "override a user-chosen provider. Unset it or set it to RocksDB, "
+            "and note the flip applies to ALL later streaming queries in "
+            "this session."
+        )
+    events.sparkSession.conf.set(_PROVIDER_CONF, _ROCKSDB)
     prepared = events.withWatermark("ts", watermark).select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value", "ts"
     )

@@ -88,7 +88,7 @@ def test_rest_sink_batches_and_nan_to_null(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, float("nan") if i % 5 == 0 else float(i)) for i in range(23)], "id int, v double"
     ).repartition(2)
-    write_rest_batched(df, _file_transport_factory(str(tmp_path)), batch_size=10)
+    stats = write_rest_batched(df, _file_transport_factory(str(tmp_path)), batch_size=10)
     batches = []
     for f in glob.glob(str(tmp_path / "batches.*.jsonl")):
         batches += [json.loads(line) for line in open(f)]
@@ -96,6 +96,28 @@ def test_rest_sink_batches_and_nan_to_null(spark, tmp_path):
     assert len(rows) == 23
     assert all(len(b) <= 10 for b in batches)
     assert all(r["v"] is None for r in rows if r["id"] % 5 == 0)  # NaN→NULL (load.py:164)
+    assert stats == {
+        "batches_posted": len(batches),
+        "batches_skipped": 0,
+        "rows_skipped": 0,
+    }
+
+
+def test_rest_sink_skipped_batches_are_counted(spark):
+    """Exhausted retries must never be silent: the returned accumulator
+    counts expose every dropped batch/row (ADVICE r2)."""
+    df = spark.createDataFrame([(i,) for i in range(7)], "id int").coalesce(1)
+
+    def factory():
+        def transport(batch):
+            raise ConnectionError("permanently down")
+
+        return transport
+
+    stats = write_rest_batched(df, factory, batch_size=5, sleep=lambda s: None)
+    assert stats["batches_posted"] == 0
+    assert stats["batches_skipped"] == 2  # 5-row batch + 2-row tail
+    assert stats["rows_skipped"] == 7
 
 
 def test_rest_sink_retries_transient_failures(spark, tmp_path):
