@@ -19,6 +19,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -489,9 +491,9 @@ def _sql_new_old_band_pairs() -> str:
     return " UNION ".join(unions)
 
 
-@register(
-    "d11_incremental_dedup",
-    f"""WITH sig AS ({_SQL_SIGNATURES}),
+# shared by d11 and d12: the persisted index (d12) must be result-neutral,
+# so both are verified against the identical oracle
+_SQL_INCREMENTAL_DEDUP = f"""WITH sig AS ({_SQL_SIGNATURES}),
         cand AS (SELECT DISTINCT new_doc, old_doc FROM ({_sql_new_old_band_pairs()})),
         ds AS ({_SQL_DOC_SHINGLE}),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
@@ -512,7 +514,12 @@ def _sql_new_old_band_pairs() -> str:
           SELECT new_doc AS new_doc_id, old_doc AS match_doc_id, j,
                  ROW_NUMBER() OVER (PARTITION BY new_doc ORDER BY j DESC, old_doc) AS rn
           FROM scored)
-        WHERE rn = 1""",
+        WHERE rn = 1"""
+
+
+@register(
+    "d11_incremental_dedup",
+    _SQL_INCREMENTAL_DEDUP,
     tags=("dedup", "minhash", "lsh", "incremental"),
     doc="Incremental dedup — the production shape for continuous ingestion: "
     "an arriving batch (doc_id % 7 == 3) is checked against the EXISTING "
@@ -523,13 +530,21 @@ def _sql_new_old_band_pairs() -> str:
     "batch's 4·|batch| bucket rows shuffle-join against.",
 )
 def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
     bk = _band_buckets(_signatures_from_shingled(shing))
     is_new = F.col("doc_id") % 7 == 3
     new_b = bk.where(is_new).select(F.col("doc_id").alias("new_doc"), "band", "k1", "k2")
     old_b = bk.where(~is_new).select(F.col("doc_id").alias("old_doc"), "band", "k1", "k2")
+    return _incremental_best_match(shing, new_b, old_b)
+
+
+def _incremental_best_match(
+    shing: DataFrame, new_b: DataFrame, old_b: DataFrame
+) -> DataFrame:
+    """Shared d11/d12 tail: new×old band-bucket candidates → array_intersect
+    Jaccard ≥ 0.5 → best match per new doc (ties → lowest old doc id)."""
+    from pyspark.sql import Window
+
     cand = new_b.join(old_b, ["band", "k1", "k2"]).select("new_doc", "old_doc").distinct()
     arr_n = shing.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
     arr_o = shing.select(F.col("doc_id").alias("old_doc"), F.col("sh").alias("sh_o"))
@@ -547,5 +562,185 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_doc").alias("new_doc_id"),
             F.col("old_doc").alias("match_doc_id"),
             F.round("j", 6).alias("jaccard"),
+        )
+    )
+
+
+_INDEX_BUCKETS = 8  # fixture-sized; at 100 TB this is thousands (128-512 MB files)
+
+
+def persisted_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (overwrite) and read back the OLD corpus's LSH band-bucket
+    index as a parquet table BUCKETED AND SORTED BY (band, k1, k2).
+
+    This is the persisted form of d11's old-side bucket rows: the one-time
+    index build pays the exchange at WRITE time, and every later probe
+    batch sort-merge-joins against it with ZERO shuffle on the index side
+    (asserted in tests/test_plan_shapes.py). At 100 TB the index is the
+    standing dedup state between ingestion batches — rebuilding it per
+    batch (what d11 models) re-scans the whole corpus; probing it (d12)
+    scans only co-located buckets."""
+    import os
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").rsplit("/", 1)[-1])
+    table = f"lsh_band_index_{tag}"
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        table,
+    )
+    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    bk = _band_buckets(_signatures_from_shingled(shing))
+    old_b = bk.where(~(F.col("doc_id") % 7 == 3)).select(
+        F.col("doc_id").alias("old_doc"), "band", "k1", "k2"
+    )
+    from ..sources.bucketing import read_bucketed, write_bucketed
+
+    write_bucketed(
+        old_b, table, path, buckets=_INDEX_BUCKETS, keys=["band", "k1", "k2"]
+    )
+    return read_bucketed(spark, table)
+
+
+@register(
+    "d12_persisted_lsh_probe",
+    _SQL_INCREMENTAL_DEDUP,
+    tags=("dedup", "minhash", "lsh", "incremental", "index"),
+    doc="d11's production form: the arriving batch probes a PERSISTED LSH "
+    "index — the old corpus's band-bucket rows written once as a parquet "
+    "table bucketed+sorted by (band, k1, k2) — instead of recomputing the "
+    "old side's signatures per batch. The index side of the candidate join "
+    "reads co-located buckets with zero Exchange (plan-asserted); only the "
+    "batch's 4·|batch| bucket rows shuffle. Same oracle as d11 — persisting "
+    "the index must be result-neutral.",
+)
+def d12_persisted_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    index = persisted_band_index(spark, sf_dir)
+    new_b = (
+        _band_buckets(_signatures_from_shingled(shing))
+        .where(F.col("doc_id") % 7 == 3)
+        .select(F.col("doc_id").alias("new_doc"), "band", "k1", "k2")
+    )
+    return _incremental_best_match(shing, new_b, index)
+
+
+# bloom sizing: 8M bits (1 MB sketch), 3 probes — FPP ~2% at a million
+# distinct eval shingles; false positives only cost join input rows, never
+# correctness (the equi-join removes them)
+_BLOOM_BITS = 1 << 23
+_BLOOM_WORDS = _BLOOM_BITS >> 6
+_BLOOM_K = 3
+
+
+def _bloom_positions(h):
+    """k bit positions per 64-bit hash (numpy, vectorized): two splitmix-style
+    mixes of the NATIVE xxhash64 value give (h1, h2), probes h1 + i·h2 —
+    standard double hashing, deterministic and engine-independent because the
+    input hash is computed by Spark's own xxhash64."""
+    import numpy as np
+
+    u = h.astype(np.int64).view(np.uint64)
+    h1 = u * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (u * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)  # odd stride
+    mask = np.uint64(_BLOOM_BITS - 1)
+    return [(h1 + np.uint64(i) * h2) & mask for i in range(_BLOOM_K)]
+
+
+def _build_bloom(df_hashes) -> bytes:
+    """Distributed bloom build: per-partition numpy bitset → nonzero
+    (word_idx, word) rows → ``bit_or`` reduce → 1 MB of words to the driver.
+    No data rows are collected (only the fixed-size sketch), and the build
+    needs no distinct(): OR-ing bits is idempotent. This is the map-side-
+    mergeable shape ``bloom_filter_agg`` implements in Scala — that
+    aggregate isn't registered in PySpark 4.1's function registry, so the
+    merge runs as a plain bit_or hash aggregate instead."""
+    import numpy as np
+
+    def bitset_words(pdfs):
+        import pandas as pd
+
+        words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+        for pdf in pdfs:
+            h = pdf["h"].to_numpy()
+            for pos in _bloom_positions(h):
+                np.bitwise_or.at(
+                    words, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        nz = np.nonzero(words)[0]
+        yield pd.DataFrame({"widx": nz.astype(np.int64), "word": words[nz].view(np.int64)})
+
+    merged = (
+        df_hashes.mapInPandas(bitset_words, schema="widx long, word long")
+        .groupBy("widx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    )
+    words = np.zeros(_BLOOM_WORDS, dtype=np.int64)
+    for r in merged:
+        words[r["widx"]] = r["word"]
+    return words.view(np.uint64).tobytes()
+
+
+@register(
+    "d13_contamination_bloom",
+    f"""WITH ds AS ({_SQL_DOC_SHINGLE_PLAIN}),
+        ev AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 = 0),
+        tr AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 <> 0)
+        SELECT ev.doc_id AS eval_doc_id,
+               CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+               CAST(COUNT(DISTINCT ev.shingle) AS BIGINT) AS n_shared_shingles
+        FROM ev JOIN tr ON ev.shingle = tr.shingle
+        GROUP BY ev.doc_id""",
+    tags=("dedup", "contamination", "bloom"),
+    doc="d10's 100 TB form: a bloom filter built over the EVAL side's "
+    "shingle hashes prefilters the TRAIN side BEFORE the shuffle, so the "
+    "join exchanges only train shingles that might hit the eval set instead "
+    "of the whole training corpus. The build is distributed (per-partition "
+    "bitsets bit_or-merged as a hash aggregate — only the fixed 1 MB sketch "
+    "reaches the driver) and ships to executors as a broadcast, the same "
+    "step Spark's runtime row-level bloom join performs; the membership "
+    "test is an Arrow-vectorized pandas UDF over Spark's native xxhash64 "
+    "because bloom_filter_agg/might_contain aren't in PySpark 4.1's SQL "
+    "registry. Result-neutral by construction (bloom has no false "
+    "negatives; the equi-join drops false positives), hence the oracle is "
+    "exactly d10's SQL. Train-side shrink is probed at sf1 (NOTES_r3.md).",
+)
+def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
+    ev = ds.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = ds.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    bloom = _build_bloom(ev.select(F.xxhash64("shingle").alias("h")))
+    bloom_bc = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        words = np.frombuffer(bloom_bc.value, dtype=np.uint64)
+        hv = h.to_numpy()
+        ok = np.ones(len(hv), dtype=bool)
+        for pos in _bloom_positions(hv):
+            bit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+            ok &= bit.astype(bool)
+        return pd.Series(ok)
+
+    tr_pruned = (
+        tr.withColumn("h", F.xxhash64("shingle"))
+        .where(might_contain("h"))
+        .drop("h")
+    )
+    return (
+        ev.join(tr_pruned, "shingle")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+            F.count_distinct("shingle").alias("n_shared_shingles"),
         )
     )

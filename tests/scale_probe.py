@@ -170,7 +170,12 @@ def _plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def probe(spark: SparkSession, names: list[str]) -> None:
+# BNLJ appearances that are bounded literal broadcasts by design (see
+# tests/test_plan_shapes.py::_BNLJ_ALLOWED — the pytest twin of this check)
+_BNLJ_ALLOWED = {"d6_simhash", "e5_band_range_join", "v1_knn_brute"}
+
+
+def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
     from etl_pipeline_telecom_spark import catalog
 
     qs = catalog.queries()
@@ -179,6 +184,7 @@ def probe(spark: SparkSession, names: list[str]) -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    violations = 0
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  joins@sf1 (flags)")
     for name in names:
         fn = qs[name]
@@ -190,13 +196,20 @@ def probe(spark: SparkSession, names: list[str]) -> None:
             timings[label] = time.perf_counter() - t0
         plan = _plan_text(fn(spark, OUT))
         joins = sorted({n for n in _JOIN_NODES if n in plan})
-        bad = [n for n in _BAD_PLAN_NODES if n in plan]
+        bad = [
+            n for n in _BAD_PLAN_NODES
+            if n in plan and not (n == "BroadcastNestedLoopJoin" and name in _BNLJ_ALLOWED)
+        ]
+        violations += len(bad)
         ratio = timings["sf1"] / max(timings["sf0.1"], 1e-9)
         print(
             f"{name:28s} {timings['sf0.1']:8.2f} {timings['sf1']:8.2f} {ratio:6.1f}x  "
             + ",".join(joins)
             + ("  ⚠ " + ",".join(bad) if bad else "")
         )
+    if strict and violations:
+        print(f"STRICT: {violations} disallowed nested-loop/cartesian plan(s)")
+    return violations if strict else 0
 
 
 def main() -> int:
@@ -230,8 +243,9 @@ def main() -> int:
         skew_default = ["e1_tumbling_window", "e3_session_window", "j5_left_join_agg", "j7_salted_join"]
         probe_skew(spark, names if args else skew_default)
         return 0
-    probe(spark, names)
-    return 0
+    # --strict: disallowed BNLJ/cartesian plans become a nonzero exit code
+    # (the CI-able form of the ⚠ flags; allowlist matches test_plan_shapes)
+    return 1 if probe(spark, names, strict="--strict" in sys.argv) else 0
 
 
 if __name__ == "__main__":

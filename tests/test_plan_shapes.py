@@ -72,3 +72,90 @@ def test_group_avg_single_shuffle(spark, sf_dir):
     # "Exchange (n)" matches the plan-tree line only, not the "(n) Exchange"
     # detail block that formatted mode repeats per node
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_persisted_lsh_index_side_has_no_shuffle(spark, sf_dir):
+    """d12's contract: the probe batch's candidate join against the
+    persisted band-bucket index shuffles ONLY the batch side — the index
+    is read as co-located buckets (Bucketed: true, zero hash Exchange,
+    zero per-task sort thanks to sortBy at write time)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans import dedup
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        index = dedup.persisted_band_index(spark, sf_dir)
+        shing = dedup.corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+        new_b = (
+            dedup._band_buckets(dedup._signatures_from_shingled(shing))
+            .where(F.col("doc_id") % 7 == 3)
+            .select(F.col("doc_id").alias("new_doc"), "band", "k1", "k2")
+        )
+        join = new_b.join(index, ["band", "k1", "k2"]).select("new_doc", "old_doc")
+        plan = join._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, "index scan lost its bucket spec"
+        n_hash_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_hash_exchanges == 1, f"expected probe-side-only shuffle, saw {n_hash_exchanges}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+# --- hard guards over the headline/scale set (VERDICT r2 item 4) ---------
+#
+# The sf1 probe (tests/scale_probe.py) warns on these; a future plan edit
+# must not be able to flip them silently, so they are pytest failures here.
+# BNLJ allowlist: d6 broadcasts a literal 16-row bit table, e5 a literal
+# 3-row band table — bounded by construction. Anything else nested-loop or
+# cartesian is a defect.
+_BNLJ_ALLOWED = {
+    "d6_simhash",        # literal 16-row bit table
+    "e5_band_range_join",  # literal 3-row band table
+    "v1_knn_brute",      # Q=10 query vectors, bounded by construction
+}
+_GUARDED = [
+    "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
+    "j6_star_join", "j7_salted_join", "w1_rank_topk_per_group",
+    "s1_union_distinct", "t2_quality_score", "t7_doc_chunks",
+    "d1_exact_dedup", "d5_lsh_jaccard_dedup", "d6_simhash",
+    "d10_contamination_check", "d11_incremental_dedup",
+    "v1_knn_brute", "v2_knn_partitioned", "v4_embedding_neardup",
+    "v5_lsh_bucketed_neardup", "e1_tumbling_window", "e3_session_window",
+    "e4_asof_join", "e5_band_range_join", "m1_media_features",
+    "dq1_lineitem_checks", "pipe1_corpus_clean", "sm1_hash_sample",
+]
+
+
+@pytest.mark.parametrize("name", _GUARDED)
+def test_no_unexpected_nested_loop_join(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product appeared"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BNLJ appeared — only d6/e5 broadcast bounded literal tables"
+        )
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk(ch.apply(i))
+
+
+@pytest.mark.parametrize("name", ["j1_broadcast_join", "j2_revenue_topk", "j6_star_join", "j7_salted_join"])
+def test_fact_slices_never_broadcast_hinted(spark, sf_dir, name):
+    """Dimensions may carry broadcast() hints; lineitem/orders slices are
+    unboundable at 100 TB and must NOT — whether they broadcast is AQE's
+    runtime decision from observed sizes (plans/joins.py:80-82). Catalyst's
+    own static size-based broadcasts at fixture scale are fine; this guard
+    catches the explicit HINT, which would force the broadcast at any SF."""
+    df = SPECS[name].fn(spark, sf_dir)
+    for node in _walk(df._jdf.queryExecution().analyzed()):
+        if "Hint" in node.nodeName():
+            subtree = node.toString()
+            assert "lineitem.parquet" not in subtree and "orders.parquet" not in subtree, (
+                f"{name}: broadcast hint over a fact-table scan:\n{subtree[:500]}"
+            )
