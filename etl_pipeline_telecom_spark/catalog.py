@@ -96,20 +96,23 @@ def _load_all_plans() -> None:
 
 
 # The driver's CORRECTNESS gate verifies only the FIRST 50 entries of
-# ``queries()``. Round 1 proved the parity block (a1..f12, joins, windows,
-# set ops, text, d1–d4) — see CORRECTNESS_r01.json. Round 2 rotates into
-# the window: the 39 queries with no round-1 driver verdict, the two
-# round-1 hash-fails (a8/a11, oracle typing fixed), and one regression
-# canary per already-proven family. Everything past 50 keeps its round-1
-# verdict; this tuple is the explicit, test-asserted window.
+# ``queries()``. Rounds 1+2 put a verdict on the entire catalog
+# (CORRECTNESS_r01 + r02). Round 3 rotates in: the four NEW queries (d12,
+# d13, t9, v7), the queries whose PLAN changed this round (a15 reshape,
+# v4/v6 shared-builder refactor, d11 internals), and j6_star_join, whose
+# round-2 eager-agg rewrite never sat inside a window (ADVICE r2: any
+# query whose plan changed in a round belongs in that round's window).
+# Rotated out to make room: five unchanged round-2-proven entries
+# (d7, e2, x2, r1, a13). Everything else keeps its r1/r2 verdict; this
+# tuple is the explicit, test-asserted window.
 DRIVER_WINDOW = (
     # dedup + similarity flagships
-    "d5_lsh_jaccard_dedup", "d6_simhash", "d7_ngram_jaccard_pairs", "d8_neardup_clusters",
+    "d5_lsh_jaccard_dedup", "d6_simhash", "d8_neardup_clusters",
     "d9_mllib_minhash",
     "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
     "v5_lsh_bucketed_neardup", "v6_gemm_neardup",
     # event-time + streaming
-    "e1_tumbling_window", "e2_sliding_window", "e3_session_window", "e4_asof_join",
+    "e1_tumbling_window", "e3_session_window", "e4_asof_join",
     "e5_band_range_join",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
@@ -117,17 +120,21 @@ DRIVER_WINDOW = (
     "dq1_lineitem_checks", "dq2_orders_checks",
     "a14_approx_distinct", "a15_percentile_approx", "a16_freq_items", "a17_grouped_percentiles",
     "p1_projection_ops",
-    "x1_json_extract", "x2_event_type_map",
+    "x1_json_extract",
     "sm1_hash_sample", "sm2_stratified_sample",
     "u1_pandas_udf_score", "g1_grouped_median",
-    "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
-    # round-1 hash-fails, oracle typing fixed this round
+    "pipe1_corpus_clean", "r2_orders_by_month",
     "a8_pivot_rate", "a11_null_counts",
-    # new round-2 queries (need their first driver verdict)
+    # round-2 queries re-proven as canaries
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
     "d11_incremental_dedup", "t8_chunk_dedup",
+    # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
+    "j6_star_join",
+    # new round-3 queries (need their first driver verdict)
+    "d12_persisted_lsh_probe", "d13_contamination_bloom",
+    "t9_tfidf_topterms", "v7_ivf_probe",
     # regression canaries: one per round-1-proven family
-    "a4_group_avg", "a13_median", "j2_revenue_topk", "d1_exact_dedup",
+    "a4_group_avg", "j2_revenue_topk", "d1_exact_dedup",
 )
 
 

@@ -257,3 +257,54 @@ def t8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "t9_tfidf_topterms",
+    f"""WITH toks AS (
+          SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.token, t.tf, d.df,
+                 CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+          FROM tf t JOIN dfreq d USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, df, ROUND(score, 6) AS score, rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rnk
+          FROM scored)
+        WHERE rnk <= 3""",
+    tags=("text", "tfidf"),
+    doc="TF-IDF keyword extraction: top-3 terms per document by tf·idf with "
+    "the LINEAR idf variant idf = N/df. Chosen over log-idf deliberately: "
+    "ln() is not an IEEE correctly-rounded operation, so Spark (JVM libm) "
+    "and DuckDB (C libm) can disagree in the last ulp and flip ranks — "
+    "tf·N/df uses only exact integer products and one correctly-rounded "
+    "double division, making ranks and the rounded score bit-deterministic "
+    "cross-engine (ranking is monotone-equivalent to any idf that is "
+    "decreasing in df, ties broken by token). Plan: two hash aggs (tf, df) "
+    "+ a broadcast token-frequency join + one per-doc window — the doc-side "
+    "shuffle is the only fact-sized exchange",
+)
+def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("k", F.lit(1))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n_docs), "k")
+        .select(
+            "doc_id", "token", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", F.round("score", 6).alias("score"), "rnk")
+    )

@@ -25,9 +25,10 @@ def test_rows_only_queries_are_justified():
     # every sql=None query must say why in its doc/source: iterative,
     # engine-specific, or watermark-dependent
     rows_only = {n for n, s in SPECS.items() if s.sql is None}
+    # a15 graduated to oracle-backed in r3 (scalar quartile rows + exact
+    # cents interpolation + deterministic sketch bound)
     assert rows_only == {
         "a14_approx_distinct",
-        "a15_percentile_approx",
         "a16_freq_items",
         "d9_mllib_minhash",
         "st3_stream_sessionize",
@@ -52,24 +53,19 @@ def test_query_names_are_stable_identifiers():
         assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
 
 
-# Queries the round-1 driver never checked (CORRECTNESS_r01.json covers only
-# the first 50 registered entries) plus the two round-1 hash-fails whose
-# oracle typing was fixed in round 2 — all MUST sit in the driver's window.
+# Round-3 window rule (ADVICE r2): anything NEW (no verdict yet) or whose
+# PLAN changed this round MUST sit in the driver's 50-entry window; proven
+# unchanged queries may rotate out.
 _MUST_BE_IN_WINDOW = {
-    "d5_lsh_jaccard_dedup", "d6_simhash", "d7_ngram_jaccard_pairs", "d8_neardup_clusters",
-    "d9_mllib_minhash", "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids",
-    "v4_embedding_neardup", "v5_lsh_bucketed_neardup", "v6_gemm_neardup",
-    "e1_tumbling_window", "e2_sliding_window", "e3_session_window", "e4_asof_join",
-    "e5_band_range_join", "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
-    "st4_stream_stream_join", "m1_media_features", "m2_frame_sample", "m3_media_type_stats",
-    "dq1_lineitem_checks", "dq2_orders_checks", "a14_approx_distinct", "a15_percentile_approx",
-    "a16_freq_items", "a17_grouped_percentiles", "p1_projection_ops", "x1_json_extract",
-    "x2_event_type_map", "sm1_hash_sample", "sm2_stratified_sample", "u1_pandas_udf_score",
-    "g1_grouped_median", "pipe1_corpus_clean", "r1_unpivot_measures", "r2_orders_by_month",
-    "a8_pivot_rate", "a11_null_counts",
-    # round-2 additions — first-ever driver verdict needed
-    "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
-    "d11_incremental_dedup", "t8_chunk_dedup",
+    # round-3 additions — first-ever driver verdict needed
+    "d12_persisted_lsh_probe", "d13_contamination_bloom",
+    "t9_tfidf_topterms", "v7_ivf_probe",
+    # plans materially changed in round 3 (a15 reshape, v4/v6 shared
+    # builder, d11 shared-tail refactor)
+    "a15_percentile_approx", "v4_embedding_neardup", "v6_gemm_neardup",
+    "d11_incremental_dedup",
+    # round-2 eager-agg rewrite that never had an in-window verdict
+    "j6_star_join",
 }
 
 
