@@ -172,7 +172,10 @@ def _plan_text(df: DataFrame) -> str:
 
 # BNLJ appearances that are bounded literal broadcasts by design (see
 # tests/test_plan_shapes.py::_BNLJ_ALLOWED — the pytest twin of this check)
-_BNLJ_ALLOWED = {"d6_simhash", "e5_band_range_join", "v1_knn_brute"}
+_BNLJ_ALLOWED = {
+    "d6_simhash", "e5_band_range_join", "v1_knn_brute",
+    "t9_tfidf_topterms", "v7_ivf_probe",
+}
 
 
 def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
@@ -218,11 +221,15 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from etl_pipeline_telecom_spark.session import get_spark
 
+    global OUT
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = 10
     for a in sys.argv[1:]:
         if a.startswith("--copies="):
             copies = int(a.split("=", 1)[1])
+        elif a.startswith("--out="):
+            # e.g. --copies=100 --out=.scratch/sf10 for a 100× probe
+            OUT = os.path.abspath(a.split("=", 1)[1])
     if args:
         # filters select from the FULL catalog, so any query can be probed ad hoc
         from etl_pipeline_telecom_spark import catalog as _cat
@@ -234,7 +241,9 @@ def main() -> int:
     if not os.path.exists(os.path.join(OUT, "embeddings.parquet")):
         print(f"synthesizing {copies}× {SRC} → {OUT}")
         t0 = time.perf_counter()
-        synthesize(spark, copies=copies)
+        # pass out explicitly: the def-time default captured the original
+        # OUT, not a --out override
+        synthesize(spark, out=OUT, copies=copies)
         print(f"synthesized in {time.perf_counter() - t0:.1f}s")
     if "--skew" in sys.argv:
         if not os.path.exists(os.path.join(SKEW_OUT, "events.parquet")):

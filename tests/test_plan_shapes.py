@@ -114,6 +114,8 @@ _BNLJ_ALLOWED = {
     "d6_simhash",        # literal 16-row bit table
     "e5_band_range_join",  # literal 3-row band table
     "v1_knn_brute",      # Q=10 query vectors, bounded by construction
+    "t9_tfidf_topterms",  # 1-row corpus-count broadcast
+    "v7_ivf_probe",      # k-row centroid broadcast (k = IVF parameter)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -121,8 +123,10 @@ _GUARDED = [
     "s1_union_distinct", "t2_quality_score", "t7_doc_chunks",
     "d1_exact_dedup", "d5_lsh_jaccard_dedup", "d6_simhash",
     "d10_contamination_check", "d11_incremental_dedup",
+    "d12_persisted_lsh_probe", "d13_contamination_bloom", "t9_tfidf_topterms",
     "v1_knn_brute", "v2_knn_partitioned", "v4_embedding_neardup",
-    "v5_lsh_bucketed_neardup", "e1_tumbling_window", "e3_session_window",
+    "v5_lsh_bucketed_neardup", "v7_ivf_probe",
+    "e1_tumbling_window", "e3_session_window",
     "e4_asof_join", "e5_band_range_join", "m1_media_features",
     "dq1_lineitem_checks", "pipe1_corpus_clean", "sm1_hash_sample",
 ]
