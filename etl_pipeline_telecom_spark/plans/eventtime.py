@@ -13,10 +13,12 @@ Scale notes (100 TB):
   partitions to merge gaps — skewed users are the risk; AQE skew-join
   handles the shuffle, and a two-level (user_id, day) pre-split would cap
   worst-case session length if a single user dominated.
-- The as-of join is an equi-join on the user key plus a time inequality;
-  expressed as join + ``max_by`` partial aggregation (NOT row_number over
-  the exploded join, which would shuffle the explosion twice). At scale,
-  bucket both sides by user_id to make it a co-located sort-merge join.
+- The as-of join is LINEAR: union the two event streams, one shuffle+sort
+  on the user key, and a running ``max(struct(ts, id))`` window carries the
+  latest error forward to each click. No join, no clicks×errors
+  intermediate — per-user cost is O(events log events) for the sort, never
+  quadratic in a hot user's history (the r3 join+max_by form exploded
+  clicks × all-prior-errors before aggregating).
 - The band join broadcasts the tiny dimension — BroadcastNestedLoopJoin
   with a 3-row build side, never a shuffle of the fact table.
 
@@ -26,7 +28,7 @@ DuckDB ``epoch_us``) — integer-exact cross-engine, no float rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import dec_sum, register
@@ -140,29 +142,47 @@ def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
        WHERE rn = 1""",
     tags=("eventtime", "asof-join"),
     doc="As-of join: for each click, the most recent error by the same user "
-    "at-or-before it. Spark side is equi-join + max_by partial aggregation "
-    "(no window over the exploded join); bucket both sides on user_id at "
-    "scale for a co-located sort-merge join",
+    "at-or-before it. LINEAR plan: union both event kinds, one shuffle+sort "
+    "per user, and a running max(struct(err_us, err_id)) over rows-unbounded-"
+    "preceding carries the latest error to each click — errors sort before "
+    "clicks at equal ts so ties-at-the-click-instant are included, matching "
+    "the oracle's e.t <= c.t. Never materializes the clicks×errors pairs "
+    "(the r3 join+max_by shape was quadratic in a hot user's error history)",
 )
 def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    errors = (
-        ev.where(F.col("event_type") == "error")
+    # kind 0 = error, 1 = click: at equal ts the error sorts first, so the
+    # running max below sees it — the inclusive `<=` of the oracle's join
+    u = (
+        ev.where(F.col("event_type").isin("click", "error"))
         .select(
-            F.col("event_id").alias("err_id"),
-            F.col("user_id").alias("err_user"),
-            F.col("ts").alias("err_ts"),
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "click").cast("int").alias("kind"),
+            F.when(
+                F.col("event_type") == "error",
+                F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")),
+            ).alias("err_s"),
         )
     )
-    j = clicks.join(
-        errors,
-        (clicks.user_id == errors.err_user) & (errors.err_ts <= clicks.ts),
-        "left",
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return j.groupBy("event_id", "user_id").agg(
-        F.max_by("err_id", F.struct("err_ts", "err_id")).alias("last_error_id"),
-        F.max(F.unix_micros("err_ts")).alias("last_error_us"),
+    # max(struct) ignores null click rows; struct ordering (us, id) matches
+    # the oracle's ORDER BY e.t DESC, e.event_id DESC tie-break
+    last = F.max("err_s").over(w)
+    return (
+        u.withColumn("last", last)
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last.id").alias("last_error_id"),
+            F.col("last.us").alias("last_error_us"),
+        )
     )
 
 

@@ -74,6 +74,19 @@ def test_group_avg_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange (") == 1, plan
 
 
+def test_asof_join_is_linear_union_window(spark, sf_dir):
+    """e4's contract (VERDICT r3 item 2): the as-of join is a union +
+    running-max window — ONE hash exchange on user_id, a Window node, and
+    no join at all. The r3 join+max_by shape exploded clicks × all-prior-
+    errors per user (quadratic on a hot user); this guard keeps it out."""
+    plan = _plan(spark, sf_dir, "e4_asof_join")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"e4: join reappeared in the as-of plan: {bad}"
+    assert "Window" in plan, "e4: running-max window node missing"
+    assert plan.count("Exchange (") == 1, f"e4: expected the single user_id shuffle:\n{plan}"
+
+
 def test_persisted_lsh_index_side_has_no_shuffle(spark, sf_dir):
     """d12's contract: the probe batch's candidate join against the
     persisted band-bucket index shuffles ONLY the batch side — the index
@@ -115,7 +128,11 @@ _BNLJ_ALLOWED = {
     "e5_band_range_join",  # literal 3-row band table
     "v1_knn_brute",      # Q=10 query vectors, bounded by construction
     "t9_tfidf_topterms",  # 1-row corpus-count broadcast
-    "v7_ivf_probe",      # k-row centroid broadcast (k = IVF parameter)
+    "v7_ivf_probe",      # centroid broadcast: k = distinct coarse-cluster
+                         # ids (the IVF partition contract assumes k stays
+                         # k·d floats — small — NOT a fixed literal; a
+                         # data-derived k growing past broadcast size would
+                         # need explicit k-means with fixed k)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
