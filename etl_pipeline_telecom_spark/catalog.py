@@ -97,14 +97,18 @@ def _load_all_plans() -> None:
 
 # The driver's CORRECTNESS gate verifies only the FIRST 50 entries of
 # ``queries()``. Rounds 1+2 put a verdict on the entire catalog
-# (CORRECTNESS_r01 + r02). Round 3 rotates in: the four NEW queries (d12,
-# d13, t9, v7), the queries whose PLAN changed this round (a15 reshape,
-# v4/v6 shared-builder refactor, d11 internals), and j6_star_join, whose
-# round-2 eager-agg rewrite never sat inside a window (ADVICE r2: any
-# query whose plan changed in a round belongs in that round's window).
-# Rotated out to make room: five unchanged round-2-proven entries
-# (d7, e2, x2, r1, a13). Everything else keeps its r1/r2 verdict; this
-# tuple is the explicit, test-asserted window.
+# (CORRECTNESS_r01 + r02); round 3 re-proved its new/changed entries plus
+# canaries (CORRECTNESS_r03 — zero red rows). Round 4 keeps the window
+# rule (anything NEW or with a CHANGED plan sits in that round's window)
+# with these rotations: IN — d12_index_build (new; the build/probe split),
+# e4_asof_join (plan rewritten to the linear union+window form),
+# t9_tfidf_topterms (vocab-side broadcast hint dropped per ADVICE r3),
+# v1_knn_brute (bounded-query guard added to the plan), and
+# d12_persisted_lsh_probe (now probe-only when the index exists). All
+# were already in the r3 window except the new build entry, which
+# displaces p1_projection_ops (r3-proven, unchanged). Everything else
+# keeps its r1-r3 verdict; this tuple is the explicit, test-asserted
+# window.
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "d6_simhash", "d8_neardup_clusters",
@@ -119,7 +123,6 @@ DRIVER_WINDOW = (
     "m1_media_features", "m2_frame_sample", "m3_media_type_stats",
     "dq1_lineitem_checks", "dq2_orders_checks",
     "a14_approx_distinct", "a15_percentile_approx", "a16_freq_items", "a17_grouped_percentiles",
-    "p1_projection_ops",
     "x1_json_extract",
     "sm1_hash_sample", "sm2_stratified_sample",
     "u1_pandas_udf_score", "g1_grouped_median",
@@ -130,8 +133,9 @@ DRIVER_WINDOW = (
     "d11_incremental_dedup", "t8_chunk_dedup",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
     "j6_star_join",
-    # new round-3 queries (need their first driver verdict)
-    "d12_persisted_lsh_probe", "d13_contamination_bloom",
+    # round-3 queries + the round-4 build/probe split (build MUST precede
+    # the probe in driver order so the probe measures a warm index)
+    "d12_index_build", "d12_persisted_lsh_probe", "d13_contamination_bloom",
     "t9_tfidf_topterms", "v7_ivf_probe",
     # regression canaries: one per round-1-proven family
     "a4_group_avg", "j2_revenue_topk", "d1_exact_dedup",

@@ -379,10 +379,16 @@ def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) >= 0.3""",
     tags=("dedup", "ngram"),
     doc="Direct n-gram Jaccard pairs (shingle join, no LSH prefilter) — the "
-    "exhaustive baseline LSH is compared against",
+    "exhaustive baseline LSH is compared against. NEVER production: the "
+    "builder refuses corpora past 20k docs (the guard job touches at most "
+    "20k+1 rows) so it cannot be pointed at full-scale data; d5/d12 are "
+    "the scale paths",
 )
 def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
     shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    assert_bounded_input(shing.select("doc_id"), 20_000, "d7_ngram_jaccard_pairs corpus")
     ds = shing.select("doc_id", F.explode("sh").alias("shingle"))
     sizes = shing.select("doc_id", F.size("sh").alias("n"))
     a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -569,9 +575,20 @@ def _incremental_best_match(
 _INDEX_BUCKETS = 8  # fixture-sized; at 100 TB this is thousands (128-512 MB files)
 
 
-def persisted_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build (overwrite) and read back the OLD corpus's LSH band-bucket
-    index as a parquet table BUCKETED AND SORTED BY (band, k1, k2).
+def _old_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLD corpus's (old_doc, band, k1, k2) bucket rows — d11's old side."""
+    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
+    bk = _band_buckets(_signatures_from_shingled(shing))
+    return bk.where(~(F.col("doc_id") % 7 == 3)).select(
+        F.col("doc_id").alias("old_doc"), "band", "k1", "k2"
+    )
+
+
+def persisted_band_index(
+    spark: SparkSession, sf_dir: str, *, rebuild: bool = False
+) -> DataFrame:
+    """Read (building once if absent) the OLD corpus's LSH band-bucket
+    index: a parquet table BUCKETED AND SORTED BY (band, k1, k2).
 
     This is the persisted form of d11's old-side bucket rows: the one-time
     index build pays the exchange at WRITE time, and every later probe
@@ -579,44 +596,89 @@ def persisted_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plan_shapes.py). At 100 TB the index is the
     standing dedup state between ingestion batches — rebuilding it per
     batch (what d11 models) re-scans the whole corpus; probing it (d12)
-    scans only co-located buckets."""
+    scans only co-located buckets.
+
+    Keying: table name and path carry a hash of the ABSOLUTE sf_dir, so
+    two fixture dirs sharing a basename can never collide on one index
+    (ADVICE r3). The build is skipped when the index already exists
+    (``rebuild=True`` forces it — the d12_index_build catalog entry);
+    if the parquet files exist but the session catalog does not know the
+    table (a fresh session), the bucket spec is re-registered with DDL
+    instead of rewriting the data — probes measure the probe, never a
+    rebuild. Staleness contract: the index is a snapshot of ``sf_dir`` at
+    build time; callers mutating the corpus must pass ``rebuild=True``."""
+    import hashlib
     import os
 
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").rsplit("/", 1)[-1])
-    table = f"lsh_band_index_{tag}"
+    abs_dir = os.path.abspath(sf_dir)
+    base = "".join(c if c.isalnum() else "_" for c in abs_dir.rstrip("/").rsplit("/", 1)[-1])
+    table = f"lsh_band_index_{base}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:8]}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
         table,
     )
-    shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
-    bk = _band_buckets(_signatures_from_shingled(shing))
-    old_b = bk.where(~(F.col("doc_id") % 7 == 3)).select(
-        F.col("doc_id").alias("old_doc"), "band", "k1", "k2"
-    )
     from ..sources.bucketing import read_bucketed, write_bucketed
 
+    have_table = spark.catalog.tableExists(table)
+    have_files = os.path.isdir(path) and any(
+        f.startswith("part-") for f in os.listdir(path)
+    )
+    if not rebuild and have_table and have_files:
+        return read_bucketed(spark, table)
+    if not rebuild and have_files and not have_table:
+        # files from a previous session: re-attach the bucket spec, no rewrite
+        old_b = _old_band_rows(spark, sf_dir)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in old_b.schema.fields)
+        keys = "band, k1, k2"
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {_INDEX_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return read_bucketed(spark, table)
+    if have_table:
+        # stale/forced: drop so saveAsTable can overwrite the external table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     write_bucketed(
-        old_b, table, path, buckets=_INDEX_BUCKETS, keys=["band", "k1", "k2"]
+        _old_band_rows(spark, sf_dir), table, path,
+        buckets=_INDEX_BUCKETS, keys=["band", "k1", "k2"],
     )
     return read_bucketed(spark, table)
 
 
 @register(
+    "d12_index_build",
+    None,  # build step: rows-only (the probe carries the oracle — the
+    # index contents are an internal representation, not a query result)
+    tags=("dedup", "minhash", "lsh", "index"),
+    doc="The one-time LSH index BUILD d12 probes against: the old corpus's "
+    "band-bucket rows written as a parquet table bucketed+sorted by "
+    "(band, k1, k2), keyed by a hash of the absolute fixture dir. Split "
+    "from the probe (VERDICT r3) so benchmarks of d12 measure the "
+    "shuffle-free probe, not a rebuild-per-run; this entry always rebuilds",
+)
+def d12_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return persisted_band_index(spark, sf_dir, rebuild=True)
+
+
+@register(
     "d12_persisted_lsh_probe",
     _SQL_INCREMENTAL_DEDUP,
-    tags=("dedup", "minhash", "lsh", "incremental", "index"),
+    tags=("dedup", "minhash", "lsh", "incremental", "index", "headline"),
     doc="d11's production form: the arriving batch probes a PERSISTED LSH "
     "index — the old corpus's band-bucket rows written once as a parquet "
     "table bucketed+sorted by (band, k1, k2) — instead of recomputing the "
     "old side's signatures per batch. The index side of the candidate join "
     "reads co-located buckets with zero Exchange (plan-asserted); only the "
     "batch's 4·|batch| bucket rows shuffle. Same oracle as d11 — persisting "
-    "the index must be result-neutral.",
+    "the index must be result-neutral. Reuses an existing index (built by "
+    "d12_index_build or a prior run) so the measured cost is the probe; "
+    "builds it once if absent.",
 )
 def d12_persisted_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shing = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0)
-    index = persisted_band_index(spark, sf_dir)
+    index = persisted_band_index(spark, sf_dir)  # rebuild=False: probe-only when index exists
     new_b = (
         _band_buckets(_signatures_from_shingled(shing))
         .where(F.col("doc_id") % 7 == 3)
@@ -694,7 +756,7 @@ def _build_bloom(df_hashes) -> bytes:
                CAST(COUNT(DISTINCT ev.shingle) AS BIGINT) AS n_shared_shingles
         FROM ev JOIN tr ON ev.shingle = tr.shingle
         GROUP BY ev.doc_id""",
-    tags=("dedup", "contamination", "bloom"),
+    tags=("dedup", "contamination", "bloom", "headline"),
     doc="d10's 100 TB form: a bloom filter built over the EVAL side's "
     "shingle hashes prefilters the TRAIN side BEFORE the shuffle, so the "
     "join exchanges only train shingles that might hit the eval set instead "
@@ -706,7 +768,12 @@ def _build_bloom(df_hashes) -> bytes:
     "because bloom_filter_agg/might_contain aren't in PySpark 4.1's SQL "
     "registry. Result-neutral by construction (bloom has no false "
     "negatives; the equi-join drops false positives), hence the oracle is "
-    "exactly d10's SQL. Train-side shrink is probed at sf1 (NOTES_r3.md).",
+    "exactly d10's SQL. Train-side shrink is probed at sf1 (NOTES_r3.md). "
+    "STATIC-SNAPSHOT assumption (ADVICE r3): the bloom is built EAGERLY at "
+    "plan-construction time from the eval side as it exists THEN — the "
+    "returned plan captures it as frozen driver state, so plan inspection "
+    "pays one Spark job and re-executing after the eval data changes would "
+    "probe a stale filter; rebuild the DataFrame to refresh the sketch.",
 )
 def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)

@@ -76,13 +76,19 @@ def _cosine(a: Column, b: Column) -> Column:
           WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
         WHERE rn <= 5""",
     tags=("similarity", "knn"),
-    doc="Brute-force cosine top-5 for 10 query vectors against the full corpus",
+    doc="Brute-force cosine top-5 for 10 query vectors against the full "
+    "corpus. O(Q·N·d) by construction — the builder enforces a bounded "
+    "query side (raises past 64 query vectors) so it can never be pointed "
+    "at a full corpus as the query set; v5/v7 are the scale paths",
 )
 def v1_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
     emb = _with_norm(_quantized(spark, sf_dir))
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nrm").alias("qn")
     )
+    assert_bounded_input(queries, 64, "v1_knn_brute query side")
     # cosine computed ONCE per pair into a column; the window sorts and the
     # final projection rounds that column instead of re-deriving the dots
     scored = (
@@ -360,7 +366,7 @@ _SQL_V7_COS = (
                                     ORDER BY {_SQL_V7_COS} DESC, neighbor_id) AS rn
           FROM cand)
         WHERE rn <= 3""",
-    tags=("similarity", "knn", "ivf"),
+    tags=("similarity", "knn", "ivf", "headline"),
     doc="Full IVF search: k-means-style centroids (one deterministic "
     "Lloyd's step: per-label mean, rounded to integer components so every "
     "distance is an exact integer-valued double — bit-deterministic "

@@ -275,7 +275,7 @@ def t8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY score DESC, token) AS rnk
           FROM scored)
         WHERE rnk <= 3""",
-    tags=("text", "tfidf"),
+    tags=("text", "tfidf", "headline"),
     doc="TF-IDF keyword extraction: top-3 terms per document by tf·idf with "
     "the LINEAR idf variant idf = N/df. Chosen over log-idf deliberately: "
     "ln() is not an IEEE correctly-rounded operation, so Spark (JVM libm) "
@@ -284,8 +284,10 @@ def t8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double division, making ranks and the rounded score bit-deterministic "
     "cross-engine (ranking is monotone-equivalent to any idf that is "
     "decreasing in df, ties broken by token). Plan: two hash aggs (tf, df) "
-    "+ a broadcast token-frequency join + one per-doc window — the doc-side "
-    "shuffle is the only fact-sized exchange",
+    "+ the tf⋈df token join + one per-doc window. The token-frequency side "
+    "is VOCABULARY-sized (grows with the corpus), so it carries NO "
+    "broadcast hint — whether it broadcasts is AQE's runtime call from "
+    "observed sizes (ADVICE r3); only the 1-row corpus count is hinted",
 )
 def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -294,7 +296,7 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("k", F.lit(1))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(n_docs), "k")
         .select(

@@ -97,6 +97,13 @@ def write_rest_batched(
     prints "Skipping batch" — load.py:196-198), and callers that cannot
     tolerate loss should check ``batches_skipped`` or pass
     ``on_exhausted="raise"``.
+
+    Delivery semantics: AT-LEAST-ONCE, and the counts are per SUCCESSFUL
+    task attempt. If Spark retries a failed task, POSTs the failed attempt
+    already sent are not rolled back and not counted — ``batches_posted``
+    can therefore UNDERCOUNT actual deliveries (duplicates possible on
+    retry). Treat the stats as a progress signal, not a delivery ledger;
+    exactly-once needs an idempotent endpoint (upsert on a key).
     """
     sc = df.sparkSession.sparkContext
     acc_posted = sc.accumulator(0)

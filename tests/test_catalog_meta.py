@@ -26,12 +26,16 @@ def test_rows_only_queries_are_justified():
     # engine-specific, or watermark-dependent
     rows_only = {n for n, s in SPECS.items() if s.sql is None}
     # a15 graduated to oracle-backed in r3 (scalar quartile rows + exact
-    # cents interpolation + deterministic sketch bound)
+    # cents interpolation + deterministic sketch bound); d12_index_build is
+    # the r4 build step of the build/probe split — the index contents are
+    # internal representation, the probe (d12_persisted_lsh_probe) carries
+    # the d11 oracle that proves the build result-neutral
     assert rows_only == {
         "a14_approx_distinct",
         "a16_freq_items",
         "d9_mllib_minhash",
         "st3_stream_sessionize",
+        "d12_index_build",
     }, f"new rows-only query needs an explicit justification: {rows_only}"
 
 

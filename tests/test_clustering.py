@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from etl_pipeline_telecom_spark.plans.dedup import d5_lsh_jaccard_dedup
 from etl_pipeline_telecom_spark.plans.pipeline import d8_neardup_clusters
 
@@ -73,13 +75,14 @@ def test_bloom_prefilter_is_result_neutral(spark, sf_dir):
     assert a == b
 
 
-def test_ivf_probe_recall_vs_brute(spark, sf_dir):
+def test_ivf_probe_recall_floor_on_uniform_fixture(spark, sf_dir):
     """v7 (nprobe=2 of 10 cells) is approximate by design. The synthetic
     embeddings are near-uniform (no real cluster structure), so IVF recall
     cannot beat chance by much — for uniform data the expected floor is
     nprobe/k = 0.2, and measured recall is 0.23 (sf0.001) / 0.47 (sf0.01).
     The correctness of the plan itself is oracle-verified; this test pins
-    the recall floor and the output contract."""
+    the recall floor and the output contract. Recall where IVF is MEANT to
+    work (clustered data) is measured in test_ivf_probe_recall_vs_brute."""
     from etl_pipeline_telecom_spark.plans.similarity import v1_knn_brute, v7_ivf_probe
 
     exact = {
@@ -93,3 +96,51 @@ def test_ivf_probe_recall_vs_brute(spark, sf_dir):
     assert len(rows) == 30  # top-3 for each of the 10 probe queries
     recall = len(exact & got) / len(exact)
     assert recall >= 0.2, f"IVF nprobe=2 recall {recall:.2f} below uniform-data floor"
+
+
+@pytest.fixture(scope="module")
+def clustered_sf_dir(spark, tmp_path_factory):
+    """A fixture dir whose embeddings HAVE cluster structure: 10 label
+    clusters with well-separated deterministic centers and small isotropic
+    noise — the data regime IVF exists for. Schema matches the driver
+    fixtures (vec_id int64, embedding array<float>, label int32); the 10
+    probe queries (vec_id < 10) land one per cluster."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    k, per, dim = 10, 30, 64
+    centers = rng.uniform(-1.0, 1.0, size=(k, dim))
+    rows = []
+    for vid in range(k * per):
+        lab = vid % k  # queries 0..9 land one per cluster
+        vec = centers[lab] + rng.normal(0.0, 0.03, size=dim)
+        rows.append((vid, vec.astype(np.float32).tolist(), lab))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    out = tmp_path_factory.mktemp("clustered")
+    spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_ivf_probe_recall_vs_brute(spark, clustered_sf_dir):
+    """On label-clustered vectors (the IVF data regime) nprobe=2 must
+    recover ≥ 0.9 of the brute-force top-3 — the near-uniform driver
+    fixture only measures the nprobe/k floor (NOTES_r3.md), so this is
+    the test that exercises the operator where it matters. Brute force
+    (v1) stays the oracle."""
+    from etl_pipeline_telecom_spark.plans.similarity import v1_knn_brute, v7_ivf_probe
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in v1_knn_brute(spark, clustered_sf_dir).collect()
+        if r["rn"] <= 3
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in v7_ivf_probe(spark, clustered_sf_dir).collect()
+    }
+    assert len(exact) == 30  # top-3 for each of the 10 probe queries
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF nprobe=2 recall {recall:.2f} on clustered data"
