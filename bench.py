@@ -12,7 +12,11 @@ to invert the recorded signal (BENCH_r02's single warm sample recorded
 32.4s under load for a ~15s engine). "queries_cold" keeps the first-run
 numbers (includes per-query warmup effects) for the ops-facing view.
 Metric definition history: r1 = single cold-ish run; r2 = single warm run;
-r3+ = min-of-2 warm (name flags it). A warm>cold query is a load-noise
+r3 = min-of-2 warm over 20 queries; r4+ = min-of-2 warm over 24 queries —
+the four r3-new operators (t9, v7, d12 probe, d13) joined the headline set
+per VERDICT r3 item 7, and the metric name carries the query count so the
+totals are never compared across different sets ("value_20q_r3_compat"
+preserves the r3-comparable sum). A warm>cold query is a load-noise
 signature and is reported on stderr, never in the JSON line.
 """
 
@@ -89,12 +93,16 @@ def main() -> None:
             )
 
     total = round(sum(warm.values()), 3)
+    r4_new = {"t9_tfidf_topterms", "v7_ivf_probe", "d12_persisted_lsh_probe", "d13_contamination_bloom"}
+    compat_20q = round(sum(t for n, t in warm.items() if n not in r4_new), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_warm_min2",
+                "metric": f"headline_queries_total_wall_warm_min2_{len(names)}q",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(names),
+                "value_20q_r3_compat": compat_20q,
                 "queries": warm,
                 "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
