@@ -10,7 +10,10 @@ table via PostgREST (``etl_analysis.ipynb cell4:6-10``). Here:
   Catalyst pushes filters and prunes columns into the scan for free.
 - JDBC scan/count (S2/S4) replaces the REST fetch; note the reference's
   PostgREST read silently truncates at 1000 rows (SURVEY.md §4.3.7) — a
-  bug we deliberately do not reproduce.
+  bug we deliberately do not reproduce. In an environment with no JDBC
+  driver jar, the live Postgres path is ``sources.pgcopy`` (a Spark 4
+  Python DataSource over psql COPY — tested against a real local server
+  in ``tests/test_pgcopy_live.py``).
 - ``load_with_fallback`` mirrors the notebook's source-resolution chain
   (S3, ``etl_analysis.ipynb cell6:1-17``): try primary, fall back, else
   raise.

@@ -80,7 +80,8 @@ def write_jdbc(
     ``batchsize=200`` mirrors the reference's batch size
     (``scripts/load.py:95,161``); NaN→NULL and DDL-on-overwrite come free
     from the JDBC writer. Retry/backoff is delegated to the JDBC driver /
-    Spark task retries rather than re-implemented per batch.
+    Spark task retries rather than re-implemented per batch. Jar-less
+    environments: ``sources.pgcopy`` is the live-tested COPY-based sink.
     """
     props = {"batchsize": str(batchsize), **(properties or {})}
     writer = df.write.mode(mode)
