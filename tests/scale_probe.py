@@ -85,17 +85,40 @@ def synthesize(spark: SparkSession, src: str = SRC, out: str = OUT, copies: int 
     strided("events", {"event_id": 100_000_000, "user_id": 10_000_000})
     strided(
         "documents",
-        # NOT 10_000_000: dedup's corpus_with_dups re-inserts doc_id + 1e7,
-        # which would collide copy k+1 with the dup-reinsertion of copy k
-        {"doc_id": 1_000_000_000},
+        # 100_000 keeps every copy's originals BELOW the 1e7 dup-reinsertion
+        # offset (max orig id 4999 → copy 99 tops out at 9,904,999), so the
+        # originals-only views (d10/d13's doc_id < 1e7) see the FULL cloned
+        # corpus and the contamination joins grow with the copy count — the
+        # r3 stride of 1e9 pushed clones past the filter and measured scan
+        # growth only (NOTES_r3.md). Dup reinsertions land at 1e7+100000·k,
+        # disjoint from every copy's originals and from each other.
+        {"doc_id": 100_000},
         extra={
-            # copy 0 keeps the original text; later copies become near-dups
+            # copy 0 keeps the original text; every token in copy k > 0 gets
+            # a per-copy prefix, so copies are DISJOINT in shingle space:
+            # each shingle's document frequency stays what it was at sf0.1
+            # instead of growing with the copy count. (The r3 suffix-only
+            # mutation left copies sharing ~all shingles — with clones now
+            # inside the originals view, the contamination join would have
+            # grown quadratically in copies, a synthesizer artifact. A real
+            # 100× corpus adds documents, not 100 near-copies of each doc.)
+            # Within-copy structure (dup re-insertions, eval/train splits)
+            # is untouched, so dedup/contamination semantics still fire.
             "text": F.when(F.col("copy_i") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" probe"), F.col("copy_i"))
+                F.regexp_replace(
+                    F.col("text"),
+                    r"(\S+)",
+                    F.concat(F.lit("c"), F.col("copy_i").cast("string"), F.lit("$1")),
+                )
             ),
-            "n_chars": F.col("n_chars")
-            + F.when(F.col("copy_i") == 0, F.lit(0)).otherwise(
-                F.lit(7) + F.length(F.col("copy_i").cast("string")) - 1
+            "n_chars": F.length(
+                F.when(F.col("copy_i") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        r"(\S+)",
+                        F.concat(F.lit("c"), F.col("copy_i").cast("string"), F.lit("$1")),
+                    )
+                )
             ),
         },
     )
