@@ -23,6 +23,8 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -228,13 +230,20 @@ def _label_gemm_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
 
 
-# 8 deterministic ±1 hyperplanes: plane i gives dimension d the sign of
-# ((d + 1) * P_i) mod 3 == 0 ? +1 : -1 with prime multipliers P_i coprime
-# to 3 (mod 2 would be constant for odd P_i) — fixed, engine-independent,
-# and literal-expressible in the SQL oracle
+# 8 deterministic ±1 hyperplanes, sign = parity of an md5 byte of
+# "plane{i}:{d}" — fixed, engine-independent, and literal-expressible in
+# the SQL oracle (the lists are baked into the query text verbatim).
+#
+# History: the first design used sign((d+1)·P_i mod 3 == 0) with primes
+# P_i "coprime to 3" — but (d+1)·p ≡ 0 (mod 3) ⇔ d+1 ≡ 0 (mod 3) for
+# EVERY p coprime to 3, so seven of the eight planes were the SAME plane
+# and the eighth (p=3) was all-ones: the corpus collapsed into 4 buckets
+# (54% in one bucket at the 100× probe scale) and the per-bucket gram
+# blew past worker memory. Hash-derived signs are pairwise independent;
+# `tests/test_clustering.py` asserts plane distinctness and bucket spread.
 _HYPERPLANES = [
-    [1 if ((d + 1) * p) % 3 == 0 else -1 for d in range(64)]
-    for p in (3, 5, 7, 11, 13, 17, 19, 23)
+    [1 if hashlib.md5(f"plane{i}:{d}".encode()).digest()[0] & 1 else -1 for d in range(64)]
+    for i in range(8)
 ]
 
 
@@ -283,29 +292,59 @@ def v5_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
 
 
+#: rows per GEMM tile — peak per-task scratch is ~2·BLOCK² doubles
+#: (one gram tile + one norm outer product ≈ 270 MB at 4096) REGARDLESS
+#: of group size, so a skewed bucket degrades to more tiles, never to an
+#: n×n allocation. (Pre-tiling, a 107k-row hot bucket at the 100× probe
+#: meant one 93 GB gram matrix — OOM-killed the python worker.)
+_GEMM_BLOCK = 4096
+
+
 def _gemm_pairs(pdf):
-    """Within one coarse partition: all-pairs cosine via one BLAS matmul.
+    """Within one coarse partition: all-pairs cosine via tiled BLAS matmuls.
 
     Exactness: quantized vectors are integer-valued float64, so V·Vᵀ
     entries are sums of ≤d exact integer products — exact in any
-    accumulation order, including BLAS blocking. Rounding stays OUT of
-    python (numpy rounds half-even, Spark/DuckDB half-up) — the plan
-    applies F.round after.
+    accumulation order, including BLAS blocking AND this outer tiling
+    (every dot is the same exact integer, whichever tile computes it).
+    Rounding stays OUT of python (numpy rounds half-even, Spark/DuckDB
+    half-up) — the plan applies F.round after.
     """
     import numpy as np
     import pandas as pd
 
     v = np.stack(pdf["qv"].to_numpy())          # (n, d) integer-valued float64
     ids = pdf["vec_id"].to_numpy()
-    g = v @ v.T                                  # exact gram matrix
-    nrm = np.sqrt(np.diag(g))
-    cos = g / np.outer(nrm, nrm)
-    iu, ju = np.triu_indices(len(ids), k=1)
-    # enforce vec_a < vec_b regardless of group row order
-    a, b = ids[iu], ids[ju]
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    keep = cos[iu, ju] >= 0.4
-    return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cos_raw": cos[iu, ju][keep]})
+    n = len(ids)
+    nrm = np.sqrt(np.einsum("ij,ij->i", v, v))   # exact dots → same sqrt as SQL
+    out = []
+    for i0 in range(0, n, _GEMM_BLOCK):
+        vi, ni, idi = (x[i0 : i0 + _GEMM_BLOCK] for x in (v, nrm, ids))
+        for j0 in range(i0, n, _GEMM_BLOCK):
+            cos = (vi @ v[j0 : j0 + _GEMM_BLOCK].T) / np.outer(ni, nrm[j0 : j0 + _GEMM_BLOCK])
+            keep = cos >= 0.4
+            if i0 == j0:
+                # strict upper triangle: each unordered pair exactly once
+                keep &= ~np.tri(*cos.shape, k=0, dtype=bool)
+            ii, jj = np.nonzero(keep)
+            if not len(ii):
+                continue
+            # enforce vec_a < vec_b regardless of group row order
+            a, b = idi[ii], ids[j0 + jj]
+            out.append(
+                pd.DataFrame(
+                    {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cos_raw": cos[ii, jj]}
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
 
 
 @register(

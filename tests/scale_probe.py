@@ -122,15 +122,26 @@ def synthesize(spark: SparkSession, src: str = SRC, out: str = OUT, copies: int 
             ),
         },
     )
+    # Copies are the SAME point set in a per-copy rotated basis: a cyclic
+    # dimension roll by copy_i (plus a global sign flip for copies ≥ 64,
+    # since 64 dims give only 64 distinct shifts). Both transforms are
+    # isometries applied uniformly within a copy, so every within-copy
+    # cosine/norm/label structure is EXACTLY sf0.1's — while cross-copy
+    # cosines decorrelate, so near-dup outputs grow ~linearly in copies.
+    # (The r3 variant added a tiny per-copy perturbation instead: every
+    # vector kept 100 near-identical clones, so near-dup pair counts grew
+    # quadratically in copies — a synthesizer artifact, not plan behavior;
+    # a real 100× corpus adds vectors, not 100 near-copies of each.)
+    shift = F.col("copy_i") % 64
+    rolled = F.concat(
+        F.slice(F.col("embedding"), shift + F.lit(1), F.lit(64) - shift),
+        F.slice(F.col("embedding"), F.lit(1), shift),
+    )
+    sign = F.when(F.col("copy_i") < 64, F.lit(1.0)).otherwise(F.lit(-1.0)).cast("float")
     strided(
         "embeddings",
         {"vec_id": 10_000_000},
-        extra={
-            "embedding": F.transform(
-                F.col("embedding"),
-                lambda x: (x + F.col("copy_i").cast("float") * F.lit(0.0003)).cast("float"),
-            )
-        },
+        extra={"embedding": F.transform(rolled, lambda x: (x * sign).cast("float"))},
     )
     for dim in ("nation", "region", "supplier", "part"):
         shutil.copy(os.path.join(src, f"{dim}.parquet"), os.path.join(out, f"{dim}.parquet"))

@@ -144,3 +144,82 @@ def test_ivf_probe_recall_vs_brute(spark, clustered_sf_dir):
     assert len(exact) == 30  # top-3 for each of the 10 probe queries
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"IVF nprobe=2 recall {recall:.2f} on clustered data"
+
+
+def test_hyperplanes_are_pairwise_independent():
+    """Regression for the degenerate plane family: the original
+    ((d+1)·p mod 3) construction made 7 of 8 planes IDENTICAL (any p
+    coprime to 3 gives the same zero set), collapsing the corpus into 4
+    buckets and blowing per-bucket GEMM memory at scale. Planes must be
+    pairwise distinct, non-complementary, and roughly sign-balanced."""
+    from etl_pipeline_telecom_spark.plans.similarity import _HYPERPLANES
+
+    assert len(_HYPERPLANES) == 8
+    for i, a in enumerate(_HYPERPLANES):
+        assert 20 <= sum(1 for x in a if x == 1) <= 44, f"plane {i} is sign-skewed"
+        for j, b in enumerate(_HYPERPLANES[i + 1:], start=i + 1):
+            agree = sum(1 for x, y in zip(a, b) if x == y)
+            # identical (64) or complementary (0) planes carry one bit twice
+            assert 16 <= agree <= 48, f"planes {i},{j} are correlated (agree={agree})"
+
+
+def test_hyperplane_buckets_spread(spark, sf_dir):
+    """The 8-bit signature must actually use the bucket space: on the
+    fixture corpus, no single bucket may hold the majority of vectors
+    (the degenerate planes put 32-54% in one bucket)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.similarity import _hyperplane_bucket, _quantized
+
+    counts = (
+        _quantized(spark, sf_dir)
+        .withColumn("bucket", _hyperplane_bucket())
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    top = max(r["count"] for r in counts)
+    assert len(counts) >= 32, f"only {len(counts)} of 256 buckets populated"
+    assert top / total <= 0.2, f"hot bucket holds {top}/{total} vectors"
+
+
+def test_tiled_gemm_matches_full_gram():
+    """The tiled _gemm_pairs must emit exactly the pairs a single full
+    n×n gram would — on a group spanning several tiles, including ids
+    deliberately out of order so the vec_a<vec_b normalization is hit."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_pipeline_telecom_spark.plans import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, d = 500, 16
+    # clustered points so a meaningful fraction of pairs pass cos >= 0.4
+    base = rng.integers(-5, 6, size=(10, d)).astype("float64")
+    v = base[rng.integers(0, 10, n)] * 100 + rng.integers(-40, 41, size=(n, d))
+    ids = rng.permutation(n).astype("int64") + 1000
+    pdf = pd.DataFrame({"vec_id": ids, "qv": [row for row in v]})
+
+    g = v @ v.T
+    nrm = np.sqrt(np.diag(g))
+    cos = g / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = cos[iu, ju] >= 0.4
+    a, b = ids[iu][keep], ids[ju][keep]
+    expected = {
+        (int(min(x, y)), int(max(x, y))): c
+        for x, y, c in zip(a, b, cos[iu, ju][keep])
+    }
+
+    old_block = sim._GEMM_BLOCK
+    sim._GEMM_BLOCK = 64  # force an 8×8 tile grid
+    try:
+        out = sim._gemm_pairs(pdf)
+    finally:
+        sim._GEMM_BLOCK = old_block
+    got = {
+        (int(r.vec_a), int(r.vec_b)): r.cos_raw for r in out.itertuples(index=False)
+    }
+    assert expected, "fixture must produce passing pairs"
+    assert got == expected  # bit-identical cosines, exact pair set
