@@ -103,12 +103,13 @@ def _load_all_plans() -> None:
 # with these rotations: IN — d12_index_build (new; the build/probe split),
 # e4_asof_join (plan rewritten to the linear union+window form),
 # t9_tfidf_topterms (vocab-side broadcast hint dropped per ADVICE r3),
-# v1_knn_brute (bounded-query guard added to the plan), and
-# d12_persisted_lsh_probe (now probe-only when the index exists). All
-# were already in the r3 window except the new build entry, which
-# displaces p1_projection_ops (r3-proven, unchanged). Everything else
-# keeps its r1-r3 verdict; this tuple is the explicit, test-asserted
-# window.
+# v1_knn_brute (bounded-query guard added to the plan),
+# d12_persisted_lsh_probe (now probe-only when the index exists), and
+# v4/v5/v6 (tiled _gemm_pairs; v5 additionally has new hyperplane
+# literals in both plan and oracle — the r4 OOM fix). All were already
+# in the r3 window except the new build entry, which displaces
+# p1_projection_ops (r3-proven, unchanged). Everything else keeps its
+# r1-r3 verdict; this tuple is the explicit, test-asserted window.
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "d6_simhash", "d8_neardup_clusters",

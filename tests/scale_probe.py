@@ -213,6 +213,8 @@ _BNLJ_ALLOWED = {
 
 
 def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
+    import json
+
     from etl_pipeline_telecom_spark import catalog
 
     qs = catalog.queries()
@@ -222,6 +224,7 @@ def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
     ).mapInPandas(lambda it: it, "id long").count()
 
     violations = 0
+    results = []
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  joins@sf1 (flags)")
     for name in names:
         fn = qs[name]
@@ -239,11 +242,26 @@ def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
         ]
         violations += len(bad)
         ratio = timings["sf1"] / max(timings["sf0.1"], 1e-9)
+        results.append(
+            {
+                "query": name,
+                "t_small_warm_sec": round(timings["sf0.1"], 3),
+                "t_big_warm_sec": round(timings["sf1"], 3),
+                "ratio": round(ratio, 1),
+                "joins": joins,
+                "disallowed_plan_nodes": bad,
+            }
+        )
         print(
             f"{name:28s} {timings['sf0.1']:8.2f} {timings['sf1']:8.2f} {ratio:6.1f}x  "
             + ",".join(joins)
             + ("  ⚠ " + ",".join(bad) if bad else "")
         )
+    # machine-readable record next to the fixture dir; copy to the repo
+    # root (e.g. SCALE_r{N}.json) to commit a run as round evidence —
+    # tests/test_scale_gate.py validates the committed copy
+    with open(OUT.rstrip("/") + "_probe.json", "w") as fh:
+        json.dump({"small": SRC, "big": OUT, "queries": results}, fh, indent=1)
     if strict and violations:
         print(f"STRICT: {violations} disallowed nested-loop/cartesian plan(s)")
     return violations if strict else 0

@@ -1,0 +1,72 @@
+"""Gate on the committed 100× scale-probe evidence (SCALE_r*.json).
+
+``python -m tests.scale_probe --copies=100 --out=.scratch/sf10 <queries>``
+measures every probed query warm at sf0.1 and at 100× and records a JSON
+artifact; a run committed as ``SCALE_r{N}.json`` at the repo root is the
+round's scale evidence. These tests validate the LATEST committed record,
+so a regression that slips a quadratic plan or a super-linear runtime into
+a probed query fails the suite as soon as a new probe run is recorded —
+and the assertions document what "survives 100×" concretely means.
+
+No Spark session needed — this is an artifact gate, not a probe run
+(the probe itself takes ~15 min and is run per-round, not per-test).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: 100× data on a fixed 32-core box: a linear operator lands well under
+#: 100×; per-partition-quadratic operators (v6's label GEMM) stay bounded
+#: by the partition contract. Anything past this is a scale regression.
+MAX_RATIO = 60.0
+
+#: families that must appear in the probe set for the evidence to count
+REQUIRED = {
+    "d5_lsh_jaccard_dedup",     # MinHash LSH end-to-end
+    "v5_lsh_bucketed_neardup",  # hyperplane LSH + tiled GEMM (the r4 OOM fix)
+    "d10_contamination_check",  # decontamination join
+    "d12_persisted_lsh_probe",  # zero-shuffle index probe
+    "d13_contamination_bloom",  # bloom-prefiltered decontamination
+    "v7_ivf_probe",             # IVF ANN
+    "j2_revenue_topk",          # pre-aggregated fact join
+    "e3_session_window",        # stateful event-time op
+}
+
+
+def _latest_record() -> dict:
+    paths = sorted(glob.glob(os.path.join(_ROOT, "SCALE_r*.json")))
+    if not paths:
+        pytest.skip("no committed SCALE_r*.json probe record yet")
+    with open(paths[-1]) as fh:
+        return json.load(fh)
+
+
+def test_probe_covers_required_families():
+    rec = _latest_record()
+    probed = {q["query"] for q in rec["queries"]}
+    missing = REQUIRED - probed
+    assert not missing, f"scale evidence missing families: {sorted(missing)}"
+
+
+def test_no_disallowed_plan_nodes_at_scale():
+    rec = _latest_record()
+    bad = {q["query"]: q["disallowed_plan_nodes"] for q in rec["queries"] if q["disallowed_plan_nodes"]}
+    assert not bad, f"cartesian/NLJ plans at 100×: {bad}"
+    assert rec.get("strict_violations", 0) == 0
+
+
+def test_every_probed_query_scales_sublinearly():
+    rec = _latest_record()
+    over = {
+        q["query"]: q["ratio"]
+        for q in rec["queries"]
+        if q["ratio"] > MAX_RATIO
+    }
+    assert not over, f"queries slower than {MAX_RATIO}× at 100× data: {over}"
