@@ -12,11 +12,12 @@ to invert the recorded signal (BENCH_r02's single warm sample recorded
 32.4s under load for a ~15s engine). "queries_cold" keeps the first-run
 numbers (includes per-query warmup effects) for the ops-facing view.
 Metric definition history: r1 = single cold-ish run; r2 = single warm run;
-r3 = min-of-2 warm over 20 queries; r4+ = min-of-2 warm over 24 queries —
-the four r3-new operators (t9, v7, d12 probe, d13) joined the headline set
-per VERDICT r3 item 7, and the metric name carries the query count so the
-totals are never compared across different sets ("value_20q_r3_compat"
-preserves the r3-comparable sum). A warm>cold query is a load-noise
+r3 = min-of-2 warm over 20 queries; r4+ = min-of-2 warm over 33 queries —
+the four r3-new operators (t9, v7, d12 probe, d13) joined per VERDICT r3
+item 7 and the nine mid-r4 operators (t10, e6, p2, sm3, v8, e7, w9, a18,
+t11) joined on creation; the metric name carries the query count so totals are never
+compared across different sets ("value_20q_r3_compat" preserves the
+r3-comparable sum). A warm>cold query is a load-noise
 signature and is reported on stderr, never in the JSON line.
 """
 
@@ -93,8 +94,18 @@ def main() -> None:
             )
 
     total = round(sum(warm.values()), 3)
-    r4_new = {"t9_tfidf_topterms", "v7_ivf_probe", "d12_persisted_lsh_probe", "d13_contamination_bloom"}
-    compat_20q = round(sum(t for n, t in warm.items() if n not in r4_new), 3)
+    # everything that joined the headline set AFTER r3 — excluded from the
+    # r3-comparable sum: the four r3-new operators pinned per VERDICT r3
+    # item 7, plus the five mid-round-4 additions
+    post_r3 = {
+        "t9_tfidf_topterms", "v7_ivf_probe", "d12_persisted_lsh_probe",
+        "d13_contamination_bloom",
+        "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
+        "sm3_split_assign", "v8_embedding_decontam",
+        "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
+        "t11_bigram_topk",
+    }
+    compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     print(
         json.dumps(
             {

@@ -106,28 +106,36 @@ def _load_all_plans() -> None:
 # v1_knn_brute (bounded-query guard added to the plan),
 # d12_persisted_lsh_probe (now probe-only when the index exists), and
 # v4/v5/v6 (tiled _gemm_pairs; v5 additionally has new hyperplane
-# literals in both plan and oracle — the r4 OOM fix). All were already
-# in the r3 window except the new build entry, which displaces
-# p1_projection_ops (r3-proven, unchanged). Everything else keeps its
-# r1-r3 verdict; this tuple is the explicit, test-asserted window.
+# literals in both plan and oracle — the r4 OOM fix). The nine
+# mid-round-4 additions — t10_bpe_pretokenize, e6_gap_fill,
+# p2_upsert_latest, sm3_split_assign, v8_embedding_decontam,
+# e7_cohort_retention, w9_ntile_buckets, a18_exact_corr,
+# t11_bigram_topk — are new (no verdict yet) and displace nine r3-proven
+# unchanged entries (d9_mllib_minhash, e5_band_range_join,
+# m2_frame_sample, a16_freq_items, r2_orders_by_month, d6_simhash,
+# d8_neardup_clusters, a14_approx_distinct, sm2_stratified_sample;
+# d12_index_build already displaced p1_projection_ops). Everything else
+# keeps its r1-r3 verdict; this tuple is the explicit, test-asserted
+# window.
 DRIVER_WINDOW = (
     # dedup + similarity flagships
-    "d5_lsh_jaccard_dedup", "d6_simhash", "d8_neardup_clusters",
-    "d9_mllib_minhash",
+    "d5_lsh_jaccard_dedup",
     "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
-    "v5_lsh_bucketed_neardup", "v6_gemm_neardup",
+    "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
     # event-time + streaming
     "e1_tumbling_window", "e3_session_window", "e4_asof_join",
-    "e5_band_range_join",
+    "e6_gap_fill",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
-    "m1_media_features", "m2_frame_sample", "m3_media_type_stats",
+    "m1_media_features", "m3_media_type_stats",
     "dq1_lineitem_checks", "dq2_orders_checks",
-    "a14_approx_distinct", "a15_percentile_approx", "a16_freq_items", "a17_grouped_percentiles",
+    "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
     "x1_json_extract",
-    "sm1_hash_sample", "sm2_stratified_sample",
+    "sm1_hash_sample", "sm3_split_assign",
     "u1_pandas_udf_score", "g1_grouped_median",
-    "pipe1_corpus_clean", "r2_orders_by_month",
+    "pipe1_corpus_clean", "p2_upsert_latest",
+    "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",
+    "w9_ntile_buckets",
     "a8_pivot_rate", "a11_null_counts",
     # round-2 queries re-proven as canaries
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",

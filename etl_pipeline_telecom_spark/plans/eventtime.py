@@ -187,6 +187,70 @@ def e4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e6_gap_fill",
+    f"""WITH b AS (
+          SELECT event_type,
+                 (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_1H}) * {_US_1H} AS bucket_us,
+                 COUNT(*) AS cnt,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b),
+        g AS (
+          SELECT t.event_type, u.bucket_us
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT UNNEST(range(lo, hi + {_US_1H}, {_US_1H})) AS bucket_us FROM r) u)
+        SELECT g.event_type, g.bucket_us,
+               COALESCE(b.cnt, 0) AS cnt,
+               b.sum_value AS sum_value,
+               last_value(b.sum_value IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.bucket_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sum_value_ffill
+        FROM g LEFT JOIN b
+          ON b.event_type = g.event_type AND b.bucket_us = g.bucket_us""",
+    tags=("eventtime", "gap-fill", "timeseries", "headline"),
+    doc="Hypertable-style dense rollup: hourly per-type buckets over the "
+    "full observed range with missing buckets zero-filled and the hourly "
+    "sum forward-filled (last_value IGNORE NULLS ≙ F.last ignorenulls). "
+    "Scale: the fact table collapses to windows×types rows in ONE hash "
+    "aggregate before anything else; the dense grid is #hours × #types — "
+    "bounded by wall-clock time and the type enum, NOT by corpus size — "
+    "built from a 1-row bounds aggregate via sequence+explode, so the "
+    "join and ffill window run on the tiny aggregated side only",
+)
+def e6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value", "sum_value"))
+        .select(
+            "event_type", F.unix_micros("w.start").alias("bucket_us"), "cnt", "sum_value"
+        )
+    )
+    bounds = hourly.agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+    grid_times = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(_US_1H))).alias("bucket_us")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(grid_times))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket_us"], "left")
+        .select(
+            "event_type",
+            "bucket_us",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )
+
+
+@register(
     "e5_band_range_join",
     """SELECT band, COUNT(*) AS cnt,
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -209,4 +273,44 @@ def e5_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi))
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("cnt"), dec_sum("value", "sum_value"))
+    )
+
+
+_US_1W = 7 * 24 * 60 * 60 * 1_000_000
+
+
+@register(
+    "e7_cohort_retention",
+    f"""WITH ua AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS week_us
+          FROM events),
+        c AS (SELECT *, MIN(week_us) OVER (PARTITION BY user_id) AS cohort_us
+              FROM ua)
+        SELECT cohort_us,
+               CAST((week_us - cohort_us) / {_US_1W} AS BIGINT) AS week_offset,
+               COUNT(*) AS n_active_users
+        FROM c GROUP BY 1, 2""",
+    tags=("eventtime", "cohort", "retention", "headline"),
+    doc="Cohort retention matrix: users cohorted by first-active ISO week, "
+    "counted per (cohort, week-offset) — the standard engagement/retention "
+    "rollup. Plan: distinct (user, week) in one hash agg (map-side combine "
+    "collapses each user's events per week BEFORE the exchange), a per-user "
+    "running-min window for the cohort, and a final (cohort, offset) agg — "
+    "in-flight cardinality is users × active-weeks, never events. Week "
+    "arithmetic is exact: epoch-µs difference of Monday-truncated stamps "
+    "divided by a week of µs (exact multiple, < 2⁵³ — identical IEEE "
+    "division cross-engine)",
+)
+def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id", F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("week_us")
+    ).distinct()
+    cohorted = ua.withColumn(
+        "cohort_us", F.min("week_us").over(Window.partitionBy("user_id"))
+    )
+    offset = ((F.col("week_us") - F.col("cohort_us")) / _US_1W).cast("bigint")
+    return cohorted.groupBy("cohort_us", offset.alias("week_offset")).agg(
+        F.count(F.lit(1)).alias("n_active_users")
     )

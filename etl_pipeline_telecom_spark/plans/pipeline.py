@@ -131,3 +131,64 @@ def pipe1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "de", "fr")
     ).withColumn("canonical", F.min("doc_id").over(Window.partitionBy("fp")))
     return kept.where(F.col("doc_id") == F.col("canonical")).select("doc_id", "lang", "quality")
+
+
+@register(
+    "p2_upsert_latest",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                event_id % 5 = 0 AS is_delta,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type, event_id % 5 = 0
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+                event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+         FROM events),
+       b AS (SELECT * FROM s WHERE rn = 1 AND NOT is_delta),
+       d AS (SELECT * FROM s WHERE rn = 1 AND is_delta)
+       SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+              COALESCE(d.event_type, b.event_type) AS event_type,
+              COALESCE(d.event_id, b.event_id) AS latest_event_id,
+              COALESCE(d.ts_us, b.ts_us) AS latest_ts_us,
+              COALESCE(d.value, b.value) AS latest_value,
+              CASE WHEN d.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'update'
+                   WHEN d.user_id IS NOT NULL THEN 'insert'
+                   ELSE 'keep' END AS op
+       FROM b FULL JOIN d
+         ON b.user_id = d.user_id AND b.event_type = d.event_type""",
+    tags=("pipeline", "upsert", "merge", "headline"),
+    doc="SCD-1 merge/upsert (latest-wins): a base snapshot (event_id%5<>0) "
+    "merged with a delta batch (event_id%5=0) keyed on (user_id, "
+    "event_type); the delta's latest row overrides the base's, and each "
+    "output row is labeled update/insert/keep — the core of incremental "
+    "corpus/state maintenance. The Spark plan is ONE shuffle: a single "
+    "hash aggregate per key taking max(struct(ts_us, event_id, value)) "
+    "conditionally over each side (struct ordering ≙ the oracle's ORDER "
+    "BY ts DESC, event_id DESC tie-break; event_id uniqueness means the "
+    "trailing value field never decides) — no windows, no join, no "
+    "second shuffle, and at 100 TB it is exactly the partial-agg-"
+    "pushdown merge pattern (map-side combine collapses each partition "
+    "to ≤ keys rows before the exchange)",
+)
+def p2_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
+    )
+    is_delta = F.col("event_id") % 5 == 0
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.when(is_delta, s)).alias("d"),
+        F.max(F.when(~is_delta, s)).alias("b"),
+    )
+    latest = F.coalesce("d", "b")
+    return g.select(
+        "user_id",
+        "event_type",
+        latest["event_id"].alias("latest_event_id"),
+        latest["ts_us"].alias("latest_ts_us"),
+        latest["value"].alias("latest_value"),
+        F.when(F.col("d").isNotNull() & F.col("b").isNotNull(), "update")
+        .when(F.col("d").isNotNull(), "insert")
+        .otherwise("keep")
+        .alias("op"),
+    )

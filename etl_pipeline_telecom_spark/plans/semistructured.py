@@ -88,6 +88,40 @@ def sm2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(bucket < 50).groupBy("lang").agg(F.count(F.lit(1)).alias("sampled"))
 
 
+@register(
+    "sm3_split_assign",
+    f"""SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+          SELECT lang, n_chars,
+                 CASE WHEN {_HASH_MOD} < 90 THEN 'train'
+                      WHEN {_HASH_MOD} < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split, lang""",
+    tags=("sampling", "split", "headline"),
+    doc="Deterministic train/val/test assignment (90/5/5 by key-hash mod "
+    "— the standard leakage-safe corpus split: membership depends only "
+    "on the key, so re-runs, engine changes, and repartitioning never "
+    "move a document across splits), audited as per-(split, lang) doc "
+    "and char counts. Scan-side projection + one hash aggregate on a "
+    "15-value key space; integer char sums are exact cross-engine",
+)
+def sm3_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 # DoubleType() not the DDL string "double": the string form would parse
 # DDL at import time, which needs a live SparkSession
 @pandas_udf(DoubleType())

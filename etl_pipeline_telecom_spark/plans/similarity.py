@@ -468,3 +468,120 @@ def v7_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+_V8_TAU = 0.4
+
+
+def _decontam_best_match(train_pdf, eval_pdf):
+    """One bucket's train×eval cosine screen, reduced IN the worker.
+
+    Tiled BLAS (``_GEMM_BLOCK`` train rows per tile × the bucket's eval
+    rows — eval is globally bounded, so tile scratch is bounded) computes
+    every train↔eval cosine, then the per-train top-1 and match count are
+    taken HERE, so the worker emits at most one row per contaminated
+    train vector — pair rows never exist outside a BLAS tile.
+
+    Exactness: quantized integer-valued dots are exact in any
+    accumulation order; ties on the (exact) cosine break to the smallest
+    eval_id because the eval columns are sorted by id and ``argmax``
+    returns the first maximum — the oracle's ORDER BY cos DESC, eval_id.
+    Rounding stays out of python (the plan applies F.round after).
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "top_eval_id": pd.Series(dtype="int64"),
+            "cos_raw": pd.Series(dtype="float64"),
+            "n_eval_matches": pd.Series(dtype="int64"),
+        }
+    )
+    if train_pdf.empty or eval_pdf.empty:
+        return empty
+    vt = np.stack(train_pdf["qv"].to_numpy())
+    tr_ids = train_pdf["vec_id"].to_numpy()
+    order = np.argsort(eval_pdf["ev_id"].to_numpy(), kind="stable")
+    ve = np.stack(eval_pdf["ev_qv"].to_numpy())[order]
+    ev_ids = eval_pdf["ev_id"].to_numpy()[order]
+    nt = np.sqrt(np.einsum("ij,ij->i", vt, vt))
+    ne = np.sqrt(np.einsum("ij,ij->i", ve, ve))
+    out = []
+    for i0 in range(0, len(tr_ids), _GEMM_BLOCK):
+        cos = (vt[i0 : i0 + _GEMM_BLOCK] @ ve.T) / np.outer(nt[i0 : i0 + _GEMM_BLOCK], ne)
+        keep = cos >= _V8_TAU
+        hit = keep.any(axis=1)
+        if not hit.any():
+            continue
+        best = np.argmax(np.where(keep, cos, -np.inf), axis=1)[hit]
+        out.append(
+            pd.DataFrame(
+                {
+                    "vec_id": tr_ids[i0 : i0 + _GEMM_BLOCK][hit],
+                    "top_eval_id": ev_ids[best],
+                    "cos_raw": cos[hit, best],
+                    "n_eval_matches": keep.sum(axis=1)[hit],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
+@register(
+    "v8_embedding_decontam",
+    f"""WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
+        h AS (SELECT vec_id, qv, {_sql_hyperplane_bucket()} AS bucket FROM q),
+        m AS (
+          SELECT a.vec_id, b.vec_id AS eval_id, {_SQL_COS} AS cos_raw
+          FROM h a JOIN h b ON a.bucket = b.bucket
+          WHERE a.vec_id % 50 <> 7 AND b.vec_id % 50 = 7
+            AND {_SQL_COS} >= {_V8_TAU})
+        SELECT vec_id, eval_id AS top_eval_id,
+               ROUND(cos_raw, 6) AS cos_sim, n_eval_matches
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_raw DESC, eval_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY vec_id) AS n_eval_matches
+          FROM m)
+        WHERE rn = 1""",
+    tags=("similarity", "decontamination", "lsh", "cogroup", "headline"),
+    doc="Embedding-space decontamination: train vectors (vec_id%50<>7) "
+    "whose cosine to ANY eval vector (vec_id%50=7) reaches 0.4, each "
+    "with its best eval match and match count — the semantic complement "
+    "to d10/d13's n-gram-overlap checks (paraphrased contamination that "
+    "shares no shingles). Scale plan: both sides bucket on the v5 "
+    "hyperplane signature map-side, then ONE cogrouped shuffle on the "
+    "bucket key feeds a per-bucket train×eval tiled GEMM "
+    "(applyInPandas over a cogroup) that also reduces to the per-train "
+    "top-1 inside the worker — vectors cross the wire once and pair "
+    "ROWS never materialize (a broadcast-join + per-pair scoring form "
+    "ships every same-bucket pair through Arrow: the shape v5's sf1 "
+    "probe showed going superlinear). The eval side is additionally "
+    "bounded by contract (an eval benchmark, enforced ≤ 65,536 rows at "
+    "plan time), so per-tile scratch is bounded regardless of bucket "
+    "skew",
+)
+def v8_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
+    emb = _quantized(spark, sf_dir).withColumn("bucket", _hyperplane_bucket())
+    # distinct eval-side names: both cogroup children derive from the same
+    # base plan, and shared attribute ids confuse the cogroup projection
+    ev = emb.where(F.col("vec_id") % 50 == 7).select(
+        "bucket", F.col("vec_id").alias("ev_id"), F.col("qv").alias("ev_qv")
+    )
+    assert_bounded_input(ev, 65536, "v8_embedding_decontam eval side")
+    train = emb.where(F.col("vec_id") % 50 != 7).select("bucket", "vec_id", "qv")
+    matched = (
+        train.groupBy("bucket")
+        .cogroup(ev.groupBy("bucket"))
+        .applyInPandas(
+            _decontam_best_match,
+            schema="vec_id long, top_eval_id long, cos_raw double, n_eval_matches long",
+        )
+    )
+    return matched.select(
+        "vec_id", "top_eval_id", F.round("cos_raw", 6).alias("cos_sim"), "n_eval_matches"
+    )

@@ -148,3 +148,58 @@ def a17_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# corr via exact decimal moment sums: qty/price cast to DECIMAL(18,2),
+# their product to DECIMAL(37,4) — all sums exact; the six aggregate
+# values convert to double identically in both engines (every scaled
+# integer < 2^53 at probed sfs rounds to the same double), and the final
+# Pearson formula is the SAME IEEE expression on the SAME operands.
+_SQL_CORR = """WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM m"""
+
+
+@register(
+    "a18_exact_corr",
+    _SQL_CORR,
+    tags=("agg", "statistics", "corr", "headline"),
+    doc="Grouped Pearson correlation (quantity ↔ price per return flag) "
+    "from exact decimal moment sums — NOT F.corr/DuckDB corr, whose "
+    "streaming accumulation orders differ across engines and partition "
+    "layouts; six exact sums + one closed-form IEEE expression make the "
+    "result bit-deterministic AND the plan a single map-side-combining "
+    "hash aggregate (the moments pattern is also how you'd compute corr "
+    "over 100 TB: one pass, six numbers per group in flight)",
+)
+def a18_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("l_quantity")).cast("double").alias("sx"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d("l_quantity") * d("l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(d("l_quantity") * d("l_quantity")).cast("double").alias("sxx"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", F.col("n").alias("n_rows"), F.round(corr, 6).alias("corr_qty_price")
+    )

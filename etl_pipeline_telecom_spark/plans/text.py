@@ -259,6 +259,46 @@ def t8_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, specialized to the ASCII fixture alphabet:
+# a token is an (optionally space-prefixed) letter run, digit run, or
+# punctuation run, or a residual whitespace run. Both Java regex (Spark)
+# and RE2 (DuckDB) use leftmost-first alternation with greedy
+# quantifiers, so the match sequence is identical cross-engine; \\p and
+# lookahead are deliberately avoided (RE2 has no lookahead).
+_BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@register(
+    "t10_bpe_pretokenize",
+    f"""SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe_tokens,
+               len({_SQL_TOKENS}) AS n_ws_tokens,
+               ROUND(CAST(len(text) AS DOUBLE)
+                     / len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')), 6)
+                   AS bytes_per_token
+        FROM documents""",
+    tags=("text", "tokenize", "headline"),
+    doc="BPE-ish pretokenization counts (SURVEY §7 token-counting "
+    "extension): the GPT-2 pretokenizer split — space-prefixed letter/"
+    "digit/punctuation runs — counted per document alongside plain "
+    "whitespace tokens, plus bytes-per-token (the standard corpus-cost "
+    "estimator; integer byte and token counts divided as doubles → "
+    "bit-identical cross-engine). Narrow scan-side projection, no "
+    "shuffle; the regex stays leftmost-first-compatible between Java "
+    "regex and RE2 by construction (no lookahead, disjoint-by-prefix "
+    "alternatives)",
+)
+def t10_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / bpe, 6).alias("bytes_per_token"),
+    )
+
+
 @register(
     "t9_tfidf_topterms",
     f"""WITH toks AS (
@@ -309,4 +349,53 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+@register(
+    "t11_bigram_topk",
+    f"""SELECT lang, bigram, cnt, rn FROM (
+          SELECT lang, bigram, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+          FROM (
+            SELECT lang, bigram, COUNT(*) AS cnt
+            FROM (
+              SELECT lang,
+                     unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS bigram
+              FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents))
+            GROUP BY lang, bigram))
+        WHERE rn <= 10""",
+    tags=("text", "ngram", "headline"),
+    doc="Top-10 bigrams per language: the n-gram frequency surface "
+    "(t5's unigram sibling; the same explode→count→top-k shape extends "
+    "to any n). Bigrams materialize as a narrow per-row transform over "
+    "the token array — ~1 extra row per token through ONE hash agg on "
+    "(lang, bigram) with map-side combine; the top-k window runs on the "
+    "aggregated counts, bounded by vocabulary², not the corpus",
+)
+def t11_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    # bigram list from the token array: indices 0..n-2 pair t[i], t[i+1];
+    # the size guard matters because Spark's sequence(0, -1) would count
+    # DOWN (a 2-element list), not produce an empty list like DuckDB's
+    # range(1, 1)
+    exploded = (
+        docs.select("lang", t.alias("t"))
+        .select(
+            "lang",
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+    )
+    counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "bigram")
+    return (
+        counts.select("lang", "bigram", "cnt", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 10)
     )

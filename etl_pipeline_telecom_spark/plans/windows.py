@@ -166,3 +166,37 @@ def w8_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
     )
+
+
+@register(
+    "w9_ntile_buckets",
+    """SELECT c_mktsegment, tile,
+              COUNT(*) AS n_customers,
+              MIN(c_acctbal) AS min_bal,
+              MAX(c_acctbal) AS max_bal
+       FROM (
+         SELECT c_mktsegment, c_acctbal,
+                NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS tile
+         FROM customer)
+       GROUP BY c_mktsegment, tile""",
+    tags=("window", "ntile", "quartile", "headline"),
+    doc="NTILE quartile bucketing of customers by balance within segment, "
+    "audited as per-(segment, tile) counts and balance ranges — the "
+    "feature-bucketing / equal-frequency-binning window op (F4's "
+    "fixed-edge bucketize is its equal-width sibling). Deterministic "
+    "cross-engine because the window order is total (balance, then the "
+    "unique key); min/max pass raw parquet doubles through unchanged",
+)
+def w9_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("tile"))
+        .groupBy("c_mktsegment", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )

@@ -57,19 +57,25 @@ def test_query_names_are_stable_identifiers():
         assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
 
 
-# Round-3 window rule (ADVICE r2): anything NEW (no verdict yet) or whose
+# Window rule (ADVICE r2): anything NEW (no verdict yet) or whose
 # PLAN changed this round MUST sit in the driver's 50-entry window; proven
 # unchanged queries may rotate out.
 _MUST_BE_IN_WINDOW = {
-    # round-3 additions — first-ever driver verdict needed
-    "d12_persisted_lsh_probe", "d13_contamination_bloom",
-    "t9_tfidf_topterms", "v7_ivf_probe",
-    # plans materially changed in round 3 (a15 reshape, v4/v6 shared
-    # builder, d11 shared-tail refactor)
-    "a15_percentile_approx", "v4_embedding_neardup", "v6_gemm_neardup",
-    "d11_incremental_dedup",
-    # round-2 eager-agg rewrite that never had an in-window verdict
-    "j6_star_join",
+    # round-4 additions — first-ever driver verdict needed
+    "d12_index_build",
+    "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
+    "sm3_split_assign", "v8_embedding_decontam",
+    "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
+    "t11_bigram_topk",
+    # plans materially changed in round 4: e4 linear rewrite, d12
+    # build/probe split, t9 hint drop, v1 guard, v4/v5/v6 tiled GEMM
+    # (v5 also carries the new hyperplane literals in plan AND oracle)
+    "e4_asof_join", "d12_persisted_lsh_probe", "t9_tfidf_topterms",
+    "v1_knn_brute", "v4_embedding_neardup", "v5_lsh_bucketed_neardup",
+    "v6_gemm_neardup",
+    # round-3 additions whose only verdict is r3 — kept in-window as
+    # canaries alongside a4/j2/d1
+    "d13_contamination_bloom", "v7_ivf_probe",
 }
 
 

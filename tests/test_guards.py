@@ -50,3 +50,17 @@ def test_v1_guard_is_wired(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(guards, "assert_bounded_input", spy)
     similarity.v1_knn_brute(spark, sf_dir)
     assert calls == [(64, "v1_knn_brute query side")]
+
+
+def test_v8_guard_is_wired(spark, sf_dir, monkeypatch):
+    """v8's eval side is small at every fixture sf; assert the bounded-
+    eval-benchmark contract (≤65,536 rows) is actually enforced in the
+    builder, so the broadcast can never silently grow data-sized."""
+    calls = []
+
+    def spy(df, max_rows, what):
+        calls.append((max_rows, what))
+
+    monkeypatch.setattr(guards, "assert_bounded_input", spy)
+    similarity.v8_embedding_decontam(spark, sf_dir)
+    assert calls == [(65536, "v8_embedding_decontam eval side")]

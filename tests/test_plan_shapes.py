@@ -133,6 +133,10 @@ _BNLJ_ALLOWED = {
                          # k·d floats — small — NOT a fixed literal; a
                          # data-derived k growing past broadcast size would
                          # need explicit k-means with fixed k)
+    "e6_gap_fill",       # dense-grid cross join of two AGGREGATED sides:
+                         # #hours (from a 1-row bounds agg) × #types —
+                         # bounded by wall-clock range and the type enum,
+                         # never by corpus size
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -146,6 +150,10 @@ _GUARDED = [
     "e1_tumbling_window", "e3_session_window",
     "e4_asof_join", "e5_band_range_join", "m1_media_features",
     "dq1_lineitem_checks", "pipe1_corpus_clean", "sm1_hash_sample",
+    "e6_gap_fill", "p2_upsert_latest", "sm3_split_assign",
+    "t10_bpe_pretokenize", "v8_embedding_decontam",
+    "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
+    "t11_bigram_topk",
 ]
 
 
@@ -180,3 +188,42 @@ def test_fact_slices_never_broadcast_hinted(spark, sf_dir, name):
             assert "lineitem.parquet" not in subtree and "orders.parquet" not in subtree, (
                 f"{name}: broadcast hint over a fact-table scan:\n{subtree[:500]}"
             )
+
+
+def test_upsert_merge_is_single_shuffle(spark, sf_dir):
+    """p2's contract: the SCD-1 merge is ONE hash aggregate over the
+    union'd input — conditional max(struct) per side — with map-side
+    partial aggregation. A join- or window-based rewrite would add a
+    second exchange and lose the partial-agg pushdown."""
+    plan = _plan(spark, sf_dir, "p2_upsert_latest")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
+        assert bad not in plan, f"p2: unexpected {bad} — merge should be one agg"
+    assert plan.count("Exchange (") == 1, f"p2: expected a single key shuffle:\n{plan}"
+
+
+def test_gap_fill_aggregates_fact_before_grid(spark, sf_dir):
+    """e6: the events fact collapses to (type, hour) rows in a hash
+    aggregate BEFORE the dense-grid join; the grid itself is built from a
+    1-row bounds aggregate. No cartesian anywhere (the grid cross join is
+    the allowlisted bounded BNLJ)."""
+    plan = _plan(spark, sf_dir, "e6_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan, "e6: fact-side pre-aggregation missing"
+    assert "Generate" in plan  # the sequence+explode grid
+
+
+def test_embedding_decontam_never_materializes_pair_rows(spark, sf_dir):
+    """v8: the train×eval screen is one cogrouped per-bucket GEMM
+    (FlatMapCoGroupsInPandas) that reduces to per-train top-1 inside the
+    worker — vectors cross the shuffle once per side, pair rows never
+    exist, and there is no join or window node at all. A join + per-pair
+    scoring form ships every same-bucket pair through Arrow (the shape
+    v5's sf1 probe showed going superlinear)."""
+    plan = _plan(spark, sf_dir, "v8_embedding_decontam")
+    assert "FlatMapCoGroupsInPandas" in plan, "v8: cogrouped GEMM node missing"
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
+        assert bad not in plan, f"v8: {bad} appeared"
+    n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert n_shuffles == 2, f"v8: expected one cogroup shuffle per side:\n{plan}"
