@@ -103,7 +103,7 @@ def main() -> None:
         "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
         "sm3_split_assign", "v8_embedding_decontam",
         "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
-        "t11_bigram_topk",
+        "t11_bigram_topk", "st5_stream_static_join",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     print(

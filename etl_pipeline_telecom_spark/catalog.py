@@ -106,14 +106,15 @@ def _load_all_plans() -> None:
 # v1_knn_brute (bounded-query guard added to the plan),
 # d12_persisted_lsh_probe (now probe-only when the index exists), and
 # v4/v5/v6 (tiled _gemm_pairs; v5 additionally has new hyperplane
-# literals in both plan and oracle — the r4 OOM fix). The nine
+# literals in both plan and oracle — the r4 OOM fix). The ten
 # mid-round-4 additions — t10_bpe_pretokenize, e6_gap_fill,
 # p2_upsert_latest, sm3_split_assign, v8_embedding_decontam,
 # e7_cohort_retention, w9_ntile_buckets, a18_exact_corr,
-# t11_bigram_topk — are new (no verdict yet) and displace nine r3-proven
-# unchanged entries (d9_mllib_minhash, e5_band_range_join,
-# m2_frame_sample, a16_freq_items, r2_orders_by_month, d6_simhash,
-# d8_neardup_clusters, a14_approx_distinct, sm2_stratified_sample;
+# t11_bigram_topk, st5_stream_static_join — are new (no verdict yet) and
+# displace ten r3-proven unchanged entries (d9_mllib_minhash,
+# e5_band_range_join, m2_frame_sample, a16_freq_items,
+# r2_orders_by_month, d6_simhash, d8_neardup_clusters,
+# a14_approx_distinct, sm2_stratified_sample, u1_pandas_udf_score;
 # d12_index_build already displaced p1_projection_ops). Everything else
 # keeps its r1-r3 verdict; this tuple is the explicit, test-asserted
 # window.
@@ -126,13 +127,14 @@ DRIVER_WINDOW = (
     "e1_tumbling_window", "e3_session_window", "e4_asof_join",
     "e6_gap_fill",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
+    "st5_stream_static_join",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features", "m3_media_type_stats",
     "dq1_lineitem_checks", "dq2_orders_checks",
     "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
     "x1_json_extract",
     "sm1_hash_sample", "sm3_split_assign",
-    "u1_pandas_udf_score", "g1_grouped_median",
+    "g1_grouped_median",
     "pipe1_corpus_clean", "p2_upsert_latest",
     "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",
     "w9_ntile_buckets",

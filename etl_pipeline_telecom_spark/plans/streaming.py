@@ -105,3 +105,34 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out, _ = run_available_now(stream_stream_click_error_join(clicks, errors))
     return out
+
+
+_US_1H = 60 * 60 * 1_000_000
+
+
+@register(
+    "st5_stream_static_join",
+    f"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // {_US_1H}) * {_US_1H} AS window_start_us,
+              c_mktsegment, COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2""",
+    tags=("streaming", "stream-static-join", "headline"),
+    doc="Stream-static enrichment: the event stream inner-joins the "
+    "customer dimension per micro-batch (stateless — no join state), "
+    "then aggregates hourly per market segment behind a watermark. "
+    "Complete mode on a bounded replay emits every window once, so the "
+    "batch join+agg SQL is an exact oracle",
+)
+def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+    from ..streaming.jobs import stream_events_dir_as_batch, stream_static_enriched_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    return stream_events_dir_as_batch(
+        spark,
+        sf_dir,
+        lambda ev: stream_static_enriched_counts(ev, cust),
+        glob="events.parquet",
+        output_mode="complete",
+    )

@@ -225,3 +225,35 @@ def maintain_hourly_rollup(events: DataFrame, out_path: str, *, watermark: str =
         .start()
     )
     q.awaitTermination(300)
+
+
+def stream_static_enriched_counts(
+    events: DataFrame, customers: DataFrame, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed agg (the streaming form of
+    the j1 broadcast-dimension pattern).
+
+    The dimension is a plain batch DataFrame joined per micro-batch —
+    stream-static inner joins are stateless (no join state to evict), so
+    the only streaming state is the windowed aggregation behind the
+    watermark. The broadcast hint is correct here for the same reason as
+    batch j1: dimensions are bounded; the stream side never shuffles for
+    the join itself.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        events["user_id"] == F.col("c_custkey"),
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "c_mktsegment",
+            "cnt",
+            "sum_value",
+        )
+    )

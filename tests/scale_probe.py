@@ -49,6 +49,13 @@ PROBES = [
     "t6_repetition_stats",
     "t7_doc_chunks",
     "d10_contamination_check",
+    # mid-r4 additions with real shuffle/cogroup structure (the pure
+    # scan-side ops t10/sm3/w9/a18 scale trivially and are left out)
+    "e6_gap_fill",
+    "e7_cohort_retention",
+    "p2_upsert_latest",
+    "t11_bigram_topk",
+    "v8_embedding_decontam",
 ]
 
 _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -204,12 +211,13 @@ def _plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-# BNLJ appearances that are bounded literal broadcasts by design (see
-# tests/test_plan_shapes.py::_BNLJ_ALLOWED — the pytest twin of this check)
-_BNLJ_ALLOWED = {
-    "d6_simhash", "e5_band_range_join", "v1_knn_brute",
-    "t9_tfidf_topterms", "v7_ivf_probe",
-}
+def _bnlj_allowed() -> set[str]:
+    """Single source of truth: the pytest guard's allowlist (bounded
+    literal/aggregated broadcasts by design) — imported so the probe and
+    the suite can never drift apart."""
+    from .test_plan_shapes import _BNLJ_ALLOWED
+
+    return _BNLJ_ALLOWED
 
 
 def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
@@ -238,7 +246,7 @@ def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
         joins = sorted({n for n in _JOIN_NODES if n in plan})
         bad = [
             n for n in _BAD_PLAN_NODES
-            if n in plan and not (n == "BroadcastNestedLoopJoin" and name in _BNLJ_ALLOWED)
+            if n in plan and not (n == "BroadcastNestedLoopJoin" and name in _bnlj_allowed())
         ]
         violations += len(bad)
         ratio = timings["sf1"] / max(timings["sf0.1"], 1e-9)

@@ -66,7 +66,7 @@ _MUST_BE_IN_WINDOW = {
     "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
     "sm3_split_assign", "v8_embedding_decontam",
     "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
-    "t11_bigram_topk",
+    "t11_bigram_topk", "st5_stream_static_join",
     # plans materially changed in round 4: e4 linear rewrite, d12
     # build/probe split, t9 hint drop, v1 guard, v4/v5/v6 tiled GEMM
     # (v5 also carries the new hyperplane literals in plan AND oracle)
