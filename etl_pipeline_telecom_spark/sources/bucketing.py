@@ -50,3 +50,52 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     property bucketed co-located joins exist to eliminate."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "ShuffleExchange" in plan
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    build_df,
+    table: str,
+    path: str,
+    *,
+    buckets: int,
+    keys: list[str],
+    rebuild: bool = False,
+) -> DataFrame:
+    """Idempotent persisted-bucketed-table contract (the d12 pattern,
+    generalized): build once, then every later session reads co-located
+    buckets with zero shuffle.
+
+    - table + files present → read as-is (no work);
+    - files present, session catalog missing the table (fresh session) →
+      re-attach the bucket spec with DDL, never rewrite data;
+    - otherwise (or ``rebuild=True``) → write bucketed+sorted.
+
+    ``build_df`` is a zero-arg callable returning the DataFrame to
+    persist — called only when a write (or DDL re-attach) is needed, so
+    read-paths never pay plan construction. Staleness contract: the
+    table is a snapshot of its source at build time; callers mutating
+    the source must pass ``rebuild=True``.
+    """
+    import os
+
+    have_table = spark.catalog.tableExists(table)
+    have_files = os.path.isdir(path) and any(
+        f.startswith("part-") for f in os.listdir(path)
+    )
+    if not rebuild and have_table and have_files:
+        return read_bucketed(spark, table)
+    if not rebuild and have_files and not have_table:
+        df = build_df()
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        key_list = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return read_bucketed(spark, table)
+    if have_table:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(build_df(), table, path, buckets=buckets, keys=keys)
+    return read_bucketed(spark, table)
