@@ -70,15 +70,19 @@ def read_csv(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic fixture table from an sf directory.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
-    epoch-nanoseconds. Convert with integer division (``div`` keeps long
-    precision — a double division would lose bits above 2⁵³) to a
-    microsecond timestamp, matching DuckDB's ``CAST(ts AS TIMESTAMP)``
-    truncation semantics.
+    ``events.ts`` has shipped in two physical forms across fixture
+    generations, and both must land as a session-TZ (UTC) TIMESTAMP whose
+    wall clock matches DuckDB's ``CAST(ts AS TIMESTAMP)``:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      arrives as epoch-nanos long; integer ``div`` (not double division,
+      which loses bits above 2⁵³) → microsecond timestamp.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ; a plain cast re-tags the naive value as UTC (the
+      session zone), preserving the wall clock exactly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         # defensive: the engine's own session factory sets this, but the
@@ -86,8 +90,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet throws PARQUET_TYPE_ILLEGAL otherwise; it is runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -6,20 +6,32 @@ micro-batch (bounded by ``maxFilesPerTrigger``). At 100 TB this is the
 same pattern used against a landing bucket — the source lists new files,
 so per-batch work scales with arriving data, not the table's history.
 
-``events.ts`` is parquet TIMESTAMP(NANOS); as in the batch loader
-(``sources/readers.py``) it arrives as epoch-nanos long under
-``spark.sql.legacy.parquet.nanosAsLong`` and is converted with integer
-division to a microsecond timestamp.
+``events.ts`` has shipped in two physical forms across fixture
+generations (see ``sources.readers.load_table``): TIMESTAMP(NANOS)
+(epoch-nanos long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ). A streaming
+reader must declare its schema up front, so we sniff the dtype with a
+driver-side batch schema probe of the same directory (footer-only, no
+scan) and pick the matching schema + conversion. Either way the stream
+carries a session-TZ (UTC) TIMESTAMP with the file's wall clock.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+def _events_ts_kind(spark: SparkSession, directory: str, glob: str) -> str:
+    """'nanos_long' | 'ntz' | 'ltz' — from a footer-only batch schema probe."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", glob).parquet(directory)
+    t = probe.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return "nanos_long"
+    if isinstance(t, TimestampNTZType):
+        return "ntz"
+    return "ltz"
 
 
 def read_events_stream(
@@ -35,14 +47,15 @@ def read_events_stream(
     test harness uses that to exercise watermark advancement across
     batches exactly as a production stream would see it.
     """
-    # same defense as sources.load_table: a session without the legacy conf
-    # rejects TIMESTAMP(NANOS) parquet outright
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
+    kind = _events_ts_kind(spark, directory, glob)
+    ts_type = {"nanos_long": "long", "ntz": "timestamp_ntz", "ltz": "timestamp"}[kind]
+    schema = f"event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(directory)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "nanos_long":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

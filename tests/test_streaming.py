@@ -38,7 +38,7 @@ def _split_events(out_dir: str, n_files: int = 4, copies: int = 1) -> None:
     ``ts`` is cast to int64 epoch-nanos — same shape the engine reads."""
     t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
     ts_idx = t.schema.get_field_index("ts")
-    t = t.set_column(ts_idx, "ts", t["ts"].cast("int64"))
+    t = t.set_column(ts_idx, "ts", t["ts"].cast("timestamp[ns]").cast("int64"))
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
     step = math.ceil(t.num_rows / n_files)
     base = time.time() - 3600
@@ -197,7 +197,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     t = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
     ts_idx = t.schema.get_field_index("ts")
-    t = t.set_column(ts_idx, "ts", t["ts"].cast("int64"))
+    t = t.set_column(ts_idx, "ts", t["ts"].cast("timestamp[ns]").cast("int64"))
     half = t.num_rows // 2
 
     def run_once():
