@@ -1,0 +1,159 @@
+"""Optimized-plan-hash manifest: automates the driver-window rule.
+
+Round ≤4 discipline was human-curated: "anything whose plan changed must
+be in DRIVER_WINDOW" enforced against a hand-maintained set
+(`_MUST_BE_IN_WINDOW`). A changed shared helper (e.g. ``tokens()``,
+``_gemm_pairs``) could silently invalidate an out-of-window verdict.
+
+This module replaces that with a committed manifest:
+
+- For every catalog query, a sha256 of its NORMALIZED optimized logical
+  plan text at sf0.01 (expression IDs, plan ids, statistics and run-local
+  artifact paths stripped). A helper edit that changes any query's plan
+  changes its hash — attribution is per-query and automatic.
+- Streaming queries execute their replay harness inside the builder, and
+  the returned memory-sink table's plan carries no logic — so for
+  ``streaming``-tagged entries the hash is over the SOURCE of the
+  streaming modules instead (coarser: any streaming-module edit flags all
+  five st* queries; conservative in the right direction).
+- ``source_sha`` records a hash per package source file at generation
+  time. The fast suite test recomputes those (no Spark) and fails if any
+  file changed since generation → a stale manifest cannot pass CI.
+- ``changed_vs_baseline`` is the plan-hash diff against
+  ``PLAN_BASELINE.json`` — the plans as of the LAST FULL VERIFICATION
+  (a ``tests.full_sweep`` run with zero fails, recorded in
+  ``CORRECTNESS_full_r{N}.json``). The suite asserts that diff ⊆
+  DRIVER_WINDOW — i.e. every query whose plan drifted from its verified
+  form gets a fresh driver verdict this round.
+
+Usage: python -m tests.plan_manifest            # regenerate live manifest
+       python -m tests.plan_manifest --baseline # re-baseline: ONLY valid
+           immediately after a zero-fail full sweep (it records which
+           sweep artifact vouches for the plans)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "etl_pipeline_telecom_spark"
+MANIFEST = os.path.join(REPO, "PLAN_MANIFEST.json")
+SF_DIR = "/root/testdata/sf0.01"
+BASELINE = os.path.join(REPO, "PLAN_BASELINE.json")
+
+# run-local noise in optimized-plan text, in strip order
+_NORMALIZERS = (
+    (re.compile(r"#\d+[L]?"), "#ID"),                      # expression IDs
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),               # object identity
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
+    (re.compile(r"stream_result_\d+"), "stream_result_N"),  # memory-sink names
+    (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
+    (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
+)
+
+
+def _normalize(plan: str) -> str:
+    for rx, sub in _NORMALIZERS:
+        plan = rx.sub(sub, plan)
+    return plan
+
+
+def _sha(text: str) -> str:
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def source_hashes() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, REPO)] = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return out
+
+
+def _streaming_source_hash() -> str:
+    parts = []
+    for rel in (
+        f"{PKG}/streaming/__init__.py",
+        f"{PKG}/streaming/jobs.py",
+        f"{PKG}/streaming/stateful.py",
+        f"{PKG}/plans/streaming.py",
+    ):
+        with open(os.path.join(REPO, rel), "rb") as fh:
+            parts.append(fh.read())
+    return "src:" + _sha(b"\n".join(parts).decode(errors="replace"))
+
+
+def compute_plan_hashes(spark, sf_dir: str = SF_DIR) -> dict[str, str]:
+    from etl_pipeline_telecom_spark import catalog
+
+    st_hash = _streaming_source_hash()
+    out: dict[str, str] = {}
+    for name, spec in catalog.specs().items():
+        if "streaming" in spec.tags:
+            out[name] = st_hash
+            continue
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        out[name] = _sha(_normalize(plan))
+    return out
+
+
+def _latest_sweep_artifact() -> str | None:
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")))
+    return os.path.basename(paths[-1]) if paths else None
+
+
+def generate(*, as_baseline: bool = False) -> dict:
+    from etl_pipeline_telecom_spark.session import get_spark
+
+    spark = get_spark("plan-manifest")
+    plans = compute_plan_hashes(spark)
+    if as_baseline:
+        sweep = _latest_sweep_artifact()
+        if sweep:
+            with open(os.path.join(REPO, sweep)) as f:
+                art = json.load(f)
+            if art.get("fails"):
+                raise SystemExit(f"refusing to baseline: {sweep} records fails {art['fails']}")
+        payload = {"verified_by": sweep, "plans": plans}
+        with open(BASELINE, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"baseline ({len(plans)} queries, vouched by {sweep}) -> {BASELINE}")
+
+    baseline_plans: dict[str, str] = {}
+    if os.path.exists(BASELINE):
+        with open(BASELINE) as f:
+            baseline_plans = json.load(f)["plans"]
+    changed = sorted(
+        n for n, h in plans.items() if baseline_plans.get(n) != h
+    )
+    payload = {
+        "sf_dir": SF_DIR,
+        "baseline": os.path.basename(BASELINE) if baseline_plans else None,
+        "source_sha": source_hashes(),
+        "plans": plans,
+        "changed_vs_baseline": changed,
+    }
+    with open(MANIFEST, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"{len(plans)} queries, {len(changed)} changed vs baseline -> {MANIFEST}")
+    for n in changed:
+        print(f"  changed: {n}")
+    return payload
+
+
+if __name__ == "__main__":
+    generate(as_baseline="--baseline" in sys.argv)

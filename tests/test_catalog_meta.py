@@ -21,22 +21,27 @@ def test_every_query_has_doc_and_tags():
         assert spec.tags, f"{name} has no tags"
 
 
+# every sql=None query must say why in its doc/source: iterative,
+# engine-specific, or watermark-dependent. a15 graduated to oracle-backed
+# in r3 (scalar quartile rows + exact cents interpolation + deterministic
+# sketch bound); d12_index_build is the r4 build step of the build/probe
+# split — the index contents are internal representation, the probe
+# (d12_persisted_lsh_probe) carries the d11 oracle that proves the build
+# result-neutral
+_JUSTIFIED_ROWS_ONLY = {
+    "a14_approx_distinct",
+    "a16_freq_items",
+    "d9_mllib_minhash",
+    "st3_stream_sessionize",
+    "d12_index_build",
+}
+
+
 def test_rows_only_queries_are_justified():
-    # every sql=None query must say why in its doc/source: iterative,
-    # engine-specific, or watermark-dependent
     rows_only = {n for n, s in SPECS.items() if s.sql is None}
-    # a15 graduated to oracle-backed in r3 (scalar quartile rows + exact
-    # cents interpolation + deterministic sketch bound); d12_index_build is
-    # the r4 build step of the build/probe split — the index contents are
-    # internal representation, the probe (d12_persisted_lsh_probe) carries
-    # the d11 oracle that proves the build result-neutral
-    assert rows_only == {
-        "a14_approx_distinct",
-        "a16_freq_items",
-        "d9_mllib_minhash",
-        "st3_stream_sessionize",
-        "d12_index_build",
-    }, f"new rows-only query needs an explicit justification: {rows_only}"
+    assert rows_only == _JUSTIFIED_ROWS_ONLY, (
+        f"new rows-only query needs an explicit justification: {rows_only}"
+    )
 
 
 def test_oracle_sql_has_no_unaliased_aggregates():
@@ -57,35 +62,17 @@ def test_query_names_are_stable_identifiers():
         assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
 
 
-# Window rule (ADVICE r2): anything NEW (no verdict yet) or whose
-# PLAN changed this round MUST sit in the driver's 50-entry window; proven
-# unchanged queries may rotate out.
-_MUST_BE_IN_WINDOW = {
-    # round-4 additions — first-ever driver verdict needed
-    "d12_index_build",
-    "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
-    "sm3_split_assign", "v8_embedding_decontam",
-    "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
-    "t11_bigram_topk", "st5_stream_static_join",
-    # plans materially changed in round 4: e4 linear rewrite, d12
-    # build/probe split, t9 hint drop, v1 guard, v4/v5/v6 tiled GEMM
-    # (v5 also carries the new hyperplane literals in plan AND oracle)
-    "e4_asof_join", "d12_persisted_lsh_probe", "t9_tfidf_topterms",
-    "v1_knn_brute", "v4_embedding_neardup", "v5_lsh_bucketed_neardup",
-    "v6_gemm_neardup",
-    # round-3 additions whose only verdict is r3 — kept in-window as
-    # canaries alongside a4/j2/d1
-    "d13_contamination_bloom", "v7_ivf_probe",
-}
+# Window rule (ADVICE r2): anything NEW (no verdict yet) or whose PLAN
+# changed this round MUST sit in the driver's 50-entry window; proven
+# unchanged queries may rotate out. Since r5 this is enforced
+# AUTOMATICALLY by the plan-hash manifest (tests/test_plan_manifest.py)
+# instead of a hand-curated set.
 
 
-def test_driver_window_covers_unverified_queries():
+def test_driver_window_leads_query_order():
     """The driver verifies only the first 50 entries of queries()."""
     names = list(catalog.queries())
     assert len(names) == len(set(names))
-    first50 = set(names[:50])
-    missing = _MUST_BE_IN_WINDOW - first50
-    assert not missing, f"queries with no driver verdict outside the window: {sorted(missing)}"
     assert list(names[: len(catalog.DRIVER_WINDOW)]) == list(catalog.DRIVER_WINDOW)
 
 
