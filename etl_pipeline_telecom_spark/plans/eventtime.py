@@ -86,9 +86,10 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "e3_session_window",
-    f"""WITH t AS (
+# shared with plans/streaming.py: the stateful streaming sessionizer
+# (st3) satisfies the same oracle once a sentinel replay closes every
+# real session (see streaming/jobs.py::replay_dir_with_sentinels)
+E3_SESSION_SQL = f"""WITH t AS (
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
        ), g AS (
          SELECT *, CASE WHEN LAG(t) OVER w IS NULL
@@ -105,7 +106,12 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               epoch_us(MAX(t)) + {_US_30M} AS session_end_us,
               COUNT(*) AS n_events,
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       FROM s GROUP BY user_id, sid""",
+       FROM s GROUP BY user_id, sid"""
+
+
+@register(
+    "e3_session_window",
+    E3_SESSION_SQL,
     tags=("eventtime", "session"),
     doc="Per-user session windows (30min gap); oracle is the classic "
     "gaps-and-islands rewrite. Session end = last event + gap, matching "

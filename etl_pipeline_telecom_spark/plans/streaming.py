@@ -10,9 +10,10 @@ check STREAMING results against the same SQL as the batch forms.
 - ``st2``: ``dropDuplicatesWithinWatermark`` — a bounded replay keeps
   exactly one row per key, so the deduped count equals DISTINCT.
 - ``st3``: custom stateful sessionizer (``applyInPandasWithState``) —
-  which sessions CLOSE depends on watermark advancement across
-  micro-batches, so the full result is not SQL-expressible → rows-only
-  here; exact subset/parity assertions live in tests/test_streaming.py.
+  which sessions CLOSE depends on watermark advancement, so the replay
+  appends two far-future sentinel files (one per micro-batch) that drive
+  the watermark past every real session's timeout; with all sessions
+  closed, the batch session SQL is an exact oracle.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from .eventtime import E1_TUMBLING_SQL
+from .eventtime import E1_TUMBLING_SQL, E3_SESSION_SQL
 
 
 @register(
@@ -63,18 +64,22 @@ def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st3_stream_sessionize",
-    None,  # closure set depends on micro-batch watermark progress → rows-only
+    E3_SESSION_SQL,
     tags=("streaming", "stateful"),
     doc="Custom stateful sessionizer (applyInPandasWithState, event-time "
-    "timeout). Exact parity with e3_session_window asserted in tests",
+    "timeout), replayed one file per micro-batch with two far-future "
+    "sentinel events so the watermark closes EVERY real session — the "
+    "emitted set then equals the batch session set exactly, making e3's "
+    "gaps-and-islands SQL a valid oracle (was rows-only through r4)",
 )
 def st3_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import sessionize_with_state
-    from ..streaming.jobs import stream_events_dir_as_batch
+    from ..streaming import read_events_stream, sessionize_with_state
+    from ..streaming.jobs import replay_dir_with_sentinels, run_available_now
 
-    return stream_events_dir_as_batch(
-        spark, sf_dir, sessionize_with_state, glob="events.parquet"
-    )
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    out, _ = run_available_now(sessionize_with_state(stream))
+    return out.where(F.col("user_id") >= 0)
 
 
 @register(

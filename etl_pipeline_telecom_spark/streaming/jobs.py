@@ -17,7 +17,10 @@ stream would run append mode with the same plans.
 
 from __future__ import annotations
 
+import datetime as dt
 import itertools
+import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -257,3 +260,69 @@ def stream_static_enriched_counts(
             "sum_value",
         )
     )
+
+
+def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> str:
+    """Stage a replay directory that forces every real session to CLOSE.
+
+    The stateful sessionizer (``stateful.sessionize_with_state``) emits a
+    session only when it closes — superseded by a later event, or flushed
+    by the event-time watermark. On a plain bounded replay the last open
+    session per user never closes, so the result was not oracle-checkable
+    (rows-only until r5). The fix is pure event-time mechanics, the same
+    trick a backfill job uses to drain state: append two far-future
+    SENTINEL events (user_id = -1) in their own files with ascending
+    mtimes. Replayed one file per micro-batch:
+
+    - batch 1: the real events — sessions computed, last-per-user open;
+    - batch 2: sentinel #1 advances the watermark past every real
+      session's end + gap;
+    - batch 3: sentinel #2 triggers the event-time timeouts (timers fire
+      against the batch-2 watermark), flushing ALL remaining real state.
+
+    Sentinel rows are filtered out of the result (user_id < 0), making
+    the emitted set EXACTLY the batch session set — so the batch
+    session-window SQL becomes a valid exact oracle for the streaming
+    stateful operator.
+
+    The staged dir is keyed by source path+mtime under /tmp and reused;
+    the events file itself is byte-copied (schema-preserving for either
+    fixture generation — see ``streaming/source.py``).
+    """
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, glob)
+    key = hashlib.md5(f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"spark_graft_st3_replay_{key}")
+    done = os.path.join(out_dir, "_STAGED")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.copyfile(src, os.path.join(out_dir, "00_events.parquet"))
+
+    t = pq.read_table(src)
+    schema = t.schema
+    max_ts = pc.max(t["ts"]).as_py()  # datetime (ns or µs unit — arrow handles both)
+    year = dt.timedelta(days=365)
+    base = time.time() - 3600
+    os.utime(os.path.join(out_dir, "00_events.parquet"), (base, base))
+    for i, delta in enumerate((year, year + dt.timedelta(days=30)), start=1):
+        row = {
+            "event_id": pa.array([-i], type=schema.field("event_id").type),
+            "ts": pa.array([max_ts + delta], type=schema.field("ts").type),
+            "user_id": pa.array([-1], type=schema.field("user_id").type),
+            "event_type": pa.array(["click"], type=schema.field("event_type").type),
+            "value": pa.array([0.0], type=schema.field("value").type),
+            "props": pa.array(["{}"], type=schema.field("props").type),
+        }
+        path = os.path.join(out_dir, f"{i:02d}_sentinel.parquet")
+        pq.write_table(pa.table([row[f.name] for f in schema], schema=schema), path)
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir

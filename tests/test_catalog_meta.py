@@ -28,11 +28,12 @@ def test_every_query_has_doc_and_tags():
 # split — the index contents are internal representation, the probe
 # (d12_persisted_lsh_probe) carries the d11 oracle that proves the build
 # result-neutral
+# st3 graduated to oracle-backed in r5 (sentinel-replay closes all
+# sessions → e3's SQL is exact)
 _JUSTIFIED_ROWS_ONLY = {
     "a14_approx_distinct",
     "a16_freq_items",
     "d9_mllib_minhash",
-    "st3_stream_sessionize",
     "d12_index_build",
 }
 
