@@ -118,6 +118,13 @@ def _load_all_plans() -> None:
 # d12_index_build already displaced p1_projection_ops). Everything else
 # keeps its r1-r3 verdict; this tuple is the explicit, test-asserted
 # window.
+#
+# Round 5: the window rule is now enforced AUTOMATICALLY — every query
+# whose normalized optimized-plan hash drifts from PLAN_BASELINE.json
+# (the plans as of the last zero-fail full sweep) must appear here
+# (tests/test_plan_manifest.py). r5 rotations: IN — a14/a16 (rows-only →
+# bound-check oracle forms), st3 (sentinel-replay oracle; already in).
+# OUT — a8_pivot_rate, a11_null_counts (r4-green, plans unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -138,7 +145,8 @@ DRIVER_WINDOW = (
     "pipe1_corpus_clean", "p2_upsert_latest",
     "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",
     "w9_ntile_buckets",
-    "a8_pivot_rate", "a11_null_counts",
+    # r5 sketch graduations (plans changed: bound-check oracle forms)
+    "a14_approx_distinct", "a16_freq_items",
     # round-2 queries re-proven as canaries
     "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
     "d11_incremental_dedup", "t8_chunk_dedup",

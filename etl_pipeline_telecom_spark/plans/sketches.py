@@ -27,16 +27,36 @@ from ..sources import load_table
 
 @register(
     "a14_approx_distinct",
-    None,  # HLL estimates are engine-specific → rows-only; error-bounded in tests
+    """SELECT l_returnflag AS grp,
+              COUNT(DISTINCT l_orderkey) AS exact_orders,
+              TRUE AS within_bound
+       FROM lineitem GROUP BY 1""",
     tags=("sketch", "approx"),
-    doc="HLL++ approx_count_distinct of order keys vs the exact count — the "
-    "fixed-memory, map-side-mergeable form of a2_distinct_count",
+    doc="HLL++ approx_count_distinct of order keys per return flag, emitted "
+    "as (group, exact count, within-5%%-of-exact boolean). The sketch "
+    "estimate itself is engine-specific, but it is a DETERMINISTIC "
+    "function of the data, so the bound check is a stable value the "
+    "oracle can assert TRUE (graduated from rows-only in r5 per VERDICT "
+    "r4 #7; the raw-estimate form was rows-only through r4). At 100 TB "
+    "only the fixed-memory sketch side runs; the exact count_distinct "
+    "here is the verification anchor",
 )
 def a14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    return (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "grp",
+            "exact_orders",
+            (
+                F.abs(F.col("approx") - F.col("exact_orders"))
+                <= F.col("exact_orders") * F.lit(0.05)
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -116,17 +136,42 @@ def p1_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A16_SUPPORT = 0.15
+
+
 @register(
     "a16_freq_items",
-    None,  # single-pass heavy-hitter sketch — superset guarantee tested instead
+    f"""SELECT COUNT(*) AS n_heavy, TRUE AS all_heavy_found
+       FROM (SELECT o_orderpriority, COUNT(*) AS c FROM orders GROUP BY 1),
+            (SELECT COUNT(*) AS n FROM orders)
+       WHERE c > n * {_A16_SUPPORT}""",
     tags=("sketch", "approx", "heavy-hitters"),
-    doc="freqItems heavy-hitter sketch over order priorities: one pass, "
-    "fixed memory; guaranteed superset of all items above the support "
-    "threshold (may include false positives, never misses)",
+    doc="freqItems heavy-hitter sketch over order priorities, emitted as "
+    "(number of true heavy hitters, sketch-covers-them-all boolean). The "
+    "sketch's contract — a superset of every item with frequency > "
+    "support, never a miss — makes the coverage boolean deterministic, "
+    "so the oracle can assert it TRUE against the exactly-computed heavy "
+    "set (graduated from rows-only in r5 per VERDICT r4 #7). The two "
+    "cross joins are 1-row scalar-count broadcasts, not data cartesians",
 )
 def a16_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.stat.freqItems(["o_orderpriority"], support=0.15)
+    fi = orders.stat.freqItems(["o_orderpriority"], support=_A16_SUPPORT)
+    cnts = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("c"))
+    tot = orders.agg(F.count(F.lit(1)).alias("n"))
+    heavy = cnts.join(F.broadcast(tot)).where(
+        F.col("c") > F.col("n") * F.lit(_A16_SUPPORT)
+    )
+    return (
+        heavy.join(F.broadcast(fi))
+        .select(
+            F.array_contains("o_orderpriority_freqItems", F.col("o_orderpriority")).alias("hit")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.coalesce(F.bool_and("hit"), F.lit(True)).alias("all_heavy_found"),
+        )
+    )
 
 
 @register(

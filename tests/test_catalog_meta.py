@@ -28,11 +28,12 @@ def test_every_query_has_doc_and_tags():
 # split — the index contents are internal representation, the probe
 # (d12_persisted_lsh_probe) carries the d11 oracle that proves the build
 # result-neutral
-# st3 graduated to oracle-backed in r5 (sentinel-replay closes all
-# sessions → e3's SQL is exact)
+# r5 graduations: st3 (sentinel-replay closes all sessions → e3's SQL is
+# exact), a14/a16 (sketch outputs recast as deterministic bound/coverage
+# booleans the oracle asserts TRUE). Remaining two: d9 exposes MLlib's
+# internal signature representation; d12_index_build's output is the
+# index internals whose correctness the probe's d11 oracle carries.
 _JUSTIFIED_ROWS_ONLY = {
-    "a14_approx_distinct",
-    "a16_freq_items",
     "d9_mllib_minhash",
     "d12_index_build",
 }

@@ -14,9 +14,10 @@ from etl_pipeline_telecom_spark.plans.sketches import (
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    row = a14_approx_distinct(spark, sf_dir).collect()[0]
-    rel_err = abs(row["approx_orders"] - row["exact_orders"]) / row["exact_orders"]
-    assert rel_err < 0.05, f"HLL rel err {rel_err:.4f} vs exact {row['exact_orders']}"
+    rows = a14_approx_distinct(spark, sf_dir).collect()
+    assert rows, "no groups"
+    for row in rows:
+        assert row["within_bound"], f"HLL outside 5% bound for {row['grp']}"
 
 
 def test_percentile_approx_close_to_exact(spark, sf_dir):
@@ -49,13 +50,17 @@ def test_freq_items_contains_true_heavy_hitters(spark, sf_dir):
     from etl_pipeline_telecom_spark.sources import load_table
     import pyspark.sql.functions as F
 
-    found = set(a16_freq_items(spark, sf_dir).collect()[0][0])
+    row = a16_freq_items(spark, sf_dir).collect()[0]
+    assert row["n_heavy"] > 0, "fixture should have heavy hitters at 15% support"
+    assert row["all_heavy_found"]  # sketch may over-report, must never miss
+
+    # independent raw-sketch check (the catalog form folds this to a boolean)
     orders = load_table(spark, sf_dir, "orders")
+    found = set(orders.stat.freqItems(["o_orderpriority"], support=0.15).collect()[0][0])
     total = orders.count()
     true_heavy = {
         r["o_orderpriority"]
         for r in orders.groupBy("o_orderpriority").count().collect()
         if r["count"] / total > 0.15
     }
-    assert true_heavy, "fixture should have heavy hitters at 15% support"
-    assert true_heavy <= found  # sketch may over-report, must never miss
+    assert true_heavy <= found
