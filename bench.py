@@ -12,13 +12,16 @@ to invert the recorded signal (BENCH_r02's single warm sample recorded
 32.4s under load for a ~15s engine). "queries_cold" keeps the first-run
 numbers (includes per-query warmup effects) for the ops-facing view.
 Metric definition history: r1 = single cold-ish run; r2 = single warm run;
-r3 = min-of-2 warm over 20 queries; r4+ = min-of-2 warm over 33 queries —
+r3 = min-of-2 warm over 20 queries; r4 = min-of-2 warm over 33 queries —
 the four r3-new operators (t9, v7, d12 probe, d13) joined per VERDICT r3
 item 7 and the nine mid-r4 operators (t10, e6, p2, sm3, v8, e7, w9, a18,
-t11) joined on creation; the metric name carries the query count so totals are never
-compared across different sets ("value_20q_r3_compat" preserves the
-r3-comparable sum). A warm>cold query is a load-noise
-signature and is reported on stderr, never in the JSON line.
+t11) joined on creation; r5+ = min-of-5 warm with per-query stddev
+("queries_std") per VERDICT r4 item 4 — the r4 "+10% drift" needed
+dispersion to be diagnosable (it was load noise: r5 re-measured v4 at
+its r3 time). The metric name carries the query count so totals are
+never compared across different sets ("value_20q_r3_compat" preserves
+the r3-comparable sum). A warm>cold query is a load-noise signature and
+is reported on stderr, never in the JSON line.
 """
 
 from __future__ import annotations
@@ -72,7 +75,7 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
-    WARM_RUNS = 2
+    WARM_RUNS = 5
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -80,11 +83,17 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     cold = {name: timed(name) for name in names}
-    warm: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    # interleaved rounds (not per-query bursts) so one load spike spreads
+    # across queries instead of poisoning one query's whole sample
     for _ in range(WARM_RUNS):
         for name in names:
-            t = timed(name)
-            warm[name] = min(warm.get(name, t), t)
+            samples[name].append(timed(name))
+    warm = {name: min(s) for name, s in samples.items()}
+    std = {
+        name: round((sum((x - sum(s) / len(s)) ** 2 for x in s) / len(s)) ** 0.5, 3)
+        for name, s in samples.items()
+    }
     for name in names:
         if warm[name] > cold[name]:
             print(
@@ -104,17 +113,21 @@ def main() -> None:
         "sm3_split_assign", "v8_embedding_decontam",
         "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
         "t11_bigram_topk", "st5_stream_static_join",
+        # r5 additions
+        "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
+        "sm4_weighted_sample", "dq3_outlier_bands",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     print(
         json.dumps(
             {
-                "metric": f"headline_queries_total_wall_warm_min2_{len(names)}q",
+                "metric": f"headline_queries_total_wall_warm_min{WARM_RUNS}_{len(names)}q",
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(names),
                 "value_20q_r3_compat": compat_20q,
                 "queries": warm,
+                "queries_std": std,
                 "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

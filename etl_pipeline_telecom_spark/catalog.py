@@ -147,9 +147,10 @@ DRIVER_WINDOW = (
     "w9_ntile_buckets",
     # r5 sketch graduations (plans changed: bound-check oracle forms)
     "a14_approx_distinct", "a16_freq_items",
-    # round-2 queries re-proven as canaries
-    "t6_repetition_stats", "t7_doc_chunks", "d10_contamination_check",
-    "d11_incremental_dedup", "t8_chunk_dedup",
+    # r5 additions — first-ever driver verdict needed (displacing the
+    # r2-era canaries t6/t7/t8/d10/d11, all r4-green with unchanged plans)
+    "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
+    "sm4_weighted_sample", "dq3_outlier_bands",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
     "j6_star_join",
     # round-3 queries + the round-4 build/probe split (build MUST precede

@@ -320,3 +320,72 @@ def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorted.groupBy("cohort_us", offset.alias("week_offset")).agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "e8_funnel_steps",
+    """WITH b AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+         FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+       ), w1 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'signup' THEN t END)
+                     OVER (PARTITION BY user_id) AS t1 FROM b
+       ), w2 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'click' AND t > t1 THEN t END)
+                     OVER (PARTITION BY user_id) AS t2 FROM w1
+       ), w3 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > t2 THEN t END)
+                     OVER (PARTITION BY user_id) AS t3 FROM w2
+       ), u AS (
+         SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+         FROM w3 GROUP BY user_id
+       )
+       SELECT 'step1_signup' AS funnel_step, COUNT(t1) AS users FROM u
+       UNION ALL SELECT 'step2_click' AS funnel_step, COUNT(t2) AS users FROM u
+       UNION ALL SELECT 'step3_purchase' AS funnel_step, COUNT(t3) AS users FROM u""",
+    tags=("eventtime", "funnel", "headline"),
+    doc="Ordered conversion funnel (signup → later click → later purchase): "
+    "per-user step timestamps via three chained unordered windows over ONE "
+    "user_id partitioning — each step's min-timestamp condition references "
+    "the previous step's, so the sequence constraint is enforced without "
+    "self-joins, arrays, or per-user sorts; the final per-user collapse and "
+    "step counts reuse the same hash partitioning (one exchange total). At "
+    "100 TB this is the shape that survives a hot user: windows and agg "
+    "are all partial-aggregatable and state per user is three timestamps",
+)
+def e8_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    steps = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    u = steps.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = u.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'step1_signup', c1, 'step2_click', c2, 'step3_purchase', c3) "
+            "AS (funnel_step, users)"
+        )
+    )

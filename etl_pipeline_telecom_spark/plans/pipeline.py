@@ -192,3 +192,33 @@ def p2_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("op"),
     )
+
+
+@register(
+    "p3_scd2_intervals",
+    """SELECT user_id, event_id, value,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+              LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to_us
+       FROM events""",
+    tags=("pipeline", "scd2", "upsert", "headline"),
+    doc="SCD-2 history build: each user's event stream becomes versioned "
+    "rows with [valid_from, valid_to) intervals — valid_to is the next "
+    "version's timestamp (event_id tie-break), NULL marks the current row. "
+    "The complement of p2's SCD-1 latest-wins merge: ONE shuffle (the "
+    "user_id window partitioning), per-row state is a single lead() "
+    "lookahead within the sorted partition — no self-join against the "
+    "history, which is what makes the dimension rebuild feasible when "
+    "the change stream is 100 TB",
+)
+def p3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )

@@ -9,6 +9,7 @@ must all agree cross-engine.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
@@ -90,4 +91,60 @@ def dq2_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_domain("o_orderstatus", {"F", "O", "P"}, as_violations=True),
             expect_row_count(1),
         ],
+    )
+
+
+@register(
+    "dq3_outlier_bands",
+    """WITH m AS (
+         SELECT l_returnflag, COUNT(*) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+         FROM lineitem GROUP BY l_returnflag
+       ), b AS (
+         SELECT l_returnflag, n, sx / n AS mu,
+                sqrt((sxx - sx * sx / n) / n) AS sigma
+         FROM m
+       )
+       SELECT li.l_returnflag, MAX(b.n) AS n_rows,
+              CAST(SUM(CASE WHEN ABS(CAST(li.l_extendedprice AS DECIMAL(18,2))
+                                    - b.mu) > 2 * b.sigma
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+       GROUP BY li.l_returnflag""",
+    tags=("quality", "statistics", "outliers", "headline"),
+    doc="Per-group 2-sigma outlier screen on extended price — the "
+    "data-quality anomaly band every ingest pipeline runs before "
+    "training-data admission. mu/sigma come from exact decimal moment "
+    "sums (the a18 discipline: identical doubles cross-engine, sqrt is "
+    "IEEE-correctly-rounded), then ONE broadcast join of the per-group "
+    "bounds back onto the scan — the fact table never shuffles, the "
+    "outlier count aggregates map-side; both passes are plain scans, the "
+    "correct two-pass shape for a 100 TB z-score screen",
+)
+def dq3_outlier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    bounds = m.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("n"),
+        (F.col("sx") / n).alias("mu"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / n).alias("sigma"),
+    )
+    return (
+        li.join(F.broadcast(bounds), li["l_returnflag"] == bounds["rf"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.sum(
+                F.when(F.abs(d - F.col("mu")) > 2 * F.col("sigma"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
     )

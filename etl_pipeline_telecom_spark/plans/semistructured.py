@@ -209,3 +209,42 @@ def x2_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "user_id", F.array_join(F.array_sort(entries), ",").alias("type_counts")
     )
+
+
+# cross-engine deterministic bucket in [0, 1000): md5-hex prefix, the
+# same technique as sm1/sm3 (Spark conv() ≡ DuckDB from_hex via UBIGINT)
+_SQL_BUCKET1000 = (
+    "CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 1000"
+)
+
+
+@register(
+    "sm4_weighted_sample",
+    f"""WITH w AS (
+          SELECT lang,
+                 LEAST(0.9, GREATEST(0.1, n_chars / 2000.0)) AS keep_p,
+                 {_SQL_BUCKET1000} AS bucket
+          FROM documents)
+        SELECT lang, COUNT(*) AS kept
+        FROM w WHERE bucket < keep_p * 1000.0
+        GROUP BY lang""",
+    tags=("sampling", "weighted", "headline"),
+    doc="Quality-weighted corpus sampling: each document's keep probability "
+    "scales with document length (clamped to [0.1, 0.9] — the standard "
+    "up-weight-long-documents heuristic for LLM training mixes), realized "
+    "as a DETERMINISTIC per-key hash-bucket threshold instead of rand() — "
+    "reproducible across engines, partitionings, reruns, and resumes, "
+    "which is what makes a 100 TB sampling job restartable. Pure "
+    "scan-side predicate + one hash agg; no shuffle of the kept rows",
+)
+def sm4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 1000
+    keep_p = F.least(F.lit(0.9), F.greatest(F.lit(0.1), F.col("n_chars") / F.lit(2000.0)))
+    return (
+        docs.where(bucket < keep_p * F.lit(1000.0))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )

@@ -248,3 +248,62 @@ def a18_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", F.col("n").alias("n_rows"), F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+# 2025-01-01 UTC — recenters epoch seconds so the decimal moment sums
+# (notably Σx²) stay far inside DECIMAL(38) even at 1000× the probed data
+_A19_X0 = 1_735_689_600
+
+_SQL_A19 = f"""WITH b AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - {_A19_X0}
+                  AS DECIMAL(18,0)) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope_per_sec,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+             AS intercept
+    FROM m"""
+
+
+@register(
+    "a19_grouped_regression",
+    _SQL_A19,
+    tags=("agg", "statistics", "regression", "headline"),
+    doc="Grouped least-squares trend (value vs. time per event type) from "
+    "exact decimal moment sums — same discipline as a18: x is epoch "
+    "seconds recentered to 2025-01-01 (integral, so x·y and x² are exact "
+    "decimals; Σx² stays < 10³⁸ even at 1000× data), the five sums "
+    "convert to identical doubles in both engines, and slope/intercept "
+    "are the same closed-form IEEE expression on the same operands. ONE "
+    "map-side-combining hash aggregate — five numbers per group in "
+    "flight, the correct 100 TB shape for any per-group OLS fit",
+)
+def a19_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.expr("unix_micros(ts) div 1000000") - F.lit(_A19_X0)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    m = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.round(slope, 12).alias("slope_per_sec"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 9).alias("intercept"),
+    )

@@ -58,6 +58,51 @@ PROBES = [
     "v8_embedding_decontam",
 ]
 
+# r4 probe additions that are kept for round-over-round comparability
+PROBES += [
+    "e4_asof_join",
+    "d12_index_build",
+    "d12_persisted_lsh_probe",
+    "d13_contamination_bloom",
+    "t9_tfidf_topterms",
+    "v7_ivf_probe",
+    "a18_exact_corr",
+    "sm3_split_assign",
+    "t10_bpe_pretokenize",
+    "w9_ntile_buckets",
+]
+
+# r5 additions (VERDICT r4 #5): the previously-unprobed families —
+# windows, set ops, reshape, semi-structured/sampling, parity aggregates,
+# and the two sketches that graduated to bound-check oracle forms in r5.
+# Low-risk shapes (single hash agg / window / scan), which is exactly why
+# a cheap probe row closes the 100× claim for them.
+PROBES += [
+    "w1_rank_topk_per_group",
+    "w3_running_sum",
+    "w5_rollup",
+    "w8_pct_rank_cume",
+    "s1_union_distinct",
+    "s3_intersect",
+    "r1_unpivot_measures",
+    "r2_orders_by_month",
+    "x2_event_type_map",
+    "sm1_hash_sample",
+    "sm2_stratified_sample",
+    "a8_pivot_rate",
+    "a11_null_counts",
+    "a13_median",
+    "a15_percentile_approx",
+    "a17_grouped_percentiles",
+    "a14_approx_distinct",
+    "a16_freq_items",
+]
+
+#: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
+#: fixture against the uniform sf0.1 baseline, same gate as everything
+#: else — a salting/AQE failure shows up as a straggler-cliff ratio
+SKEW_PROBES = ["j7_salted_join", "e3_session_window", "p2_upsert_latest"]
+
 _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 _JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") + _BAD_PLAN_NODES
 
@@ -220,11 +265,20 @@ def _bnlj_allowed() -> set[str]:
     return _BNLJ_ALLOWED
 
 
-def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
-    import json
-
+def probe(
+    spark: SparkSession,
+    names: list[str],
+    strict: bool = False,
+    *,
+    big: str | None = None,
+    tag: str = "",
+) -> tuple[int, list[dict]]:
+    """Warm-time each query at sf0.1 and at ``big`` (default OUT); returns
+    (strict violation count, result rows). ``tag`` marks variant runs
+    (e.g. ``[skew]``) in the recorded query names."""
     from etl_pipeline_telecom_spark import catalog
 
+    big_dir = big or OUT
     qs = catalog.queries()
     # warm python workers once (mapInPandas spin-up is ~1-2s for 32 workers)
     spark.range(spark.sparkContext.defaultParallelism).repartition(
@@ -233,46 +287,41 @@ def probe(spark: SparkSession, names: list[str], strict: bool = False) -> int:
 
     violations = 0
     results = []
-    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  joins@sf1 (flags)")
+    print(f"{'query':28s} {'sf0.1':>8s} {'big':>8s} {'ratio':>7s}  joins@big (flags)")
     for name in names:
         fn = qs[name]
         timings = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", OUT)):
+        for label, sf_dir in (("sf0.1", SRC), ("big", big_dir)):
             fn(spark, sf_dir).count()  # cold
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             timings[label] = time.perf_counter() - t0
-        plan = _plan_text(fn(spark, OUT))
+        plan = _plan_text(fn(spark, big_dir))
         joins = sorted({n for n in _JOIN_NODES if n in plan})
         bad = [
             n for n in _BAD_PLAN_NODES
             if n in plan and not (n == "BroadcastNestedLoopJoin" and name in _bnlj_allowed())
         ]
         violations += len(bad)
-        ratio = timings["sf1"] / max(timings["sf0.1"], 1e-9)
+        ratio = timings["big"] / max(timings["sf0.1"], 1e-9)
         results.append(
             {
-                "query": name,
+                "query": name + tag,
                 "t_small_warm_sec": round(timings["sf0.1"], 3),
-                "t_big_warm_sec": round(timings["sf1"], 3),
+                "t_big_warm_sec": round(timings["big"], 3),
                 "ratio": round(ratio, 1),
                 "joins": joins,
                 "disallowed_plan_nodes": bad,
             }
         )
         print(
-            f"{name:28s} {timings['sf0.1']:8.2f} {timings['sf1']:8.2f} {ratio:6.1f}x  "
+            f"{name + tag:28s} {timings['sf0.1']:8.2f} {timings['big']:8.2f} {ratio:6.1f}x  "
             + ",".join(joins)
             + ("  ⚠ " + ",".join(bad) if bad else "")
         )
-    # machine-readable record next to the fixture dir; copy to the repo
-    # root (e.g. SCALE_r{N}.json) to commit a run as round evidence —
-    # tests/test_scale_gate.py validates the committed copy
-    with open(OUT.rstrip("/") + "_probe.json", "w") as fh:
-        json.dump({"small": SRC, "big": OUT, "queries": results}, fh, indent=1)
     if strict and violations:
         print(f"STRICT: {violations} disallowed nested-loop/cartesian plan(s)")
-    return violations if strict else 0
+    return (violations if strict else 0), results
 
 
 def main() -> int:
@@ -281,7 +330,7 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from etl_pipeline_telecom_spark.session import get_spark
 
-    global OUT
+    global OUT, SKEW_OUT
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = 10
     for a in sys.argv[1:]:
@@ -290,6 +339,7 @@ def main() -> int:
         elif a.startswith("--out="):
             # e.g. --copies=100 --out=.scratch/sf10 for a 100× probe
             OUT = os.path.abspath(a.split("=", 1)[1])
+            SKEW_OUT = OUT + "skew"
     if args:
         # filters select from the FULL catalog, so any query can be probed ad hoc
         from etl_pipeline_telecom_spark import catalog as _cat
@@ -305,16 +355,36 @@ def main() -> int:
         # OUT, not a --out override
         synthesize(spark, out=OUT, copies=copies)
         print(f"synthesized in {time.perf_counter() - t0:.1f}s")
+    strict = "--strict" in sys.argv
+    violations, results = probe(spark, names, strict=strict)
     if "--skew" in sys.argv:
         if not os.path.exists(os.path.join(SKEW_OUT, "events.parquet")):
             print(f"synthesizing hot-key variant → {SKEW_OUT}")
-            synthesize_skew(spark)
-        skew_default = ["e1_tumbling_window", "e3_session_window", "j5_left_join_agg", "j7_salted_join"]
-        probe_skew(spark, names if args else skew_default)
-        return 0
+            synthesize_skew(spark, src=OUT, out=SKEW_OUT)
+        skew_names = [n for n in (names if args else SKEW_PROBES) if n in _all_names()]
+        v2, skew_results = probe(spark, skew_names, strict=strict, big=SKEW_OUT, tag="[skew]")
+        violations += v2
+        results += skew_results
+    # machine-readable record next to the fixture dir; copy to the repo
+    # root (e.g. SCALE_r{N}.json) to commit a run as round evidence —
+    # tests/test_scale_gate.py validates the committed copy
+    import json
+
+    with open(OUT.rstrip("/") + "_probe.json", "w") as fh:
+        json.dump(
+            {"small": SRC, "big": OUT, "copies": copies,
+             "strict_violations": violations, "queries": results},
+            fh, indent=1,
+        )
     # --strict: disallowed BNLJ/cartesian plans become a nonzero exit code
     # (the CI-able form of the ⚠ flags; allowlist matches test_plan_shapes)
-    return 1 if probe(spark, names, strict="--strict" in sys.argv) else 0
+    return 1 if violations else 0
+
+
+def _all_names() -> list[str]:
+    from etl_pipeline_telecom_spark import catalog
+
+    return list(catalog.queries())
 
 
 if __name__ == "__main__":

@@ -137,6 +137,10 @@ _BNLJ_ALLOWED = {
                          # #hours (from a 1-row bounds agg) × #types —
                          # bounded by wall-clock range and the type enum,
                          # never by corpus size
+    "a16_freq_items",    # two 1-row broadcasts: the scalar total-count and
+                         # the freqItems sketch row joined onto the
+                         # |domain|-row heavy-candidate set — both sides
+                         # aggregated, never corpus-sized
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -227,3 +231,34 @@ def test_embedding_decontam_never_materializes_pair_rows(spark, sf_dir):
         assert bad not in plan, f"v8: {bad} appeared"
     n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
     assert n_shuffles == 2, f"v8: expected one cogroup shuffle per side:\n{plan}"
+
+
+def test_funnel_is_single_shuffle_no_join(spark, sf_dir):
+    """e8: three chained step-windows + the per-user collapse all share ONE
+    user_id hash partitioning; the sequence constraint must never become a
+    self-join (which would materialize clicks × signups per user)."""
+    plan = _plan(spark, sf_dir, "e8_funnel_steps")
+    # one user_id hash exchange; the other allowed Exchange is the
+    # SinglePartition collapse of the three scalar counts
+    assert plan.count("hashpartitioning(user_id") == 1, "funnel gained a data shuffle"
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"funnel grew a join: {bad}"
+
+
+def test_scd2_intervals_single_shuffle_no_join(spark, sf_dir):
+    """p3: one window over (user_id sorted by ts) — a lead() lookahead, not
+    a self-join against the history."""
+    plan = _plan(spark, sf_dir, "p3_scd2_intervals")
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_outlier_bands_broadcast_bounds_no_fact_shuffle(spark, sf_dir):
+    """dq3: the per-group mu/sigma bounds (rows = |groups|) broadcast back
+    onto a second scan; the fact table itself must never shuffle — only
+    partial-agg rows move."""
+    plan = _plan(spark, sf_dir, "dq3_outlier_bands")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in plan, f"bounds join stopped broadcasting: {bad}"

@@ -70,3 +70,23 @@ def test_every_probed_query_scales_sublinearly():
         if q["ratio"] > MAX_RATIO
     }
     assert not over, f"queries slower than {MAX_RATIO}× at 100× data: {over}"
+
+
+def test_skew_probes_present_and_bounded():
+    """r5+: hot-key variants (30% of events on one user / 30% of orders on
+    one customer at 100×) must be probed for the skew-sensitive shapes and
+    stay inside the same gate — a salting/AQE regression shows up as a
+    straggler cliff here."""
+    rec = _latest_record()
+    probed = {q["query"]: q["ratio"] for q in rec["queries"]}
+    required_skew = {
+        "j7_salted_join[skew]",
+        "e3_session_window[skew]",
+        "p2_upsert_latest[skew]",
+    }
+    missing = required_skew - set(probed)
+    if missing and not any("[skew]" in q for q in probed):
+        pytest.skip("record predates skew probes")
+    assert not missing, f"missing skew evidence: {sorted(missing)}"
+    over = {q: r for q, r in probed.items() if q in required_skew and r > MAX_RATIO}
+    assert not over, f"skew straggler cliff: {over}"
