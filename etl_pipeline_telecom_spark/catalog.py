@@ -134,14 +134,13 @@ DRIVER_WINDOW = (
     "e1_tumbling_window", "e3_session_window", "e4_asof_join",
     "e6_gap_fill",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
-    "st5_stream_static_join",
+    "st5_stream_static_join", "st6_stream_maintained_rollup",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features", "m3_media_type_stats",
     "dq1_lineitem_checks", "dq2_orders_checks",
     "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
     "x1_json_extract",
-    "sm1_hash_sample", "sm3_split_assign",
-    "g1_grouped_median",
+    "sm3_split_assign", "d14_fuzzy_name_pairs",
     "pipe1_corpus_clean", "p2_upsert_latest",
     "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",
     "w9_ntile_buckets",

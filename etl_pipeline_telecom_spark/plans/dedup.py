@@ -811,3 +811,48 @@ def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+@register(
+    "d14_fuzzy_name_pairs",
+    """SELECT a.s_name AS name_a, b.s_name AS name_b,
+              levenshtein(a.s_name, b.s_name) AS dist
+       FROM supplier a JOIN supplier b
+         ON a.s_name < b.s_name AND LENGTH(a.s_name) = LENGTH(b.s_name)
+       WHERE levenshtein(a.s_name, b.s_name) <= 1""",
+    tags=("dedup", "fuzzy", "record-linkage"),
+    doc="Fuzzy record linkage: supplier-name pairs within edit distance 1, "
+    "found by POSITION-MASK blocking — each name emits L variants with one "
+    "character wildcarded, equal masks are candidates, candidates are "
+    "verified with levenshtein and deduped. Linear in names×L, quadratic "
+    "only inside identical-mask buckets (true near-duplicate groups) — "
+    "never an all-pairs self-join, which is what makes 10⁹-row linkage "
+    "feasible; the O(n²) form survives only as the ORACLE. Same-length "
+    "masks cover substitutions (all lev≤1 pairs among equal-length names); "
+    "general insert/delete linkage uses deletion neighborhoods — the same "
+    "join shape with L+1 keys. Both engines' levenshtein are exact "
+    "integers, so the verify step is oracle-deterministic",
+)
+def d14_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_name")
+    masked = sup.select(
+        "s_name",
+        F.explode(F.sequence(F.lit(1), F.length("s_name"))).alias("pos"),
+    ).select(
+        "s_name",
+        F.concat(
+            F.expr("substring(s_name, 1, pos - 1)"),
+            F.lit("*"),
+            F.expr("substring(s_name, pos + 1, 10000)"),
+        ).alias("mask"),
+    )
+    a, b = masked.alias("a"), masked.alias("b")
+    cand = (
+        a.join(b, F.col("a.mask") == F.col("b.mask"))
+        .where(F.col("a.s_name") < F.col("b.s_name"))
+        .select(F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b"))
+        .distinct()
+    )
+    return cand.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    ).where(F.col("dist") <= 1)

@@ -141,3 +141,40 @@ def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob="events.parquet",
         output_mode="complete",
     )
+
+
+@register(
+    "st6_stream_maintained_rollup",
+    E1_TUMBLING_SQL,
+    tags=("streaming", "rollup", "continuous-aggregate"),
+    doc="Continuously-maintained hourly rollup TABLE (hypertable-style "
+    "continuous aggregate): update-mode streaming agg + foreachBatch "
+    "dynamic-partition-overwrite onto plain parquet, partitioned by "
+    "(window, event_type) so a micro-batch rewrites only the hour "
+    "partitions it touched. After a bounded replay the maintained table "
+    "must equal the batch e1 aggregate exactly — the serving-layer "
+    "guarantee — so E1's SQL is the oracle. Idempotent under replays "
+    "(partition rewrite is a put, not an append); the multi-batch "
+    "incremental path is exercised in tests/test_streaming.py",
+)
+def st6_stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import maintain_hourly_rollup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join("/tmp", f"spark_graft_st6_rollup_{key}")
+    stream = read_events_stream(spark, sf_dir, glob="events.parquet")
+    maintain_hourly_rollup(stream, out)
+    roll = spark.read.parquet(out)
+    return roll.select(
+        F.col("window_start_us").cast("bigint").alias("window_start_us"),
+        F.col("event_type").cast("string").alias("event_type"),
+        "cnt",
+        "sum_value",
+    )

@@ -218,8 +218,14 @@ def maintain_hourly_rollup(events: DataFrame, out_path: str, *, watermark: str =
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # partition granularity MUST equal update granularity (window AND
         # event_type): an hour-only layout would let a batch that updates
-        # one type of an hour wipe that hour's other types
-        df.write.mode("overwrite").partitionBy("window_start_us", "event_type").parquet(out_path)
+        # one type of an hour wipe that hour's other types.
+        # repartition by the partition columns first: the update output is
+        # (touched windows × types) rows spread over every state-store
+        # partition — hashing them onto the layout keys writes each dir
+        # from ONE task (one file per partition, tasks = cores, not rows)
+        df.repartition(F.col("window_start_us"), F.col("event_type")).write.mode(
+            "overwrite"
+        ).partitionBy("window_start_us", "event_type").parquet(out_path)
 
     q = (
         agg.writeStream.foreachBatch(overwrite_touched_partitions)
