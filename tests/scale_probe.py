@@ -98,6 +98,18 @@ PROBES += [
     "a16_freq_items",
 ]
 
+# mid-r5 additions. NOT probed: d14 (suppliers are a dim table the
+# synthesizer copies verbatim — a 100× run would measure the same rows),
+# st6 (streaming family is out of probe scope, as in r4; its batch twin
+# e1 is probed)
+PROBES += [
+    "e8_funnel_steps",
+    "p3_scd2_intervals",
+    "a19_grouped_regression",
+    "sm4_weighted_sample",
+    "dq3_outlier_bands",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
