@@ -136,8 +136,11 @@ DRIVER_WINDOW = (
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
-    "m1_media_features", "m3_media_type_stats",
-    "dq1_lineitem_checks", "dq2_orders_checks",
+    "m1_media_features",
+    "dq1_lineitem_checks",
+    # r5 late additions — first-ever verdict needed (m3/dq2 rotate out,
+    # r4-green unchanged)
+    "pipe2_ingest_gate", "e9_windowed_funnel",
     "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
     "x1_json_extract",
     "sm3_split_assign", "d14_fuzzy_name_pairs",

@@ -389,3 +389,83 @@ def e8_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (funnel_step, users)"
         )
     )
+
+
+_US_7D = 7 * 24 * 60 * 60 * 1_000_000
+
+
+@register(
+    "e9_windowed_funnel",
+    f"""WITH b AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+         FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+       ), w1 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'signup' THEN t END)
+                     OVER (PARTITION BY user_id) AS t1 FROM b
+       ), w2 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'click' AND t > t1
+                             AND epoch_us(t) - epoch_us(t1) <= {_US_7D} THEN t END)
+                     OVER (PARTITION BY user_id) AS t2 FROM w1
+       ), w3 AS (
+         SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t > t2
+                             AND epoch_us(t) - epoch_us(t2) <= {_US_7D} THEN t END)
+                     OVER (PARTITION BY user_id) AS t3 FROM w2
+       ), u AS (
+         SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+         FROM w3 GROUP BY user_id
+       )
+       SELECT 'step1_signup' AS funnel_step, COUNT(t1) AS users FROM u
+       UNION ALL SELECT 'step2_click_7d' AS funnel_step, COUNT(t2) AS users FROM u
+       UNION ALL SELECT 'step3_purchase_7d' AS funnel_step, COUNT(t3) AS users FROM u""",
+    tags=("eventtime", "funnel"),
+    doc="Time-bounded conversion funnel: e8's ordered sequence with a "
+    "7-day completion window per step (click within 7d of signup, "
+    "purchase within 7d of that click) — the form product analytics "
+    "actually ships. Same single-shuffle chained-window plan as e8; the "
+    "time bound is integer epoch-µs arithmetic, exact cross-engine",
+)
+def e9_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    in_7d = lambda a, b: F.unix_micros(a) - F.unix_micros(b) <= F.lit(_US_7D)  # noqa: E731
+    steps = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & in_7d(F.col("ts"), F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & in_7d(F.col("ts"), F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    u = steps.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = u.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'step1_signup', c1, 'step2_click_7d', c2, 'step3_purchase_7d', c3) "
+            "AS (funnel_step, users)"
+        )
+    )

@@ -222,3 +222,78 @@ def p3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
     )
+
+
+# sm3's cross-engine hash-mod split expression (semistructured.py) — one
+# source of truth for split membership on the SQL side
+from .semistructured import _HASH_MOD as _SQL_HASH_MOD  # noqa: E402
+
+
+@register(
+    "pipe2_ingest_gate",
+    f"""WITH corpus AS (
+         SELECT doc_id, lang, text, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + {_DUP_OFFSET} AS doc_id, lang, text, n_chars FROM documents
+         WHERE doc_id % 10 = 0
+       ), scored AS (
+         SELECT doc_id, lang, n_chars, md5(lower(trim(text))) AS fp,
+                {_SQL_QUALITY} AS quality
+         FROM corpus
+       ), kept AS (
+         SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+         FROM scored
+         WHERE quality >= 0.5 AND lang IN ('en','es','de','fr')
+       ), adm AS (
+         SELECT *, CASE WHEN {_SQL_HASH_MOD} < 90 THEN 'train'
+                        WHEN {_SQL_HASH_MOD} < 95 THEN 'val'
+                        ELSE 'test' END AS split
+         FROM kept WHERE doc_id = canonical
+       )
+       SELECT split, lang, COUNT(*) AS n_admitted,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              MIN(quality) AS min_quality, MAX(quality) AS max_quality
+       FROM adm GROUP BY split, lang""",
+    tags=("pipeline", "text", "dedup", "split", "headline"),
+    doc="End-to-end training-data ADMISSION gate: quality threshold → "
+    "language allowlist → exact-dedup canonical selection → leakage-safe "
+    "hash split → per-(split, lang) admission audit, all one declarative "
+    "plan. Catalyst fuses the score+filters into the scan; the only wide "
+    "ops are the fingerprint window and the final 15-key aggregate. The "
+    "audit uses order-independent stats only (counts, exact integer char "
+    "sums, min/max of the 6dp quality) so the verdict is hash-exact — "
+    "never a float sum over admitted rows. This is the composition a "
+    "100 TB ingest actually runs nightly; every stage is the catalog's "
+    "individually-verified operator (t2/t3 gate, d1 dedup, sm3 split)",
+)
+def pipe2_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "lang", "text", "n_chars"
+    )
+    corpus = docs.unionByName(dups)
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= 0.5) & F.col("lang").isin("en", "es", "de", "fr")
+    ).withColumn("canonical", F.min("doc_id").over(Window.partitionBy("fp")))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return (
+        kept.where(F.col("doc_id") == F.col("canonical"))
+        .select(split.alias("split"), "lang", "n_chars", "quality")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )

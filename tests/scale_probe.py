@@ -108,6 +108,8 @@ PROBES += [
     "a19_grouped_regression",
     "sm4_weighted_sample",
     "dq3_outlier_bands",
+    "pipe2_ingest_gate",
+    "e9_windowed_funnel",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
