@@ -131,8 +131,8 @@ DRIVER_WINDOW = (
     "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
     "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
     # event-time + streaming
-    "e1_tumbling_window", "e3_session_window", "e4_asof_join",
-    "e6_gap_fill",
+    "e1_tumbling_window", "e3_session_window", "e3b_session_window_skewfree",
+    "e4_asof_join", "e6_gap_fill",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
@@ -142,7 +142,6 @@ DRIVER_WINDOW = (
     # r4-green unchanged)
     "pipe2_ingest_gate", "e9_windowed_funnel",
     "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
-    "x1_json_extract",
     "sm3_split_assign", "d14_fuzzy_name_pairs",
     "pipe1_corpus_clean", "p2_upsert_latest",
     "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",

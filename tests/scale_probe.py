@@ -115,7 +115,13 @@ PROBES += [
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
-SKEW_PROBES = ["j7_salted_join", "e3_session_window", "p2_upsert_latest"]
+SKEW_PROBES = [
+    "j7_salted_join",
+    "e3_session_window",
+    "e3b_session_window_skewfree",
+    "p2_upsert_latest",
+]
+PROBES += ["e3b_session_window_skewfree"]
 
 _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 _JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") + _BAD_PLAN_NODES
