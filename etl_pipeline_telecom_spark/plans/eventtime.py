@@ -509,8 +509,14 @@ def e3b_session_window_skewfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_user = Window.partitionBy("user_id").orderBy("s_us")
     prev_end = F.max("e_us").over(w_user.rowsBetween(Window.unboundedPreceding, -1))
+    # STRICT > : Spark's session_window merges sessions whose bounds TOUCH
+    # (an event at exactly last+gap continues the session — inclusive
+    # boundary), while the gaps-and-islands SQL's `gap >= threshold` rule
+    # would split there. The boundary is measure-zero on continuous
+    # timestamps (why e3's oracle never sees it); e3b mirrors the builtin
+    # exactly, and tests/test_properties.py pins the boundary behavior.
     flagged = day_sessions.withColumn(
-        "new_island", (prev_end.isNull() | (F.col("s_us") >= prev_end)).cast("int")
+        "new_island", (prev_end.isNull() | (F.col("s_us") > prev_end)).cast("int")
     ).withColumn(
         "island",
         F.sum("new_island").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),

@@ -136,3 +136,68 @@ def test_repetition_stats_bounds(spark, words):
     assert math.isclose(
         r["repetition_ratio"], round(1.0 - r["n_distinct_words"] / r["n_words"], 6), abs_tol=1e-9
     )
+
+
+def test_e3b_skewfree_equals_e3_on_midnight_chains(spark, tmp_path):
+    """The two-level sessionizer's merge phase must stitch day-session
+    chains across MULTIPLE midnights (the sf fixtures contain exactly one
+    crossing link, so the oracle barely exercises it): a user emitting an
+    event every 20 minutes for 3 days is ONE session in e3 semantics and
+    3+ day-sessions before the merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2026, 3, 1, 23, 0, 0)
+    # user 1: continuous 3-day chain (one session, many midnights)
+    t = base
+    while t < base + dt.timedelta(days=3):
+        rows.append((eid, t, 1, "click", 1.25, "{}"))
+        eid += 1
+        t += dt.timedelta(minutes=20)
+    # user 2: two sessions split exactly at a >=30min gap across midnight
+    for mins in (0, 20, 40):  # 23:00..23:40
+        rows.append((eid, base + dt.timedelta(minutes=mins), 2, "view", 2.5, "{}"))
+        eid += 1
+    for mins in (0, 10):  # next day 00:11+: 31m gap from 23:40 -> new session
+        rows.append((eid, base + dt.timedelta(hours=1, minutes=11 + mins), 2, "view", 0.5, "{}"))
+        eid += 1
+    # user 3: boundary tie — event AT midnight continues the session
+    rows.append((eid, dt.datetime(2026, 3, 5, 23, 45), 3, "error", 9.99, "{}")); eid += 1
+    rows.append((eid, dt.datetime(2026, 3, 6, 0, 0), 3, "error", 0.01, "{}")); eid += 1
+    # user 4: gap of EXACTLY the 30min threshold, across midnight — Spark's
+    # session_window merges touching bounds (inclusive boundary; the
+    # gaps-and-islands SQL would split here — measure-zero on continuous
+    # timestamps, so e3's oracle never sees the case). e3b must mirror the
+    # builtin, and this pins that both engines' e3-forms agree.
+    rows.append((eid, dt.datetime(2026, 3, 7, 23, 45), 4, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, dt.datetime(2026, 3, 8, 0, 15), 4, "view", 1.0, "{}")); eid += 1
+
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from etl_pipeline_telecom_spark.plans.eventtime import (
+        e3_session_window,
+        e3b_session_window_skewfree,
+    )
+
+    a = {tuple(r) for r in e3_session_window(spark, str(tmp_path)).collect()}
+    b = {tuple(r) for r in e3b_session_window_skewfree(spark, str(tmp_path)).collect()}
+    assert a == b
+    # user 1 collapsed to ONE session despite 3 midnights
+    assert sum(1 for r in a if r[0] == 1) == 1
+    # user 2 got exactly two
+    assert sum(1 for r in a if r[0] == 2) == 2
+    # user 3's midnight-tie stayed one session
+    assert sum(1 for r in a if r[0] == 3) == 1
+    # user 4's exactly-threshold gap MERGES (inclusive builtin boundary)
+    assert sum(1 for r in a if r[0] == 4) == 1
