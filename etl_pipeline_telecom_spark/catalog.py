@@ -143,8 +143,8 @@ DRIVER_WINDOW = (
     "pipe2_ingest_gate", "e9_windowed_funnel",
     "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
     "sm3_split_assign", "d14_fuzzy_name_pairs",
-    "pipe1_corpus_clean", "p2_upsert_latest",
-    "t10_bpe_pretokenize", "t11_bigram_topk", "e7_cohort_retention",
+    "p2_upsert_latest",
+    "t10_bpe_pretokenize", "t12_pack_sequences", "t11_bigram_topk", "e7_cohort_retention",
     "w9_ntile_buckets",
     # r5 sketch graduations (plans changed: bound-check oracle forms)
     "a14_approx_distinct", "a16_freq_items",

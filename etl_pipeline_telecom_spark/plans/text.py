@@ -419,3 +419,59 @@ def t11_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("lang", "bigram", "cnt", F.row_number().over(w2).alias("rn"))
         .where(F.col("rn") <= 10)
     )
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+_SQL_SHARD = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8"
+)
+
+
+@register(
+    "t12_pack_sequences",
+    f"""WITH toks AS (
+         SELECT doc_id, {_SQL_SHARD} AS shard, len({_SQL_TOKENS}) AS n_tokens
+         FROM documents
+       ), packed AS (
+         SELECT shard, n_tokens,
+                (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  // {_PACK_BUDGET} AS bin
+         FROM toks
+       )
+       SELECT shard, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       FROM packed GROUP BY shard, bin""",
+    tags=("text", "packing", "training-prep"),
+    doc="Sequence packing for training batches: documents are dealt into "
+    "deterministic hash shards, ordered by key within the shard, and "
+    "assigned to token-budget bins by EXCLUSIVE running token prefix "
+    "(offset // 2048) — every engine, partitioning, and rerun produces "
+    "the same doc→bin map, which is what makes a packed dataset "
+    "resumable and its batches reproducible. One shuffle (the per-shard "
+    "window); bins slightly overfill rather than split documents — the "
+    "standard contiguous-packing tradeoff. Audited as per-(shard, bin) "
+    "doc and exact integer token counts",
+)
+def t12_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % _PACK_SHARDS
+    toks = docs.select(
+        "doc_id", shard.alias("shard"), token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.withColumn(
+        "bin",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_PACK_BUDGET)).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )

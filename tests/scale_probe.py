@@ -110,6 +110,7 @@ PROBES += [
     "dq3_outlier_bands",
     "pipe2_ingest_gate",
     "e9_windowed_funnel",
+    "t12_pack_sequences",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

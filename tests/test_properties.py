@@ -201,3 +201,42 @@ def test_e3b_skewfree_equals_e3_on_midnight_chains(spark, tmp_path):
     assert sum(1 for r in a if r[0] == 3) == 1
     # user 4's exactly-threshold gap MERGES (inclusive builtin boundary)
     assert sum(1 for r in a if r[0] == 4) == 1
+
+
+def test_e4_asof_tie_at_same_microsecond(spark, tmp_path):
+    """e4's linear union+window form implements 'most recent error AT OR
+    BEFORE the click' — ties at the exact same microsecond must pair
+    (errors sort before clicks at equal ts). Random fixtures never produce
+    exact ties, so pin the boundary explicitly; also pin that an error
+    strictly after the click is ignored."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2026, 4, 1, 12, 0, 0)
+    rows = [
+        # user 1: error at the SAME microsecond as the click -> must pair
+        (10, t0, 1, "error", 0.0, "{}"),
+        (11, t0, 1, "click", 0.0, "{}"),
+        # user 2: only a LATER error -> click stays unmatched (null)
+        (20, t0 + dt.timedelta(seconds=1), 2, "click", 0.0, "{}"),
+        (21, t0 + dt.timedelta(seconds=2), 2, "error", 0.0, "{}"),
+        # user 3: two errors, latest-before wins
+        (30, t0, 3, "error", 0.0, "{}"),
+        (31, t0 + dt.timedelta(seconds=1), 3, "error", 0.0, "{}"),
+        (32, t0 + dt.timedelta(seconds=5), 3, "click", 0.0, "{}"),
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from etl_pipeline_telecom_spark.plans.eventtime import e4_asof_join
+
+    got = {r["event_id"]: r["last_error_id"] for r in e4_asof_join(spark, str(tmp_path)).collect()}
+    assert got == {11: 10, 20: None, 32: 31}
