@@ -239,3 +239,48 @@ def test_incremental_hourly_rollup(spark, sf_dir, tmp_path):
         "window_start_us", "event_type", "cnt", "sum_value").collect()}
     batch = _rows(e1_tumbling_window(spark, sf_dir))
     assert rollup == batch
+
+
+def test_stream_stream_join_exact_window_bound(spark, tmp_path):
+    """st4's join keeps errors in [click - 5min, click] INCLUSIVE on both
+    ends. Random fixtures never land on the exact bound, so pin it through
+    the real streaming join: an error exactly 5 minutes before the click
+    pairs; one microsecond earlier does not; same-microsecond pairs."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.streaming import read_events_stream
+    from etl_pipeline_telecom_spark.streaming.jobs import (
+        run_available_now,
+        stream_stream_click_error_join,
+    )
+
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: error EXACTLY 5 min before the click -> pairs
+        (1, t0 - dt.timedelta(minutes=5), 1, "error"),
+        (2, t0, 1, "click"),
+        # user 2: error 5 min + 1 µs before -> out of window
+        (3, t0 - dt.timedelta(minutes=5, microseconds=1), 2, "error"),
+        (4, t0, 2, "click"),
+        # user 3: error at the same microsecond as the click -> pairs
+        (5, t0, 3, "error"),
+        (6, t0, 3, "click"),
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    clicks = read_events_stream(spark, str(tmp_path)).where("event_type = 'click'")
+    errors = read_events_stream(spark, str(tmp_path)).where("event_type = 'error'")
+    out, _ = run_available_now(stream_stream_click_error_join(clicks, errors))
+    pairs = {(r["click_id"], r["error_id"]) for r in out.collect()}
+    assert pairs == {(2, 1), (6, 5)}
