@@ -61,3 +61,60 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
     assert bucketed_count == plain.count()
+
+
+def test_d12_probe_crafted_collision_and_miss(spark, tmp_path):
+    """Deterministic edge pin for the persisted-index probe: an exact copy
+    of an old document (identical signature → collides in EVERY band) must
+    come back as its best match with jaccard 1.0; a shingle-disjoint new
+    document must produce NO row; and the probe must equal d11's
+    recompute-everything form on the same corpus (index result-neutrality
+    on data where we KNOW the right answer, not just the fixture hash)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.dedup import (
+        d11_incremental_dedup,
+        d12_persisted_lsh_probe,
+    )
+
+    texts = {
+        # ids avoid %10==0 (no dup-reinsertion) — %7: 1,8 old; 3,17 new
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+        8: "one two three four five six seven eight nine ten eleven twelve",
+        17: "red orange yellow green blue indigo violet cyan magenta umber teal pink",
+    }
+    table = pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["crafted"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    abs_dir = os.path.abspath(str(tmp_path))
+    base = "".join(c if c.isalnum() else "_" for c in abs_dir.rstrip("/").rsplit("/", 1)[-1])
+    index_table = f"lsh_band_index_{base}_{hashlib.sha1(abs_dir.encode()).hexdigest()[:8]}"
+    index_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", index_table
+    )
+    try:
+        probe = {
+            r["new_doc_id"]: (r["match_doc_id"], r["jaccard"])
+            for r in d12_persisted_lsh_probe(spark, str(tmp_path)).collect()
+        }
+        assert probe == {3: (1, 1.0)}, probe
+        recompute = {
+            r["new_doc_id"]: (r["match_doc_id"], r["jaccard"])
+            for r in d11_incremental_dedup(spark, str(tmp_path)).collect()
+        }
+        assert probe == recompute
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+        shutil.rmtree(index_path, ignore_errors=True)
