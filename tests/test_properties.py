@@ -240,3 +240,92 @@ def test_e4_asof_tie_at_same_microsecond(spark, tmp_path):
 
     got = {r["event_id"]: r["last_error_id"] for r in e4_asof_join(spark, str(tmp_path)).collect()}
     assert got == {11: 10, 20: None, 32: 31}
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+
+def test_p2_upsert_labels_and_delta_wins_even_when_older(spark, tmp_path):
+    """p2 is SCD-1 DELTA-WINS: the delta batch's latest row overrides the
+    base snapshot unconditionally — including when the delta's timestamp is
+    OLDER than the base's (a correction/rollback delta). Random fixtures
+    rarely isolate that; pin all three labels plus the older-delta edge.
+    Base = event_id%5 != 0, delta = %5 == 0, key = (user_id, event_type)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 6, 1, 9, 0, 0)
+    rows = [
+        # user 1 click: base id 1, newer delta id 5 -> update, latest=5
+        (1, t0, 1, "click", 1.0),
+        (5, t0 + dt.timedelta(hours=1), 1, "click", 2.0),
+        # user 2 view: base only -> keep
+        (2, t0, 2, "view", 3.0),
+        # user 3 purchase: delta only -> insert
+        (10, t0, 3, "purchase", 4.0),
+        # user 4 click: base id 4 NEWER than delta id 15 -> delta still wins
+        (4, t0 + dt.timedelta(hours=2), 4, "click", 5.0),
+        (15, t0, 4, "click", 6.0),
+    ]
+    _write_events(tmp_path, rows)
+
+    from etl_pipeline_telecom_spark.plans.pipeline import p2_upsert_latest
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], r["op"], r["latest_value"])
+        for r in p2_upsert_latest(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, "click"): (5, "update", 2.0),
+        (2, "view"): (2, "keep", 3.0),
+        (3, "purchase"): (10, "insert", 4.0),
+        (4, "click"): (15, "update", 6.0),  # older delta still overrides
+    }
+
+
+def test_e6_gap_fill_leading_gap_has_null_ffill(spark, tmp_path):
+    """e6's forward-fill carries the LAST OBSERVED hourly sum — hours
+    before a type's first observation have nothing to carry and must stay
+    NULL (not zero): zero-filled counts, null-filled leading sums. The
+    random fixture's types all start in the grid's first hour, so the
+    leading-gap path is never exercised there."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 6, 2, 0, 30, 0)
+    rows = [
+        # 'view' anchors the grid from hour 0; 'click' first appears hour 2
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(hours=3), 1, "view", 2.0),
+        (3, t0 + dt.timedelta(hours=2), 2, "click", 5.0),
+    ]
+    _write_events(tmp_path, rows)
+
+    from etl_pipeline_telecom_spark.plans.eventtime import e6_gap_fill
+
+    out = {
+        (r["event_type"], r["bucket_us"]): (r["cnt"], r["sum_value_ffill"])
+        for r in e6_gap_fill(spark, str(tmp_path)).collect()
+    }
+    h0 = int(t0.replace(minute=0).timestamp()) * 1_000_000
+    hour = 3_600_000_000
+    # click: hours 0-1 leading gap -> cnt 0, ffill NULL; hour 2 -> 5.0; hour 3 carries
+    assert out[("click", h0)] == (0, None)
+    assert out[("click", h0 + hour)] == (0, None)
+    assert out[("click", h0 + 2 * hour)] == (1, 5.0)
+    assert out[("click", h0 + 3 * hour)] == (0, 5.0)
+    # view: observed at 0 and 3, interior gap carries 1.0
+    assert out[("view", h0)] == (1, 1.0)
+    assert out[("view", h0 + hour)] == (0, 1.0)
+    assert out[("view", h0 + 2 * hour)] == (0, 1.0)
+    assert out[("view", h0 + 3 * hour)] == (1, 2.0)
