@@ -1,9 +1,13 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "queries_cold": {name: sec}, "sf": ...}. Each query
-is executed to completion (count() on the result — forces the full plan
-without collecting wide rows to the driver).
+Prints ONE compact JSON line as the LAST stdout line: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}.
+The full payload (plus "queries_std"/"queries_cold") goes to
+$SPARK_GRAFT_BENCH_OUT (default .bench_full.json, gitignored) — the
+driver artifact keeps only the tail of stdout, so the stdout line must
+stay small (r5's full line overflowed it). Each query is executed to
+completion (count() on the result — forces the full plan without
+collecting wide rows to the driver).
 
 "value"/"queries" are WARM timings — the MINIMUM of WARM_RUNS repeat runs
 after the cold pass: they measure the plan, not session/state-store/
@@ -118,22 +122,32 @@ def main() -> None:
         "sm4_weighted_sample", "dq3_outlier_bands",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"headline_queries_total_wall_warm_min{WARM_RUNS}_{len(names)}q",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(names),
-                "value_20q_r3_compat": compat_20q,
-                "queries": warm,
-                "queries_std": std,
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": f"headline_queries_total_wall_warm_min{WARM_RUNS}_{len(names)}q",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(names),
+        "value_20q_r3_compat": compat_20q,
+        "queries": warm,
+        "queries_std": std,
+        "queries_cold": cold,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full payload (with stddev + cold) to a side file — the driver keeps
+    # only the LAST ~2000 chars of stdout, and r5's full line overflowed
+    # that window (BENCH_r05.json: parsed null, tail cut mid-JSON). The
+    # stdout line therefore carries only the contract fields, compact-
+    # separated, printed last after spark.stop() so no framework output
+    # can trail it.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_full.json")
     )
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"full payload -> {out_path}", file=sys.stderr)
+    compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "queries", "sf")}
     spark.stop()
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -88,7 +88,20 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared with plans/streaming.py: the stateful streaming sessionizer
 # (st3) satisfies the same oracle once a sentinel replay closes every
-# real session (see streaming/jobs.py::replay_dir_with_sentinels)
+# real session (see streaming/jobs.py::replay_dir_with_sentinels).
+#
+# EXACT-THRESHOLD BOUNDARY (single source of truth for the family):
+# Spark's builtin `session_window` MERGES sessions whose bounds touch —
+# an event at exactly last+gap continues the session (inclusive
+# boundary). This SQL's gaps-and-islands rule `gap >= threshold` SPLITS
+# there instead, as does the stateful st3 sessionizer (`>= GAP_US`,
+# streaming/stateful.py). So at an exactly-30:00.000000 gap: e3
+# (builtin) merges; the oracle, st3, and DuckDB split. The divergence is
+# measure-zero on continuous µs timestamps — random fixtures never
+# produce it, which is why e3 stays hash-green — and e3b reproduces the
+# builtin's inclusive boundary exactly (strict `>` on island detection).
+# tests/test_properties.py pins both behaviors on crafted
+# exact-threshold data.
 E3_SESSION_SQL = f"""WITH t AS (
          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
        ), g AS (
@@ -114,8 +127,11 @@ E3_SESSION_SQL = f"""WITH t AS (
     E3_SESSION_SQL,
     tags=("eventtime", "session"),
     doc="Per-user session windows (30min gap); oracle is the classic "
-    "gaps-and-islands rewrite. Session end = last event + gap, matching "
-    "Spark's exclusive-end semantics (new session when gap >= threshold)",
+    "gaps-and-islands rewrite. Session end = last event + gap. NOTE the "
+    "builtin merges an exactly-threshold gap (inclusive boundary) while "
+    "the oracle splits at gap >= threshold — a measure-zero divergence "
+    "on continuous timestamps, documented at E3_SESSION_SQL above and "
+    "pinned on crafted data in tests/test_properties.py",
 )
 def e3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -165,8 +165,12 @@ def st6_stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import maintain_hourly_rollup
 
     src = os.path.join(sf_dir, "events.parquet")
+    # pid in the key: the rollup dir is WRITTEN every invocation (partition
+    # overwrite), so two concurrent sessions must not share one target —
+    # unlike the read-once replay staging, there is nothing to reuse
+    # across processes worth the race
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.getpid()}".encode()
     ).hexdigest()[:10]
     out = os.path.join("/tmp", f"spark_graft_st6_rollup_{key}")
     stream = read_events_stream(spark, sf_dir, glob="events.parquet")

@@ -465,12 +465,12 @@ def t12_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # integer `div`, not double `/`+cast: the double path loses exactness
+    # once a shard's running token prefix exceeds 2^53, which a 100 TB
+    # corpus reaches — the DuckDB oracle's `//` is exact at any magnitude
     packed = toks.withColumn(
-        "bin",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_PACK_BUDGET)).cast(
-            "bigint"
-        ),
-    )
+        "offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("bin", F.expr(f"offset div {_PACK_BUDGET}")).drop("offset")
     return packed.groupBy("shard", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),

@@ -293,7 +293,11 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
 
     The staged dir is keyed by source path+mtime under /tmp and reused;
     the events file itself is byte-copied (schema-preserving for either
-    fixture generation — see ``streaming/source.py``).
+    fixture generation — see ``streaming/source.py``). Staging is done in
+    a process-unique scratch dir and published with one atomic
+    ``os.rename`` — a concurrent session can never observe a
+    half-staged directory (it either sees the complete dir or stages its
+    own copy and loses the rename race harmlessly).
     """
     import hashlib
     import shutil
@@ -305,18 +309,18 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
     src = os.path.join(sf_dir, glob)
     key = hashlib.md5(f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"spark_graft_st3_replay_{key}")
-    done = os.path.join(out_dir, "_STAGED")
-    if os.path.exists(done):
+    if os.path.isdir(out_dir):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    shutil.copyfile(src, os.path.join(out_dir, "00_events.parquet"))
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    os.makedirs(work)
+    shutil.copyfile(src, os.path.join(work, "00_events.parquet"))
 
     t = pq.read_table(src)
     schema = t.schema
     max_ts = pc.max(t["ts"]).as_py()  # datetime (ns or µs unit — arrow handles both)
     year = dt.timedelta(days=365)
     base = time.time() - 3600
-    os.utime(os.path.join(out_dir, "00_events.parquet"), (base, base))
+    os.utime(os.path.join(work, "00_events.parquet"), (base, base))
     for i, delta in enumerate((year, year + dt.timedelta(days=30)), start=1):
         row = {
             "event_id": pa.array([-i], type=schema.field("event_id").type),
@@ -326,9 +330,11 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
             "value": pa.array([0.0], type=schema.field("value").type),
             "props": pa.array(["{}"], type=schema.field("props").type),
         }
-        path = os.path.join(out_dir, f"{i:02d}_sentinel.parquet")
+        path = os.path.join(work, f"{i:02d}_sentinel.parquet")
         pq.write_table(pa.table([row[f.name] for f in schema], schema=schema), path)
         os.utime(path, (base + 10 * i, base + 10 * i))
-    with open(done, "w") as f:
-        f.write("ok")
+    try:
+        os.rename(work, out_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)  # another process won the race
     return out_dir

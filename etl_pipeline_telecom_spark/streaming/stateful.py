@@ -4,10 +4,14 @@ built-ins can't fully express when you need custom per-session payloads,
 e.g. emitting a feature vector per closed session for a training
 pipeline).
 
-Semantics match ``plans/eventtime.py::e3_session_window`` exactly:
-a session groups consecutive events of one user with gaps < 30 min;
-``session_end = last_event + gap`` (exclusive end — a new session starts
-when the gap is >= the threshold). Sessions are emitted when they CLOSE:
+Semantics match the gaps-and-islands oracle
+(``plans/eventtime.py::E3_SESSION_SQL``): a session groups consecutive
+events of one user with gaps < 30 min; ``session_end = last_event + gap``
+(a new session starts when the gap is >= the threshold). At an
+EXACTLY-threshold gap this splits — like the oracle and DuckDB, unlike
+the builtin ``session_window`` which merges touching bounds; see the
+boundary note at ``E3_SESSION_SQL`` (the family's single source of
+truth). Sessions are emitted when they CLOSE:
 either superseded within a micro-batch (a later event opened a new
 session) or timed out by the event-time watermark.
 

@@ -82,13 +82,19 @@ def source_hashes() -> dict[str, str]:
 
 
 def _streaming_source_hash() -> str:
+    # Every .py under streaming/ (programmatic — a hand-maintained list
+    # once omitted streaming/source.py, silently exempting all st* queries
+    # from re-verdicting when the shared reader changed) plus the plan
+    # module that registers the st* entries.
+    rels = sorted(
+        os.path.relpath(os.path.join(root, f), REPO)
+        for root, _dirs, files in os.walk(os.path.join(REPO, PKG, "streaming"))
+        for f in files
+        if f.endswith(".py")
+    )
+    rels.append(f"{PKG}/plans/streaming.py")
     parts = []
-    for rel in (
-        f"{PKG}/streaming/__init__.py",
-        f"{PKG}/streaming/jobs.py",
-        f"{PKG}/streaming/stateful.py",
-        f"{PKG}/plans/streaming.py",
-    ):
+    for rel in rels:
         with open(os.path.join(REPO, rel), "rb") as fh:
             parts.append(fh.read())
     return "src:" + _sha(b"\n".join(parts).decode(errors="replace"))
@@ -109,10 +115,17 @@ def compute_plan_hashes(spark, sf_dir: str = SF_DIR) -> dict[str, str]:
     return out
 
 
+def round_num(path: str) -> int:
+    """Numeric round extractor: 'r10' must sort after 'r9' (lexicographic
+    sort breaks at round 10 and would silently pin stale artifacts)."""
+    m = re.search(r"_r0*(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def _latest_sweep_artifact() -> str | None:
     import glob
 
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")))
+    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")), key=round_num)
     return os.path.basename(paths[-1]) if paths else None
 
 

@@ -31,7 +31,9 @@ from .test_catalog_meta import _JUSTIFIED_ROWS_ONLY  # noqa: E402
 
 
 def _latest_artifact() -> str:
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")))
+    from .plan_manifest import round_num
+
+    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")), key=round_num)
     assert paths, "no CORRECTNESS_full_r*.json committed — run python -m tests.full_sweep"
     return paths[-1]
 

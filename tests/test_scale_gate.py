@@ -41,7 +41,9 @@ REQUIRED = {
 
 
 def _latest_record() -> dict:
-    paths = sorted(glob.glob(os.path.join(_ROOT, "SCALE_r*.json")))
+    from .plan_manifest import round_num
+
+    paths = sorted(glob.glob(os.path.join(_ROOT, "SCALE_r*.json")), key=round_num)
     if not paths:
         pytest.skip("no committed SCALE_r*.json probe record yet")
     with open(paths[-1]) as fh:
