@@ -856,3 +856,53 @@ def d14_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
     ).where(F.col("dist") <= 1)
+
+
+@register(
+    "d15_fuzzy_indel_pairs",
+    """SELECT a.s_name AS name_a, b.s_name AS name_b,
+              levenshtein(a.s_name, b.s_name) AS dist
+       FROM supplier a JOIN supplier b
+         ON a.s_name < b.s_name
+        AND ABS(LENGTH(a.s_name) - LENGTH(b.s_name)) <= 1
+       WHERE levenshtein(a.s_name, b.s_name) <= 1""",
+    tags=("dedup", "fuzzy", "record-linkage"),
+    doc="General lev<=1 record linkage — substitutions AND insert/delete "
+    "edits — via DELETION NEIGHBORHOODS (the FastSS scheme d14's "
+    "docstring names): each name emits itself plus its L one-character-"
+    "deletion variants (L+1 keys); two names are candidates iff their "
+    "key sets intersect. Covers every lev<=1 relation: equal names "
+    "share the identity key, a substitution at position i shares the "
+    "delete-at-i key, and an insertion pairs the shorter name's "
+    "identity key with the longer name's deletion key. Collisions at "
+    "different deletion positions can propose lev-2 pairs (e.g. a "
+    "transposition) — the exact levenshtein verify drops them, so the "
+    "O(n^2) self-join survives only as the oracle (its length "
+    "prefilter is sound: lev<=1 bounds the length gap by 1). Linear in "
+    "names*(L+1); quadratic only inside identical-key buckets, which "
+    "are true near-duplicate groups. Complements d14, whose "
+    "position-mask blocking is substitution-only",
+)
+def d15_fuzzy_indel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_name")
+    deletions = sup.select(
+        "s_name",
+        F.explode(F.sequence(F.lit(1), F.length("s_name"))).alias("pos"),
+    ).select(
+        "s_name",
+        F.concat(
+            F.expr("substring(s_name, 1, pos - 1)"),
+            F.expr("substring(s_name, pos + 1, 10000)"),
+        ).alias("key"),
+    )
+    keys = sup.select("s_name", F.col("s_name").alias("key")).unionByName(deletions)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .where(F.col("a.s_name") < F.col("b.s_name"))
+        .select(F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b"))
+        .distinct()
+    )
+    return cand.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    ).where(F.col("dist") <= 1)
