@@ -95,3 +95,53 @@ def m3_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.nbytes").alias("total_bytes"),
         F.round(F.sum("meta.nbytes").cast("double") / F.count(F.lit(1)), 6).alias("avg_bytes"),
     )
+
+
+from .dedup import _DUP_OFFSET  # noqa: E402  (same dup-injection constant)
+
+
+@register(
+    "m4_media_exact_dedup",
+    f"""SELECT content_md5, MIN(doc_id) AS canonical_doc_id,
+              COUNT(*) AS copies,
+              CAST((COUNT(*) - 1) * MIN(nbytes) AS BIGINT) AS reclaimable_bytes
+       FROM (SELECT doc_id, md5(text) AS content_md5,
+                    octet_length(encode(text)) AS nbytes
+             FROM (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+                   FROM documents WHERE doc_id % 10 = 0))
+       GROUP BY content_md5""",
+    tags=("multimodal", "dedup"),
+    doc="Exact dedup over the BINARY media payload — the first pass of any "
+    "100 TB multimodal ingest (d1's discipline on bytes, not text): md5 of "
+    "the raw payload, hash-groupBy, canonical-min pick, plus the bytes a "
+    "dedup pass would reclaim. BYTE-exact on purpose — unlike d1's "
+    "normalized-text fingerprint, two payloads differing only in case or "
+    "whitespace are DIFFERENT blobs (tests pin the contrast). Scale shape: "
+    "the 16-byte digest is projected per-partition BEFORE the exchange, so "
+    "only (digest, doc_id, nbytes) rows shuffle — the payloads themselves "
+    "never leave their scan partitions, which is what makes this run at "
+    "blob scale. Dup injection mirrors plans/dedup.py::corpus_with_dups",
+)
+def m4_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import corpus_with_dups
+
+    media = corpus_with_dups(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        media.select(
+            "doc_id",
+            F.md5("payload").alias("content_md5"),
+            F.octet_length("payload").alias("nbytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+            ((F.count(F.lit(1)) - F.lit(1)) * F.min("nbytes"))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
+    )
