@@ -66,6 +66,33 @@ def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+def shingled_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) for ANY (doc_id, text) DataFrame — batch or a
+    micro-batch inside ``foreachBatch`` (st7 streams eval docs through
+    this same shingler, so the maintained bloom sees byte-identical
+    shingles). See :func:`corpus_shingled` for the tokenizer rationale."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/DuckDB \s (ASCII), not python's unicode \s
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            sh = [
+                list(
+                    dict.fromkeys(  # array_distinct: first-occurrence order
+                        " ".join(tk[i : i + 3])
+                        for i in range(len(tk) - 2)
+                    )
+                )
+                if len(tk := ws.split(txt.strip().lower())) >= 3
+                else []
+                for txt in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": sh})
+
+    return docs.mapInPandas(batches, schema="doc_id long, sh array<string>")
+
+
 def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh: array<string>) — each doc's DISTINCT shingle set as an
     array column, CACHED. ``array_distinct`` dedups within the row, so
@@ -90,27 +117,6 @@ def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     values stay byte-identical to the DuckDB oracle's
     ``string_split_regex`` (the equivalent native expression is
     ``functions.text.shingles``, kept as the expression-level API)."""
-    import re
-
-    import pandas as pd
-
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java/DuckDB \s (ASCII), not python's unicode \s
-
-    def batches(pdfs):
-        for pdf in pdfs:
-            sh = [
-                list(
-                    dict.fromkeys(  # array_distinct: first-occurrence order
-                        " ".join(tk[i : i + 3])
-                        for i in range(len(tk) - 2)
-                    )
-                )
-                if len(tk := ws.split(txt.strip().lower())) >= 3
-                else []
-                for txt in pdf["text"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": sh})
-
     corpus = corpus_with_dups(spark, sf_dir)
     # the fixture is a single small file → 1-2 input partitions, which
     # would serialize the python stage onto one core; spread it, but cap at
@@ -121,7 +127,7 @@ def corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = min(spark.sparkContext.defaultParallelism, 8)
     if corpus.rdd.getNumPartitions() < par:
         corpus = corpus.repartition(par)
-    return corpus.mapInPandas(batches, schema="doc_id long, sh array<string>").cache()
+    return shingled_from_docs(corpus).cache()
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,36 +752,29 @@ def _build_bloom(df_hashes) -> bytes:
     return words.view(np.uint64).tobytes()
 
 
-@register(
-    "d13_contamination_bloom",
-    f"""WITH ds AS ({_SQL_DOC_SHINGLE_PLAIN}),
+# shared with st7 (plans/streaming.py): the streamed-refresh bloom must
+# reproduce the batch result exactly, so both registrations carry this SQL
+D13_CONTAMINATION_SQL = f"""WITH ds AS ({_SQL_DOC_SHINGLE_PLAIN}),
         ev AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 = 0),
         tr AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 <> 0)
         SELECT ev.doc_id AS eval_doc_id,
                CAST(COUNT(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
                CAST(COUNT(DISTINCT ev.shingle) AS BIGINT) AS n_shared_shingles
         FROM ev JOIN tr ON ev.shingle = tr.shingle
-        GROUP BY ev.doc_id""",
-    tags=("dedup", "contamination", "bloom", "headline"),
-    doc="d10's 100 TB form: a bloom filter built over the EVAL side's "
-    "shingle hashes prefilters the TRAIN side BEFORE the shuffle, so the "
-    "join exchanges only train shingles that might hit the eval set instead "
-    "of the whole training corpus. The build is distributed (per-partition "
-    "bitsets bit_or-merged as a hash aggregate — only the fixed 1 MB sketch "
-    "reaches the driver) and ships to executors as a broadcast, the same "
-    "step Spark's runtime row-level bloom join performs; the membership "
-    "test is an Arrow-vectorized pandas UDF over Spark's native xxhash64 "
-    "because bloom_filter_agg/might_contain aren't in PySpark 4.1's SQL "
-    "registry. Result-neutral by construction (bloom has no false "
-    "negatives; the equi-join drops false positives), hence the oracle is "
-    "exactly d10's SQL. Train-side shrink is probed at sf1 (NOTES_r3.md). "
-    "STATIC-SNAPSHOT assumption (ADVICE r3): the bloom is built EAGERLY at "
-    "plan-construction time from the eval side as it exists THEN — the "
-    "returned plan captures it as frozen driver state, so plan inspection "
-    "pays one Spark job and re-executing after the eval data changes would "
-    "probe a stale filter; rebuild the DataFrame to refresh the sketch.",
-)
-def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        GROUP BY ev.doc_id"""
+
+
+def eval_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval side's xxhash64 shingle hashes — the bloom's input set."""
+    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
+    return ds.where(F.col("doc_id") % 5 == 0).select(F.xxhash64("shingle").alias("h"))
+
+
+def bloom_pruned_contamination(spark: SparkSession, sf_dir: str, bloom: bytes) -> DataFrame:
+    """The probe half of d13, parameterized by the sketch bytes: st7's
+    stream-maintained bloom and d13's eager build share this plan
+    verbatim, so 'maintained sketch ≡ rebuilt sketch' implies result
+    equality by construction."""
     ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
     ev = ds.where(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
@@ -783,7 +782,6 @@ def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = ds.where(F.col("doc_id") % 5 != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
-    bloom = _build_bloom(ev.select(F.xxhash64("shingle").alias("h")))
     bloom_bc = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf("boolean")
@@ -811,6 +809,35 @@ def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+@register(
+    "d13_contamination_bloom",
+    D13_CONTAMINATION_SQL,
+    tags=("dedup", "contamination", "bloom", "headline"),
+    doc="d10's 100 TB form: a bloom filter built over the EVAL side's "
+    "shingle hashes prefilters the TRAIN side BEFORE the shuffle, so the "
+    "join exchanges only train shingles that might hit the eval set instead "
+    "of the whole training corpus. The build is distributed (per-partition "
+    "bitsets bit_or-merged as a hash aggregate — only the fixed 1 MB sketch "
+    "reaches the driver) and ships to executors as a broadcast, the same "
+    "step Spark's runtime row-level bloom join performs; the membership "
+    "test is an Arrow-vectorized pandas UDF over Spark's native xxhash64 "
+    "because bloom_filter_agg/might_contain aren't in PySpark 4.1's SQL "
+    "registry. Result-neutral by construction (bloom has no false "
+    "negatives; the equi-join drops false positives), hence the oracle is "
+    "exactly d10's SQL. Train-side shrink is probed at sf1 (NOTES_r3.md). "
+    "STATIC-SNAPSHOT assumption (ADVICE r3): the bloom is built EAGERLY at "
+    "plan-construction time from the eval side as it exists THEN — the "
+    "returned plan captures it as frozen driver state, so plan inspection "
+    "pays one Spark job and re-executing after the eval data changes would "
+    "probe a stale filter; rebuild the DataFrame to refresh the sketch, or "
+    "use st7_stream_bloom_refresh, which maintains the same sketch "
+    "incrementally from an eval-document stream.",
+)
+def d13_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bloom = _build_bloom(eval_shingle_hashes(spark, sf_dir))
+    return bloom_pruned_contamination(spark, sf_dir, bloom)
 
 
 @register(

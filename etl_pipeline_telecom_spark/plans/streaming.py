@@ -182,3 +182,39 @@ def st6_stream_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_value",
     )
+
+
+from .dedup import D13_CONTAMINATION_SQL  # noqa: E402  (st7 shares d13's oracle)
+
+
+@register(
+    "st7_stream_bloom_refresh",
+    D13_CONTAMINATION_SQL,
+    tags=("streaming", "bloom", "contamination"),
+    doc="d13's decontamination gate with the bloom maintained INCREMENTALLY "
+    "from a stream of arriving eval documents (foreachBatch, st6's "
+    "pattern) instead of an eager batch build — the deployable form for a "
+    "live eval set. Exact by algebra, not approximation: bloom insertion "
+    "is bitwise OR (associative + commutative + idempotent), so the "
+    "OR-merge of per-batch sketches is byte-equal to a full rebuild "
+    "regardless of batch boundaries or replays (tests pin sketch "
+    "equality), and the probe half IS d13's plan (shared helper). State "
+    "is the fixed 1 MB sketch, published atomically per batch — bounded "
+    "staleness: between batches the filter is complete up to the last "
+    "merged file. Oracle: d13's SQL verbatim",
+)
+def st7_stream_bloom_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..streaming.jobs import maintain_contamination_bloom, replay_documents_dir
+    from .dedup import bloom_pruned_contamination
+
+    replay = replay_documents_dir(sf_dir)
+    # pid-keyed state (written every run — same rationale as st6's rollup dir)
+    key = hashlib.md5(f"{replay}:{os.getpid()}".encode()).hexdigest()[:10]
+    state = os.path.join("/tmp", f"spark_graft_st7_bloom_{key}.bin")
+    if os.path.exists(state):
+        os.remove(state)  # a fresh maintenance run, not a resume
+    bloom = maintain_contamination_bloom(spark, replay, state)
+    return bloom_pruned_contamination(spark, sf_dir, bloom)

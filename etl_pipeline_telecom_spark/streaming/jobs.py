@@ -338,3 +338,99 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
     except OSError:
         shutil.rmtree(work, ignore_errors=True)  # another process won the race
     return out_dir
+
+
+def replay_documents_dir(sf_dir: str, *, n_files: int = 4) -> str:
+    """Stage ``documents.parquet`` as ``n_files`` row-slices with ascending
+    mtimes so a ``maxFilesPerTrigger=1`` stream replays the corpus as
+    n_files micro-batches (st7's incremental-arrival simulation). Atomic
+    publish via rename, same discipline as ``replay_dir_with_sentinels``.
+    """
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_files}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"spark_graft_st7_docs_{key}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    os.makedirs(work)
+    t = pq.read_table(src)
+    n = t.num_rows
+    base = time.time() - 3600
+    step = max(1, (n + n_files - 1) // n_files)
+    for i in range(n_files):
+        sl = t.slice(i * step, step)
+        path = os.path.join(work, f"{i:02d}_docs.parquet")
+        pq.write_table(sl, path)
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    try:
+        os.rename(work, out_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir
+
+
+def maintain_contamination_bloom(
+    spark: SparkSession, replay_dir: str, state_path: str
+) -> bytes:
+    """Continuously-maintained decontamination bloom (st7): each micro-batch
+    of arriving eval documents is shingled, hashed, reduced to a 1 MB
+    bitset DISTRIBUTED (same per-partition-bitset → bit_or shape as the
+    batch build), then OR-merged into the persisted sketch in
+    ``foreachBatch``.
+
+    Why this is exact, not approximate-refresh: bloom insertion is a
+    bitwise OR, which is associative, commutative and idempotent — so
+    OR(bloom(batch_i)) == bloom(union(batches)) REGARDLESS of batch
+    boundaries, and replaying a batch after a restart changes nothing.
+    The maintained sketch is therefore BYTE-equal to an eager rebuild
+    over the full eval set (pinned in tests), and d13's oracle carries
+    over verbatim. State is the fixed 1 MB sketch — not per-key stream
+    state — published atomically per batch (tmp + os.replace), so a
+    reader never sees a torn sketch and a crash loses at most the
+    batches not yet OR-ed in.
+    """
+    import numpy as np
+
+    from ..plans.dedup import _BLOOM_WORDS, _build_bloom, shingled_from_docs
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+    def merge_batch(df: DataFrame, epoch_id: int) -> None:
+        ev = df.where((F.col("doc_id") % 5 == 0)).select("doc_id", "text")
+        hashes = (
+            shingled_from_docs(ev)
+            .select(F.explode("sh").alias("shingle"))
+            .select(F.xxhash64("shingle").alias("h"))
+        )
+        batch_words = np.frombuffer(_build_bloom(hashes), dtype=np.uint64)
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as fh:
+                words = np.frombuffer(fh.read(), dtype=np.uint64) | batch_words
+        else:
+            words = batch_words
+        assert len(words) == _BLOOM_WORDS
+        tmp = f"{state_path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(words.tobytes())
+        os.replace(tmp, state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    with open(state_path, "rb") as fh:
+        return fh.read()

@@ -284,3 +284,48 @@ def test_stream_stream_join_exact_window_bound(spark, tmp_path):
     out, _ = run_available_now(stream_stream_click_error_join(clicks, errors))
     pairs = {(r["click_id"], r["error_id"]) for r in out.collect()}
     assert pairs == {(2, 1), (6, 5)}
+
+
+def test_st7_maintained_bloom_equals_eager_build(spark, sf_dir):
+    """st7's incrementally-maintained sketch must be BYTE-equal to the
+    eager batch build (OR over micro-batches == bloom of the union), and
+    the replay must actually exercise the multi-batch path."""
+    import glob
+    import os
+
+    from etl_pipeline_telecom_spark.plans.dedup import (
+        _build_bloom,
+        eval_shingle_hashes,
+    )
+    from etl_pipeline_telecom_spark.streaming.jobs import (
+        maintain_contamination_bloom,
+        replay_documents_dir,
+    )
+
+    replay = replay_documents_dir(sf_dir)
+    files = glob.glob(os.path.join(replay, "*.parquet"))
+    assert len(files) >= 4, "replay must split the corpus into micro-batches"
+
+    state = os.path.join("/tmp", f"st7_test_bloom_{os.getpid()}.bin")
+    if os.path.exists(state):
+        os.remove(state)
+    try:
+        maintained = maintain_contamination_bloom(spark, replay, state)
+        eager = _build_bloom(eval_shingle_hashes(spark, sf_dir))
+        assert maintained == eager
+        # idempotence: re-running the maintenance over the same replay
+        # (a restart replaying every batch) must not change the sketch
+        remaintained = maintain_contamination_bloom(spark, replay, state)
+        assert remaintained == eager
+    finally:
+        if os.path.exists(state):
+            os.remove(state)
+
+
+def test_st7_result_equals_d13_batch(spark, sf_dir):
+    from etl_pipeline_telecom_spark.plans.dedup import d13_contamination_bloom
+    from etl_pipeline_telecom_spark.plans.streaming import st7_stream_bloom_refresh
+
+    a = {tuple(r) for r in d13_contamination_bloom(spark, sf_dir).collect()}
+    b = {tuple(r) for r in st7_stream_bloom_refresh(spark, sf_dir).collect()}
+    assert a == b and a
