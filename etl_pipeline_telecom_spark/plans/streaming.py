@@ -207,10 +207,10 @@ def st7_stream_bloom_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from ..streaming.jobs import maintain_contamination_bloom, replay_documents_dir
+    from ..streaming.jobs import maintain_contamination_bloom, replay_table_slices
     from .dedup import bloom_pruned_contamination
 
-    replay = replay_documents_dir(sf_dir)
+    replay = replay_table_slices(sf_dir, "documents")
     # pid-keyed state (written every run — same rationale as st6's rollup dir)
     key = hashlib.md5(f"{replay}:{os.getpid()}".encode()).hexdigest()[:10]
     state = os.path.join("/tmp", f"spark_graft_st7_bloom_{key}.bin")
@@ -218,3 +218,72 @@ def st7_stream_bloom_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(state)  # a fresh maintenance run, not a resume
     bloom = maintain_contamination_bloom(spark, replay, state)
     return bloom_pruned_contamination(spark, sf_dir, bloom)
+
+
+from .similarity import _SQL_EMB  # noqa: E402  (st8 shares v3's quantization)
+
+
+@register(
+    "st8_stream_centroid_drift",
+    f"""WITH e AS (
+          SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS val
+          FROM ({_SQL_EMB})
+        ), live AS (
+          SELECT label, dim, SUM(val) AS s, COUNT(*) AS c FROM e GROUP BY label, dim
+        ), base AS (
+          SELECT label, dim, SUM(val) AS s, COUNT(*) AS c FROM e
+          WHERE vec_id % 2 = 0 GROUP BY label, dim
+        )
+        SELECT live.label AS label, live.dim AS dim,
+               ROUND(base.s / base.c, 6) AS baseline_centroid,
+               ROUND(live.s / live.c, 6) AS live_centroid,
+               ROUND(ABS(live.s / live.c - base.s / base.c), 6) AS drift
+        FROM live JOIN base ON live.label = base.label AND live.dim = base.dim""",
+    tags=("streaming", "drift-monitor", "similarity"),
+    doc="Embedding-centroid drift monitor — the production guardrail for a "
+    "live embedding pipeline: a complete-mode streaming aggregation "
+    "maintains per-(label, dim) moment sums (quantized integer-valued "
+    "doubles, so the sums are EXACT in any accumulation/batch order) over "
+    "a micro-batch replay of the embeddings table, then compares the "
+    "maintained centroids against a STATIC baseline (v3's plan on the "
+    "deterministic vec_id % 2 = 0 half) as per-dim absolute drift. The "
+    "maintained state is one (label, dim) row per cell — bounded by the "
+    "schema, not the stream — and the end-of-replay centroid equals the "
+    "batch recompute exactly, which is what makes the batch SQL a valid "
+    "oracle (st6's bounded-replay discipline applied to v3)",
+)
+def st8_stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import replay_table_slices, run_available_now
+    from .similarity import _quantized
+
+    replay = replay_table_slices(sf_dir, "embeddings")
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000))
+    live_agg = (
+        stream.select("label", F.posexplode(qv).alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    live, _ = run_available_now(live_agg, output_mode="complete")
+    base = (
+        _quantized(spark, sf_dir)
+        .where(F.col("vec_id") % 2 == 0)
+        .select("label", F.posexplode("qv").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("bs"), F.count(F.lit(1)).alias("bc"))
+    )
+    return (
+        live.join(base, ["label", "dim"])
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("bs") / F.col("bc"), 6).alias("baseline_centroid"),
+            F.round(F.col("s") / F.col("c"), 6).alias("live_centroid"),
+            F.round(F.abs(F.col("s") / F.col("c") - F.col("bs") / F.col("bc")), 6).alias("drift"),
+        )
+    )

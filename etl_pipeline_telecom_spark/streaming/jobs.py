@@ -340,22 +340,23 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
     return out_dir
 
 
-def replay_documents_dir(sf_dir: str, *, n_files: int = 4) -> str:
-    """Stage ``documents.parquet`` as ``n_files`` row-slices with ascending
-    mtimes so a ``maxFilesPerTrigger=1`` stream replays the corpus as
-    n_files micro-batches (st7's incremental-arrival simulation). Atomic
-    publish via rename, same discipline as ``replay_dir_with_sentinels``.
+def replay_table_slices(sf_dir: str, table: str = "documents", *, n_files: int = 4) -> str:
+    """Stage ``<table>.parquet`` as ``n_files`` row-slices with ascending
+    mtimes so a ``maxFilesPerTrigger=1`` stream replays the table as
+    n_files micro-batches (st7/st8's incremental-arrival simulation).
+    Atomic publish via rename, same discipline as
+    ``replay_dir_with_sentinels``.
     """
     import hashlib
     import shutil
 
     import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_files}".encode()
     ).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"spark_graft_st7_docs_{key}")
+    out_dir = os.path.join("/tmp", f"spark_graft_replay_{table}_{key}")
     if os.path.isdir(out_dir):
         return out_dir
     work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
@@ -366,7 +367,7 @@ def replay_documents_dir(sf_dir: str, *, n_files: int = 4) -> str:
     step = max(1, (n + n_files - 1) // n_files)
     for i in range(n_files):
         sl = t.slice(i * step, step)
-        path = os.path.join(work, f"{i:02d}_docs.parquet")
+        path = os.path.join(work, f"{i:02d}_{table}.parquet")
         pq.write_table(sl, path)
         os.utime(path, (base + 10 * i, base + 10 * i))
     try:

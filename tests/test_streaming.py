@@ -299,10 +299,10 @@ def test_st7_maintained_bloom_equals_eager_build(spark, sf_dir):
     )
     from etl_pipeline_telecom_spark.streaming.jobs import (
         maintain_contamination_bloom,
-        replay_documents_dir,
+        replay_table_slices,
     )
 
-    replay = replay_documents_dir(sf_dir)
+    replay = replay_table_slices(sf_dir, "documents")
     files = glob.glob(os.path.join(replay, "*.parquet"))
     assert len(files) >= 4, "replay must split the corpus into micro-batches"
 
@@ -329,3 +329,35 @@ def test_st7_result_equals_d13_batch(spark, sf_dir):
     a = {tuple(r) for r in d13_contamination_bloom(spark, sf_dir).collect()}
     b = {tuple(r) for r in st7_stream_bloom_refresh(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_st8_live_centroids_equal_batch_recompute(spark, sf_dir):
+    """The stream-maintained centroid must equal the batch v3-style
+    recompute over the FULL embeddings table (exact integer moment sums
+    make batch boundaries invisible), and the replay must be multi-batch."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.similarity import _quantized
+    from etl_pipeline_telecom_spark.plans.streaming import st8_stream_centroid_drift
+    from etl_pipeline_telecom_spark.streaming.jobs import replay_table_slices
+
+    replay = replay_table_slices(sf_dir, "embeddings")
+    assert len(glob.glob(os.path.join(replay, "*.parquet"))) >= 4
+
+    got = {
+        (r["label"], r["dim"]): r["live_centroid"]
+        for r in st8_stream_centroid_drift(spark, sf_dir).collect()
+    }
+    want = {
+        (r["label"], r["dim"]): r["c"]
+        for r in (
+            _quantized(spark, sf_dir)
+            .select("label", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("c"))
+        ).collect()
+    }
+    assert got == want and got
