@@ -120,6 +120,9 @@ def main() -> None:
         # r5 additions
         "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
         "sm4_weighted_sample", "dq3_outlier_bands",
+        # r6 additions (streaming st7/st8 stay out of the bench set, the
+        # st6 precedent — replay-harness overhead, not plan cost)
+        "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     payload = {

@@ -125,6 +125,15 @@ def _load_all_plans() -> None:
 # (tests/test_plan_manifest.py). r5 rotations: IN — a14/a16 (rows-only →
 # bound-check oracle forms), st3 (sentinel-replay oracle; already in).
 # OUT — a8_pivot_rate, a11_null_counts (r4-green, plans unchanged).
+#
+# Round 6 rotations: IN — the four new entries (d15 deletion-
+# neighborhood linkage, m4 media-blob dedup, st7 streamed bloom refresh,
+# st8 centroid drift), t12 (bin arithmetic switched to integer div) and
+# d13 (probe half extracted into a shared helper) stay in; st1–st6
+# remain in because the streaming-module source hash covers every st*
+# entry and streaming/jobs.py changed. OUT — a15_percentile_approx,
+# a17_grouped_percentiles, sm3_split_assign, e7_cohort_retention
+# (r5-in-window green, plans unchanged this round).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -135,21 +144,21 @@ DRIVER_WINDOW = (
     "e4_asof_join", "e6_gap_fill",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
+    # r6 additions — first-ever driver verdict needed
+    "st7_stream_bloom_refresh", "st8_stream_centroid_drift",
+    "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
-    # r5 late additions — first-ever verdict needed (m3/dq2 rotate out,
-    # r4-green unchanged)
+    # r5 late additions (verdict r5; e9/pipe2 kept as young canaries)
     "pipe2_ingest_gate", "e9_windowed_funnel",
-    "a15_percentile_approx", "a17_grouped_percentiles", "a18_exact_corr",
-    "sm3_split_assign", "d14_fuzzy_name_pairs",
+    "a18_exact_corr",
+    "d14_fuzzy_name_pairs",
     "p2_upsert_latest",
-    "t10_bpe_pretokenize", "t12_pack_sequences", "t11_bigram_topk", "e7_cohort_retention",
+    "t10_bpe_pretokenize", "t12_pack_sequences", "t11_bigram_topk",
     "w9_ntile_buckets",
-    # r5 sketch graduations (plans changed: bound-check oracle forms)
+    # r5 sketch graduations (bound-check oracle forms)
     "a14_approx_distinct", "a16_freq_items",
-    # r5 additions — first-ever driver verdict needed (displacing the
-    # r2-era canaries t6/t7/t8/d10/d11, all r4-green with unchanged plans)
     "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
     "sm4_weighted_sample", "dq3_outlier_bands",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)

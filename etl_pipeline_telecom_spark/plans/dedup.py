@@ -893,7 +893,7 @@ def d14_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          ON a.s_name < b.s_name
         AND ABS(LENGTH(a.s_name) - LENGTH(b.s_name)) <= 1
        WHERE levenshtein(a.s_name, b.s_name) <= 1""",
-    tags=("dedup", "fuzzy", "record-linkage"),
+    tags=("dedup", "fuzzy", "record-linkage", "headline"),
     doc="General lev<=1 record linkage — substitutions AND insert/delete "
     "edits — via DELETION NEIGHBORHOODS (the FastSS scheme d14's "
     "docstring names): each name emits itself plus its L one-character-"

@@ -112,7 +112,7 @@ from .dedup import _DUP_OFFSET  # noqa: E402  (same dup-injection constant)
                    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
                    FROM documents WHERE doc_id % 10 = 0))
        GROUP BY content_md5""",
-    tags=("multimodal", "dedup"),
+    tags=("multimodal", "dedup", "headline"),
     doc="Exact dedup over the BINARY media payload — the first pass of any "
     "100 TB multimodal ingest (d1's discipline on bytes, not text): md5 of "
     "the raw payload, hash-groupBy, canonical-min pick, plus the bytes a "

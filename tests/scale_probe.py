@@ -113,6 +113,13 @@ PROBES += [
     "t12_pack_sequences",
 ]
 
+# r6 additions. NOT probed: d15 (same dim-table reason as d14), st7/st8
+# (streaming scope; st7's batch twin d13 and st8's batch twin v3-shape
+# aggregates are probed)
+PROBES += [
+    "m4_media_exact_dedup",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
@@ -121,6 +128,12 @@ SKEW_PROBES = [
     "e3_session_window",
     "e3b_session_window_skewfree",
     "p2_upsert_latest",
+    # r6 (VERDICT r5 #7): the funnel shapes partition their windows on
+    # user_id — the hot user owns ~30% of events; pipe2's dedup groups on
+    # the text fingerprint — the hot document is ~30% of the corpus
+    "e8_funnel_steps",
+    "e9_windowed_funnel",
+    "pipe2_ingest_gate",
 ]
 PROBES += ["e3b_session_window_skewfree"]
 
@@ -240,7 +253,18 @@ def synthesize_skew(spark: SparkSession, src: str = OUT, out: str = SKEW_OUT) ->
         "o_custkey",
         F.when(F.col("o_orderkey") % 10 < 3, F.lit(7)).otherwise(F.col("o_custkey")),
     ).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
-    for t in ("lineitem", "customer", "documents", "embeddings", "nation", "region", "supplier", "part"):
+    # hot FINGERPRINT: ~30% of documents become byte-identical copies of one
+    # text, so exact-dedup/ingest-gate groupBys see one giant hash group —
+    # the straggler shape pipe2's per-fingerprint reducers must survive
+    doc = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    hot = F.lit("the quick brown fox jumps over the lazy dog again and again")
+    doc.withColumn(
+        "text", F.when(F.col("doc_id") % 10 < 3, hot).otherwise(F.col("text"))
+    ).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 10 < 3, F.length(hot)).otherwise(F.col("n_chars")),
+    ).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    for t in ("lineitem", "customer", "embeddings", "nation", "region", "supplier", "part"):
         src_path = os.path.join(src, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.isdir(src_path):

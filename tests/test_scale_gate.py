@@ -86,6 +86,12 @@ def test_skew_probes_present_and_bounded():
         "e3_session_window[skew]",
         "p2_upsert_latest[skew]",
     }
+    # r6+: funnels under a hot user, ingest gate under a hot fingerprint
+    required_skew |= {
+        "e8_funnel_steps[skew]",
+        "e9_windowed_funnel[skew]",
+        "pipe2_ingest_gate[skew]",
+    }
     missing = required_skew - set(probed)
     if missing and not any("[skew]" in q for q in probed):
         pytest.skip("record predates skew probes")
