@@ -134,6 +134,14 @@ def _load_all_plans() -> None:
 # entry and streaming/jobs.py changed. OUT — a15_percentile_approx,
 # a17_grouped_percentiles, sm3_split_assign, e7_cohort_retention
 # (r5-in-window green, plans unchanged this round).
+#
+# Mid-round-6 additions: IN — t13_line_dedup (corpus boilerplate-line
+# dedup), d16_ngram_overlap (per-doc contamination fraction),
+# a20_hll_union (mergeable-sketch rollup), sm5_temperature_mix
+# (multilingual temperature resampling) — all new, first driver verdict
+# needed. OUT — a14_approx_distinct, a16_freq_items (graduated forms
+# in-window green r5, plans unchanged), w9_ntile_buckets,
+# sm4_weighted_sample (r5-in-window green, plans unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -147,6 +155,7 @@ DRIVER_WINDOW = (
     # r6 additions — first-ever driver verdict needed
     "st7_stream_bloom_refresh", "st8_stream_centroid_drift",
     "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
+    "t13_line_dedup", "d16_ngram_overlap", "a20_hll_union", "sm5_temperature_mix",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
@@ -156,11 +165,8 @@ DRIVER_WINDOW = (
     "d14_fuzzy_name_pairs",
     "p2_upsert_latest",
     "t10_bpe_pretokenize", "t12_pack_sequences", "t11_bigram_topk",
-    "w9_ntile_buckets",
-    # r5 sketch graduations (bound-check oracle forms)
-    "a14_approx_distinct", "a16_freq_items",
     "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
-    "sm4_weighted_sample", "dq3_outlier_bands",
+    "dq3_outlier_bands",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
     "j6_star_join",
     # round-3 queries + the round-4 build/probe split (build MUST precede

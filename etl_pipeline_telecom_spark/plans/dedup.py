@@ -933,3 +933,58 @@ def d15_fuzzy_indel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
     ).where(F.col("dist") <= 1)
+
+
+@register(
+    "d16_ngram_overlap",
+    f"""WITH ds AS ({_SQL_DOC_SHINGLE_PLAIN}),
+        ev AS (SELECT doc_id, shingle FROM ds WHERE doc_id % 5 = 0),
+        tr AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 5 <> 0)
+        SELECT ev.doc_id AS eval_doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(tr.shingle) AS n_shared,
+               ROUND(CAST(COUNT(tr.shingle) AS DOUBLE) / COUNT(*), 6) AS overlap_frac,
+               COUNT(tr.shingle) >= 0.8 * COUNT(*) AS contaminated
+        FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+        GROUP BY ev.doc_id""",
+    tags=("dedup", "contamination"),
+    doc="Per-eval-doc contamination SCORE (the GPT-3/PaLM decontamination "
+    "metric): fraction of a held-out document's distinct 3-word shingles "
+    "that appear anywhere in the training split, flagged at the standard "
+    "0.8 overlap threshold. Complements d10 (which counts colliding "
+    "train docs) with the continuous per-doc fraction that drives the "
+    "actual drop/keep decision. Plan: train side collapses to DISTINCT "
+    "shingles (map-side partial agg), then ONE equi-join shuffled on the "
+    "shingle key marks eval shingles, and the score is a count ratio "
+    "aggregated per eval doc. At 100 TB the join key becomes the 64-bit "
+    "shingle hash and the train side gets d13's bloom prefilter; the "
+    "shape — shuffle on shingle, aggregate on eval doc — is unchanged.",
+)
+def d16_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
+    ev = ds.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = (
+        ds.where(F.col("doc_id") % 5 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "shingle", "left")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .select(
+            "eval_doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+            (F.col("n_shared") >= F.lit(0.8) * F.col("n_shingles")).alias("contaminated"),
+        )
+    )

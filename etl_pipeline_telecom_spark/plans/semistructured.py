@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
@@ -247,4 +247,83 @@ def sm4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(bucket < keep_p * F.lit(1000.0))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept"))
+    )
+
+
+_PPM = 1_000_000
+_HASH_PPM = f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {_PPM}"
+
+
+@register(
+    "sm5_temperature_mix",
+    f"""WITH st AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        s1 AS (SELECT lang, n,
+                      CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * {_PPM}) AS BIGINT) AS s
+               FROM st),
+        s2 AS (SELECT lang, n, s, SUM(s) OVER () AS s_tot FROM s1),
+        s3 AS (SELECT lang, n, s, s_tot,
+                      MIN((CAST(n AS DOUBLE) * CAST(s_tot AS DOUBLE)) / CAST(s AS DOUBLE))
+                          OVER () AS c
+               FROM s2),
+        rates AS (SELECT lang, n,
+                         CAST(FLOOR(((c * CAST(s AS DOUBLE)) / CAST(s_tot AS DOUBLE))
+                                    / CAST(n AS DOUBLE) * {_PPM}) AS BIGINT) AS keep_ppm
+                  FROM s3),
+        kept AS (SELECT d.lang, COUNT(*) AS n_kept
+                 FROM documents d JOIN rates r ON d.lang = r.lang
+                 WHERE {_HASH_PPM} < r.keep_ppm
+                 GROUP BY d.lang)
+        SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.keep_ppm,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM rates r LEFT JOIN kept k ON r.lang = k.lang""",
+    tags=("sampling", "weighted", "multilingual", "headline"),
+    doc="Temperature-weighted multilingual resampling (the mBERT/XLM-R "
+    "alpha=0.5 recipe): target language shares proportional to "
+    "sqrt(p_lang) flatten the head-language dominance, scaled so no "
+    "language is UPsampled (the binding language keeps 100%), then "
+    "realized as a deterministic per-doc hash-bucket threshold — "
+    "restartable at 100 TB, unlike rand(). Cross-engine exactness: the "
+    "per-language weight is quantized to integer ppm (sqrt is IEEE-"
+    "identical in both engines, the integer sum is exact in any "
+    "accumulation order — a raw double sum over languages would not "
+    "be), and every later double op has identical operands and shape. "
+    "Plan: one hash agg to lang stats (5 rows), rate arithmetic on the "
+    "post-agg rows (single-partition window over a BOUNDED language "
+    "dimension, never the corpus), then the rates broadcast back onto "
+    "the scan — the kept set never shuffles.",
+)
+def sm5_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    s = F.floor(F.sqrt(F.col("n").cast("double")) * _PPM).cast("bigint")
+    s2 = st.withColumn("s", s).withColumn("s_tot", F.sum("s").over(w))
+    c = F.min(
+        (F.col("n").cast("double") * F.col("s_tot").cast("double")) / F.col("s").cast("double")
+    ).over(w)
+    rates = s2.withColumn("c", c).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.floor(
+            ((F.col("c") * F.col("s").cast("double")) / F.col("s_tot").cast("double"))
+            / F.col("n").cast("double")
+            * _PPM
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % _PPM
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "keep_ppm")), "lang")
+        .where(bucket < F.col("keep_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "keep_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )

@@ -475,3 +475,108 @@ def t12_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+# line length (tokens) for the corpus-level line dedup; the fixture corpus
+# has no newlines, so "lines" are deterministic 10-token spans — the SAME
+# plan runs unchanged on real newline-delimited text by swapping the
+# lineation expression for split(text, '\n')
+_LINE_TOKENS = 10
+_SQL_RAW_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "t13_line_dedup",
+    f"""WITH toks AS (
+          SELECT doc_id, {_SQL_RAW_TOKENS} AS tk FROM documents),
+        lines AS (
+          SELECT doc_id, i AS line_idx,
+                 array_to_string(tk[i * {_LINE_TOKENS} + 1 : i * {_LINE_TOKENS} + {_LINE_TOKENS}], ' ') AS line
+          FROM toks, LATERAL (
+            SELECT unnest(range(0, (len(tk) + {_LINE_TOKENS} - 1) // {_LINE_TOKENS}))
+                AS i) t),
+        kept AS (
+          SELECT doc_id, line_idx, line
+          FROM (SELECT doc_id, line_idx, line,
+                       ROW_NUMBER() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_idx) AS rn
+                FROM lines)
+          WHERE rn = 1),
+        reassembled AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(line, ' ' ORDER BY line_idx)) AS kept_md5
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST((len(t.tk) + {_LINE_TOKENS} - 1) // {_LINE_TOKENS} AS BIGINT) AS n_lines,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.kept_md5, md5('')) AS kept_md5
+        FROM toks t LEFT JOIN reassembled r ON t.doc_id = r.doc_id""",
+    tags=("text", "dedup", "boilerplate", "headline"),
+    doc="C4/Gopher-style corpus-level line dedup: every line that occurs "
+    "more than once ANYWHERE in the corpus keeps only its first "
+    "occurrence (min (doc_id, line_idx)), and each document is "
+    "reassembled from its surviving lines in order — the standard "
+    "boilerplate-removal pass before LLM training. Fixture docs have no "
+    "newlines, so lines are deterministic 10-token spans (same plan, "
+    "different lineation expression, on real text). Plan: per-doc "
+    "lineation is a narrow in-row projection (no shuffle); the corpus "
+    "dedup is ONE groupBy on the line with a MIN(struct) that partial-"
+    "aggregates map-side — a boilerplate line duplicated a billion times "
+    "combines to one row per map task, so the hot line can't straggle "
+    "(vs the row_number window the oracle uses, which would sort the "
+    "whole hot partition); reassembly is one shuffle on doc_id. At "
+    "100 TB the line string group key becomes xxhash64(line) with the "
+    "canonical line carried via min_by, and the reassembled text is "
+    "written out instead of fingerprinted.",
+)
+def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.expr(f"(size(tk) + {_LINE_TOKENS - 1}) div {_LINE_TOKENS}")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.col("n_lines") - 1),
+        lambda i: F.array_join(F.slice("tk", i * _LINE_TOKENS + 1, _LINE_TOKENS), " "),
+    )
+    lined = (
+        docs.select("doc_id", tk.alias("tk"))
+        .withColumn("n_lines", n_lines)
+        .select("doc_id", "n_lines", F.posexplode(lines).alias("line_idx", "line"))
+    )
+    # (doc_id, line_idx) packed into ONE bigint so the canonical-pick MIN
+    # is hash-aggregable (min over a struct falls back to SortAggregate,
+    # which would sort the hot partition — exactly the straggler the
+    # map-side combine is here to prevent). 2^20 lines/doc headroom keeps
+    # doc_id * 2^20 + line_idx exact for doc ids up to ~8.7e12.
+    packed_first = F.min(
+        F.shiftleft(F.col("doc_id"), 20) + F.col("line_idx")
+    ).alias("first")
+    kept = (
+        lined.groupBy("line")
+        .agg(packed_first)
+        .select(
+            F.shiftright(F.col("first"), 20).alias("doc_id"),
+            (F.col("first") % (1 << 20)).alias("line_idx"),
+            "line",
+        )
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    per_doc = docs.select("doc_id", F.size(tk).alias("n_tok")).select(
+        "doc_id", F.expr(f"(n_tok + {_LINE_TOKENS - 1}) div {_LINE_TOKENS}").alias("n_lines")
+    )
+    return per_doc.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )

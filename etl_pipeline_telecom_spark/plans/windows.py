@@ -50,7 +50,12 @@ def w1_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # nulls-last pinned (Spark ASC default is nulls-FIRST, DuckDB/Postgres
+    # nulls-last): a null event time must sort after the real timeline,
+    # not inject itself as everyone's first lag value
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     return events.select(
         "event_id",
         "user_id",
@@ -71,9 +76,11 @@ def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # nulls-last pinned to the DuckDB/Postgres convention (see w2/w8): a
+    # null order date accumulates at the END of the running spend
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -160,7 +167,14 @@ def w7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w8_pct_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy(F.col("p_retailprice").cast(_DEC), F.col("p_partkey"))
+    # asc_nulls_last, explicitly: Spark's ASC default is NULLS FIRST while
+    # DuckDB/Postgres sort nulls LAST — on a null-free fixture the plans
+    # agree by luck; a null price would silently shift EVERY row's rank.
+    # The engine pins the SQL-standard-common (Postgres/DuckDB) order.
+    w = Window.orderBy(
+        F.col("p_retailprice").cast(_DEC).asc_nulls_last(),
+        F.col("p_partkey").asc_nulls_last(),
+    )
     return part.select(
         "p_partkey",
         F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),

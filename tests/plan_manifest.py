@@ -55,6 +55,12 @@ _NORMALIZERS = (
     (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),               # object identity
     (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
     (re.compile(r"stream_result_\d+"), "stream_result_N"),  # memory-sink names
+    # higher-order-function lambda variables are numbered by a JVM-GLOBAL
+    # counter (x_1, x_2, ...), so a query's lambda names depend on how many
+    # lambdas were built earlier in the process — i.e. on catalog size and
+    # build order, not on the query. Caught in r6: adding 4 queries
+    # "drifted" 11 untouched plans via this counter alone.
+    (re.compile(r"\blambda x_\d+"), "lambda x_N"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
     (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
 )

@@ -120,6 +120,16 @@ PROBES += [
     "m4_media_exact_dedup",
 ]
 
+# mid-r6 additions: corpus line dedup (hot-line groupBy), contamination
+# fraction (shingle-key join), temperature mix (agg + broadcast-back),
+# mergeable HLL rollup (two-level sketch agg)
+PROBES += [
+    "t13_line_dedup",
+    "d16_ngram_overlap",
+    "sm5_temperature_mix",
+    "a20_hll_union",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -1,0 +1,178 @@
+"""Crafted-edge pins for the round-6 additions (t13, d16, sm5, a20).
+
+The full-sweep oracle proves engine parity on the random fixtures; these
+tests pin the SEMANTICS on hand-built inputs whose edges random data
+cannot reliably reach: within-doc duplicate lines and fully-boilerplate
+docs (t13), exact containment / disjoint / exact-0.8-threshold overlap
+(d16), the binding-language and flattening invariants of the temperature
+mix (sm5), and sketch-mergeability exactness (a20).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _write_docs(spark, d: str, rows: list[tuple[int, str]]) -> None:
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+LINE_A = " ".join(f"a{i}" for i in range(10))
+LINE_B = " ".join(f"b{i}" for i in range(10))
+LINE_C = " ".join(f"c{i}" for i in range(10))
+LINE_D = " ".join(f"d{i}" for i in range(10))
+
+
+def test_t13_keeps_first_occurrence_and_empties_boilerplate_docs(spark, tmp_path):
+    """Line A appears in docs 0/1/2 (twice in doc 2) → only doc 0's copy
+    survives; doc 2 is 100% boilerplate → zero lines, md5('') fingerprint;
+    a within-doc duplicate with no cross-doc copy keeps its first
+    occurrence only."""
+    from etl_pipeline_telecom_spark.plans.text import t13_line_dedup
+
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, f"{LINE_A} {LINE_B}"),
+            (1, f"{LINE_A} {LINE_C}"),
+            (2, f"{LINE_A} {LINE_A}"),
+            (3, f"{LINE_D} {LINE_D}"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+        for r in t13_line_dedup(spark, d).collect()
+    }
+    assert got[0] == (2, 2, _md5(f"{LINE_A} {LINE_B}"))
+    assert got[1] == (2, 1, _md5(LINE_C))
+    assert got[2] == (2, 0, _md5(""))  # fully boilerplate → present, empty
+    assert got[3] == (2, 1, _md5(LINE_D))  # within-doc dup, first kept
+
+
+def test_t13_short_tail_line(spark, tmp_path):
+    """A 13-token doc forms one full line + one 3-token tail line."""
+    from etl_pipeline_telecom_spark.plans.text import t13_line_dedup
+
+    d = str(tmp_path)
+    tail = "t0 t1 t2"
+    _write_docs(spark, d, [(0, f"{LINE_A} {tail}")])
+    [r] = t13_line_dedup(spark, d).collect()
+    assert (r["n_lines"], r["n_kept"]) == (2, 2)
+    assert r["kept_md5"] == _md5(f"{LINE_A} {tail}")
+
+
+def test_d16_containment_disjoint_and_exact_threshold(spark, tmp_path):
+    """eval doc 0 ⊂ train doc 1 → overlap 1.0; eval doc 5 disjoint → 0.0;
+    eval doc 10 shares exactly 4 of its 5 shingles → 0.8, and the >=
+    threshold marks it contaminated."""
+    from etl_pipeline_telecom_spark.plans.dedup import d16_ngram_overlap
+
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        [
+            (0, "w1 w2 w3 w4"),  # eval: shingles (w1 w2 w3), (w2 w3 w4)
+            (1, "w1 w2 w3 w4 w5 w6"),  # train: contains both + 2 more
+            (5, "q1 q2 q3 q4"),  # eval: fully novel
+            (10, "w1 w2 w3 w4 w5 w6 z7"),  # eval: 5 shingles, 4 in train
+            (11, "filler tokens only here"),  # train noise
+        ],
+    )
+    got = {
+        r["eval_doc_id"]: (
+            r["n_shingles"],
+            r["n_shared"],
+            r["overlap_frac"],
+            r["contaminated"],
+        )
+        for r in d16_ngram_overlap(spark, d).collect()
+    }
+    assert got[0] == (2, 2, 1.0, True)
+    assert got[5] == (2, 0, 0.0, False)
+    assert got[10] == (5, 4, 0.8, True)  # inclusive threshold edge
+
+
+def test_sm5_flattens_mix_and_never_upsamples(spark, tmp_path):
+    """64 'big' vs 4 'small' docs with alpha=0.5: exact sqrt weights give
+    the small language the binding rate (~100% kept) and the big language
+    a 25% rate; kept counts must equal a driver-side replay of the same
+    md5 thresholds, and no language exceeds its input count."""
+    from etl_pipeline_telecom_spark.plans.semistructured import sm5_temperature_mix
+
+    d = str(tmp_path)
+    rows = [(i, f"doc {i} text", "big", "src", 10) for i in range(64)]
+    rows += [(100 + i, f"doc {100 + i} text", "small", "src", 10) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["lang"]: (r["n_docs"], r["keep_ppm"], r["n_kept"])
+        for r in sm5_temperature_mix(spark, d).collect()
+    }
+    # sqrt(64)=8e6 ppm, sqrt(4)=2e6 ppm → shares 0.8/0.2 → C=min(80,20)=20
+    # → rate_small=1.0 (binding), rate_big=0.25; FLOOR may shave 1 ppm
+    assert got["small"][1] in (999_999, 1_000_000)
+    assert got["big"][1] in (249_999, 250_000)
+    for lang, (n_docs, keep_ppm, n_kept) in got.items():
+        assert n_kept <= n_docs  # never upsamples
+        ids = range(64) if lang == "big" else range(100, 104)
+        expect = sum(
+            1
+            for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+            < keep_ppm
+        )
+        assert n_kept == expect
+
+
+def test_sm5_single_language_keeps_everything(spark, tmp_path):
+    """Degenerate mix: one language → it binds, rate 1.0, all docs kept."""
+    from etl_pipeline_telecom_spark.plans.semistructured import sm5_temperature_mix
+
+    d = str(tmp_path)
+    _write_docs(spark, d, [(i, f"only lang doc {i}") for i in range(10)])
+    [r] = sm5_temperature_mix(spark, d).collect()
+    assert r["keep_ppm"] in (999_999, 1_000_000)
+    assert r["n_kept"] == r["n_docs"] == 10
+
+
+def test_a20_union_of_monthly_sketches_equals_direct_year_sketch(spark):
+    """Mergeability exactness: unioning the per-month sketches must give
+    the SAME estimate as sketching the whole year directly — the property
+    that lets per-partition sketches roll up without rescanning. Also pins
+    determinism across two independent evaluations."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.sources import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    yr = F.year("o_orderdate").cast("bigint").alias("yr")
+    merged = (
+        o.groupBy(yr, F.month("o_orderdate").alias("mo"))
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+        .groupBy("yr")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = o.groupBy(yr).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("est")
+    )
+    m = {r["yr"]: r["est"] for r in merged.collect()}
+    d1 = {r["yr"]: r["est"] for r in direct.collect()}
+    d2 = {r["yr"]: r["est"] for r in direct.collect()}
+    assert m == d1 == d2

@@ -240,3 +240,79 @@ def test_w9_ntile_tie_straddling_bucket_boundary(spark, tmp_path):
     }
     ok, msg = compare(spark, d, spec.fn, spec.sql)
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# Null order keys: Spark's ASC default is NULLS FIRST, DuckDB/Postgres sort
+# nulls LAST — on the null-free fixtures the engines agree by luck. The
+# w-family pins asc_nulls_last explicitly; these tests stage null-bearing
+# copies of the real fixtures and run the FULL oracle comparison on them.
+# ---------------------------------------------------------------------------
+
+
+def _stage_with_nulls(tmp_path, table: str, mutate) -> str:
+    """Copy the sf0.001 fixture with nulls injected, as a single parquet
+    FILE (duckdb's read_parquet sees the same bytes Spark reads)."""
+    src = f"/root/testdata/sf0.001/{table}.parquet"
+    orig = pq.read_table(src)
+    df = orig.to_pandas()
+    mutate(df)
+    d = tmp_path / "nullfix"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=orig.schema, preserve_index=False),
+        str(d / f"{table}.parquet"),
+    )
+    return str(d)
+
+
+def test_w8_percent_rank_with_null_prices_matches_oracle(spark, tmp_path):
+    from .oracle_harness import compare
+
+    def mutate(df):
+        df.loc[df["p_partkey"] % 7 == 0, "p_retailprice"] = None
+
+    d = _stage_with_nulls(tmp_path, "part", mutate)
+    spec = catalog.REGISTRY["w8_pct_rank_cume"]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, msg
+
+
+def test_w2_lag_with_null_ts_and_values_matches_oracle(spark, tmp_path):
+    from .oracle_harness import compare
+
+    def mutate(df):
+        df.loc[df["event_id"] % 11 == 0, "ts"] = None
+        df.loc[df["event_id"] % 13 == 0, "value"] = None
+
+    d = _stage_with_nulls(tmp_path, "events", mutate)
+    spec = catalog.REGISTRY["w2_lag_delta"]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, msg
+
+
+def test_w3_running_sum_with_null_dates_matches_oracle(spark, tmp_path):
+    from .oracle_harness import compare
+
+    def mutate(df):
+        df.loc[df["o_orderkey"] % 5 == 0, "o_orderdate"] = None
+
+    d = _stage_with_nulls(tmp_path, "orders", mutate)
+    spec = catalog.REGISTRY["w3_running_sum"]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, msg
+
+
+def test_w1_w9_desc_with_null_balances_match_oracle(spark, tmp_path):
+    """DESC order keys: Spark's desc default is already NULLS LAST (same
+    as DuckDB) — pin that the agreement holds on actual nulls."""
+    from .oracle_harness import compare
+
+    def mutate(df):
+        df.loc[df["c_custkey"] % 9 == 0, "c_acctbal"] = None
+
+    d = _stage_with_nulls(tmp_path, "customer", mutate)
+    for name in ("w1_rank_topk_per_group", "w9_ntile_buckets"):
+        spec = catalog.REGISTRY[name]
+        ok, msg = compare(spark, d, spec.fn, spec.sql)
+        assert ok, f"{name}: {msg}"
