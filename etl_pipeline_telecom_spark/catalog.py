@@ -138,10 +138,13 @@ def _load_all_plans() -> None:
 # Mid-round-6 additions: IN — t13_line_dedup (corpus boilerplate-line
 # dedup), d16_ngram_overlap (per-doc contamination fraction),
 # a20_hll_union (mergeable-sketch rollup), sm5_temperature_mix
-# (multilingual temperature resampling) — all new, first driver verdict
-# needed. OUT — a14_approx_distinct, a16_freq_items (graduated forms
-# in-window green r5, plans unchanged), w9_ntile_buckets,
-# sm4_weighted_sample (r5-in-window green, plans unchanged).
+# (multilingual temperature resampling), t14_cdc_chunks (content-defined
+# chunking), t16_unigram_rarity (unigram-LM quality scoring),
+# v9_ann_recall_eval (IVF recall graded vs exact top-k) — all new, first
+# driver verdict needed. OUT — a14_approx_distinct, a16_freq_items
+# (graduated forms in-window green r5, plans unchanged),
+# w9_ntile_buckets, sm4_weighted_sample, t10_bpe_pretokenize,
+# t11_bigram_topk, e6_gap_fill (r5-in-window green, plans unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -149,13 +152,14 @@ DRIVER_WINDOW = (
     "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
     # event-time + streaming
     "e1_tumbling_window", "e3_session_window", "e3b_session_window_skewfree",
-    "e4_asof_join", "e6_gap_fill",
+    "e4_asof_join",
     "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
     # r6 additions — first-ever driver verdict needed
     "st7_stream_bloom_refresh", "st8_stream_centroid_drift",
     "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
     "t13_line_dedup", "d16_ngram_overlap", "a20_hll_union", "sm5_temperature_mix",
+    "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
@@ -164,7 +168,7 @@ DRIVER_WINDOW = (
     "a18_exact_corr",
     "d14_fuzzy_name_pairs",
     "p2_upsert_latest",
-    "t10_bpe_pretokenize", "t12_pack_sequences", "t11_bigram_topk",
+    "t12_pack_sequences",
     "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
     "dq3_outlier_bands",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)

@@ -580,3 +580,153 @@ def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+@register(
+    "t16_unigram_rarity",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+        tr AS (
+          SELECT tok, COUNT(*) AS c FROM tok WHERE doc_id % 5 <> 0 GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_train FROM tok WHERE doc_id % 5 <> 0),
+        scored AS (
+          SELECT t.doc_id, t.tok, tr.c,
+                 (n.n_train * 1000000) // (COALESCE(tr.c, 0) + 1) AS term_u
+          FROM tok t CROSS JOIN n LEFT JOIN tr ON t.tok = tr.tok
+          WHERE t.doc_id % 5 = 0)
+        SELECT doc_id AS eval_doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+               ROUND(CAST(SUM(term_u) AS DOUBLE) / COUNT(*) / 1000000, 6) AS rarity
+        FROM scored GROUP BY doc_id""",
+    tags=("text", "quality", "language-model"),
+    doc="Unigram-LM rarity scoring of held-out documents against the "
+    "training split — the CCNet-style 'how surprising is this document "
+    "under the corpus LM' quality/importance signal that drives keep/ "
+    "drop and sampling weights. Each eval token scores N/(c+1) (add-one "
+    "smoothed inverse unigram frequency), quantized to exact integer "
+    "micro-units so the cross-token SUM is exact in ANY accumulation "
+    "order — a true log-prob would hash-diverge cross-engine (JVM "
+    "Math.log and libm disagree by 1 ulp on some inputs; same reason t9 "
+    "uses linear idf). The monotone token-level transform preserves the "
+    "rarity ordering; swap in ln() at deploy time if bit-exact "
+    "verification is not required — the PLAN is unchanged. Plan: one "
+    "hash agg for train counts (map-side combine absorbs hot stopwords), "
+    "a 1-row scalar broadcast for N, one shuffle join on the token key, "
+    "one agg per eval doc. At 1000x the N*1e6 integer headroom needs "
+    "DECIMAL(38,0) (int64 caps near N=9e12 tokens).",
+)
+def t16_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    train = tok.where(F.col("doc_id") % 5 != 0)
+    tr = train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = train.agg(F.count(F.lit(1)).alias("n_train"))
+    ev = tok.where(F.col("doc_id") % 5 == 0)
+    scored = (
+        ev.crossJoin(F.broadcast(n))
+        .join(tr, "tok", "left")
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.col("c"),
+            F.expr("(n_train * 1000000) div (coalesce(c, 0) + 1)").alias("term_u"),
+        )
+    )
+    return scored.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).cast("bigint").alias("n_unseen"),
+        F.round(F.sum("term_u").cast("double") / F.count(F.lit(1)) / 1000000, 6).alias(
+            "rarity"
+        ),
+    )
+
+
+_CDC_W = 4  # rolling-window width (tokens) for the boundary test
+_CDC_M = 8  # boundary when window-hash % M == 0 → expected chunk ~M tokens
+
+
+@register(
+    "t14_cdc_chunks",
+    f"""WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+        pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM tok),
+        f AS (
+          SELECT doc_id, i, tk[CAST(i + 1 AS INT)] AS tok,
+                 CASE WHEN i >= {_CDC_W - 1}
+                           AND CAST(('0x' || substr(md5(
+                                 array_to_string(tk[CAST(i - {_CDC_W - 2} AS INT):CAST(i + 1 AS INT)], ' ')
+                               ), 1, 8)) AS BIGINT) % {_CDC_M} = 0
+                      THEN 1 ELSE 0 END AS flag
+          FROM pos),
+        c AS (
+          SELECT doc_id, i, tok,
+                 COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS chunk_idx
+          FROM f),
+        g AS (
+          SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+          FROM c GROUP BY doc_id, chunk_idx)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               n_tokens, chunk_md5,
+               CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+        FROM g""",
+    tags=("text", "chunking", "dedup", "headline"),
+    doc="Content-defined chunking (rsync/LBFS-style): a chunk boundary "
+    "falls AFTER token i exactly when the hash of the 4-token window "
+    "ending at i is 0 mod 8 — boundaries are a function of CONTENT, not "
+    "position, so an insertion near the head re-syncs after one window "
+    "and the remaining chunks fingerprint identically (fixed-span "
+    "chunking like t7/t13 shifts every downstream chunk). n_copies "
+    "counts corpus-wide duplicate chunks — the dedup payoff CDC exists "
+    "for. Plan: boundary flags are computed IN-ROW (narrow projection, "
+    "no shuffle), the exclusive prefix-sum runs per-doc (window "
+    "partitioned by doc_id — task size bounded by one document), then "
+    "one hash agg per (doc, chunk) and one window count on the chunk "
+    "fingerprint with map-side-combinable cardinality. At 100 TB the "
+    "chunk store dedups on chunk_md5 exactly like m4's payload "
+    "fingerprints.",
+)
+def t14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    win_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.array_join(F.slice(F.col("tk"), i - (_CDC_W - 2), _CDC_W), " ")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    flags = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 1),
+        lambda i: F.when((i >= _CDC_W - 1) & (win_hash(i) % _CDC_M == 0), 1).otherwise(0),
+    )
+    lined = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select("doc_id", F.posexplode(F.arrays_zip(F.col("tk"), flags.alias("flag"))).alias("i", "z"))
+        .select("doc_id", "i", F.col("z.tk").alias("tok"), F.col("z.flag").alias("flag"))
+    )
+    w_prefix = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        lined.withColumn("chunk_idx", F.coalesce(F.sum("flag").over(w_prefix), F.lit(0)))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda s: s["tok"]
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    w_copies = Window.partitionBy("chunk_md5")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_md5",
+        F.count(F.lit(1)).over(w_copies).cast("bigint").alias("n_copies"),
+    )

@@ -122,12 +122,17 @@ PROBES += [
 
 # mid-r6 additions: corpus line dedup (hot-line groupBy), contamination
 # fraction (shingle-key join), temperature mix (agg + broadcast-back),
-# mergeable HLL rollup (two-level sketch agg)
+# mergeable HLL rollup (two-level sketch agg), CDC chunking (in-row
+# boundaries + per-doc prefix sum), unigram rarity (token-key join),
+# ANN recall eval (v7 + bounded exact pass)
 PROBES += [
     "t13_line_dedup",
     "d16_ngram_overlap",
     "sm5_temperature_mix",
     "a20_hll_union",
+    "t14_cdc_chunks",
+    "t16_unigram_rarity",
+    "v9_ann_recall_eval",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -141,6 +141,11 @@ _BNLJ_ALLOWED = {
                          # the freqItems sketch row joined onto the
                          # |domain|-row heavy-candidate set — both sides
                          # aggregated, never corpus-sized
+    "v9_ann_recall_eval",  # embeds v7 (its centroid broadcast) plus v1's
+                         # Q=10 bounded exact side — the ground-truth pass
+                         # a recall eval needs, guarded like v1
+    "t16_unigram_rarity",  # 1-row scalar broadcast (train token total),
+                         # same shape as t9's corpus-count broadcast
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",

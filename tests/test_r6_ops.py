@@ -176,3 +176,117 @@ def test_a20_union_of_monthly_sketches_equals_direct_year_sketch(spark):
     d1 = {r["yr"]: r["est"] for r in direct.collect()}
     d2 = {r["yr"]: r["est"] for r in direct.collect()}
     assert m == d1 == d2
+
+
+# ---------------------------------------------------------------------------
+# Mid-round additions: t14 (content-defined chunking), t16 (unigram
+# rarity), v9 (ANN recall eval)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunks_py(tokens: list[str], w: int = 4, m: int = 8) -> list[str]:
+    """Driver-side replay of t14's boundary rule → list of chunk strings."""
+    flags = []
+    for i in range(len(tokens)):
+        if i >= w - 1:
+            window = " ".join(tokens[i - w + 1 : i + 1])
+            h = int(hashlib.md5(window.encode()).hexdigest()[:8], 16)
+            flags.append(1 if h % m == 0 else 0)
+        else:
+            flags.append(0)
+    chunks, cur = [], []
+    for tok, flag in zip(tokens, flags):
+        cur.append(tok)
+        if flag:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_t14_boundaries_resync_after_insertion(spark, tmp_path):
+    """The CDC property itself: prepending a token to a document shifts
+    only the chunks up to the first boundary — every later chunk
+    fingerprint re-syncs (fixed-span chunking would shift them all).
+    Chunks must equal a driver-side replay of the same boundary rule."""
+    from etl_pipeline_telecom_spark.plans.text import t14_cdc_chunks
+
+    base = [f"w{i}" for i in range(60)]
+    shifted = ["zzz"] + base
+    d = str(tmp_path)
+    _write_docs(spark, d, [(0, " ".join(base)), (1, " ".join(shifted))])
+    rows = t14_cdc_chunks(spark, d).collect()
+    got = {0: {}, 1: {}}
+    for r in rows:
+        got[r["doc_id"]][r["chunk_idx"]] = (r["n_tokens"], r["chunk_md5"])
+
+    for doc_id, toks in ((0, base), (1, shifted)):
+        expect = _cdc_chunks_py(toks)
+        assert len(got[doc_id]) == len(expect)
+        for idx, chunk in enumerate(expect):
+            n, h = got[doc_id][idx]
+            assert n == len(chunk.split())
+            assert h == _md5(chunk)
+
+    shared = {h for _, h in got[0].values()} & {h for _, h in got[1].values()}
+    # re-sync: the tail chunks agree despite the head insertion
+    assert len(shared) >= 1
+    # and n_copies marked them as corpus-duplicated chunks
+    copies = {r["chunk_md5"]: r["n_copies"] for r in rows}
+    for h in shared:
+        assert copies[h] == 2
+
+
+def test_t14_doc_shorter_than_window_is_one_chunk(spark, tmp_path):
+    from etl_pipeline_telecom_spark.plans.text import t14_cdc_chunks
+
+    d = str(tmp_path)
+    _write_docs(spark, d, [(0, "a b c")])
+    [r] = t14_cdc_chunks(spark, d).collect()
+    assert (r["chunk_idx"], r["n_tokens"], r["chunk_md5"]) == (0, 3, _md5("a b c"))
+
+
+def test_t16_rarity_extremes(spark, tmp_path):
+    """Eval doc of fully-unseen tokens scores the smoothing ceiling
+    (N·1e6 div 1 per token); an eval doc made of the commonest train
+    token scores its exact inverse frequency. Expected values replayed
+    driver-side from the same integer arithmetic."""
+    from etl_pipeline_telecom_spark.plans.semistructured import _PPM  # noqa: F401
+    from etl_pipeline_telecom_spark.plans.text import t16_unigram_rarity
+
+    d = str(tmp_path)
+    # train: docs 1-4 (doc_id % 5 != 0) → "common" x12, "mid" x4
+    _write_docs(
+        spark,
+        d,
+        [
+            (1, "common common common mid"),
+            (2, "common common common mid"),
+            (3, "common common common mid"),
+            (4, "common common common mid"),
+            (0, "novel tokens only"),  # eval: all unseen
+            (5, "common common"),  # eval: all the hot token
+        ],
+    )
+    n_train = 16
+    got = {
+        r["eval_doc_id"]: (r["n_tokens"], r["n_unseen"], r["rarity"])
+        for r in t16_unigram_rarity(spark, d).collect()
+    }
+    ceiling = round((n_train * 1_000_000) // 1 / 1_000_000, 6)
+    assert got[0] == (3, 3, ceiling)
+    common_term = (n_train * 1_000_000) // (12 + 1)
+    assert got[5] == (2, 0, round(common_term / 1_000_000, 6))
+
+
+def test_v9_recall_is_consistent_and_bounded(spark):
+    """recall@3 = n_hits/3 exactly, hits never exceed the ANN list, and
+    the ANN list never exceeds k — on the real sf0.001 fixture."""
+    from etl_pipeline_telecom_spark.plans.similarity import v9_ann_recall_eval
+
+    rows = v9_ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_ann"] <= 3
+        assert r["recall_at_3"] == round(r["n_hits"] / 3, 6)
