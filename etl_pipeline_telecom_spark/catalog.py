@@ -140,11 +140,16 @@ def _load_all_plans() -> None:
 # a20_hll_union (mergeable-sketch rollup), sm5_temperature_mix
 # (multilingual temperature resampling), t14_cdc_chunks (content-defined
 # chunking), t16_unigram_rarity (unigram-LM quality scoring),
-# v9_ann_recall_eval (IVF recall graded vs exact top-k) — all new, first
+# v9_ann_recall_eval (IVF recall graded vs exact top-k),
+# e10_time_weighted_avg (LOCF integral over irregular samples),
+# dq4_distribution_drift (chi-square histogram drift monitor),
+# sm6_fixed_k_per_group (exact-k balanced sampling) — all new, first
 # driver verdict needed. OUT — a14_approx_distinct, a16_freq_items
 # (graduated forms in-window green r5, plans unchanged),
 # w9_ntile_buckets, sm4_weighted_sample, t10_bpe_pretokenize,
-# t11_bigram_topk, e6_gap_fill (r5-in-window green, plans unchanged).
+# t11_bigram_topk, e6_gap_fill, e9_windowed_funnel,
+# d14_fuzzy_name_pairs, a18_exact_corr (r5-in-window green, plans
+# unchanged this round).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -160,13 +165,12 @@ DRIVER_WINDOW = (
     "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
     "t13_line_dedup", "d16_ngram_overlap", "a20_hll_union", "sm5_temperature_mix",
     "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
+    "e10_time_weighted_avg", "dq4_distribution_drift", "sm6_fixed_k_per_group",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
-    # r5 late additions (verdict r5; e9/pipe2 kept as young canaries)
-    "pipe2_ingest_gate", "e9_windowed_funnel",
-    "a18_exact_corr",
-    "d14_fuzzy_name_pairs",
+    # r5 late additions (verdict r5; pipe2 kept as young canary)
+    "pipe2_ingest_gate",
     "p2_upsert_latest",
     "t12_pack_sequences",
     "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",

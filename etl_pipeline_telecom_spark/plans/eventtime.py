@@ -547,3 +547,63 @@ def e3b_session_window_skewfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
     )
+
+
+@register(
+    "e10_time_weighted_avg",
+    """WITH seq AS (
+         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                CAST(value AS DECIMAL(18,2)) AS v,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+                LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                  OVER (PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+         FROM events)
+       SELECT user_id, day,
+              CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,
+              CAST(SUM(next_us - t_us) AS BIGINT) AS span_us,
+              ROUND(CAST(SUM(v * (next_us - t_us)) AS DOUBLE)
+                    / CAST(SUM(next_us - t_us) AS DOUBLE), 6) AS twa
+       FROM seq WHERE next_us IS NOT NULL
+       GROUP BY user_id, day""",
+    tags=("eventtime", "timeseries", "time-weighted", "headline"),
+    doc="Time-weighted average over irregularly sampled values (the "
+    "TimescaleDB time_weight op, LOCF interpolation): per (user, day), "
+    "each observation holds until the next one, so TWA = "
+    "sum(v_i * dt_i) / sum(dt_i) over consecutive-event gaps — the "
+    "correct daily summary when sampling is bursty (a plain AVG "
+    "overweights bursts; e1's tumbling AVG is the uniform-sampling "
+    "special case). Exactness: dt is integer microseconds, v is "
+    "DECIMAL(18,2), so the weighted sum is an exact decimal in any "
+    "accumulation order; the single final division is double/double "
+    "with identical operands cross-engine. Plan: ONE shuffle (the "
+    "(user, day) window partitioning shared by the lead() and the "
+    "aggregate — task size bounded by one user-day, e3b's skew "
+    "argument); single-event days drop out (no interval). At 100 TB "
+    "the decimal(38,2) weighted sum has ~1e17 headroom over int64 "
+    "microsecond spans.",
+)
+def e10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+        "ts",
+        "event_id",
+    ).withColumn("next_us", F.lead("t_us").over(w))
+    dt = F.col("next_us") - F.col("t_us")
+    return (
+        seq.where(F.col("next_us").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_samples"),
+            F.sum(dt).cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * dt).cast("double") / F.sum(dt).cast("double"), 6
+            ).alias("twa"),
+        )
+    )

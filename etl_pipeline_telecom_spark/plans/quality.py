@@ -8,7 +8,7 @@ must all agree cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -147,4 +147,94 @@ def dq3_outlier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.abs(d - F.col("mu")) > 2 * F.col("sigma"), 1).otherwise(0)
             ).alias("n_outliers"),
         )
+    )
+
+
+_DQ4_BUCKET_W = 50  # value-bucket width; buckets 0..9 (capped)
+_DQ4_SPLIT_DAY = 16  # ref = Jan 1-15, cur = Jan 16+  (fixture spans Jan)
+_DQ4_CRIT = 16.919  # chi-square critical value, df=9, alpha=0.05
+
+
+@register(
+    "dq4_distribution_drift",
+    f"""WITH b AS (
+         SELECT event_type,
+                LEAST(CAST(FLOOR(value / {_DQ4_BUCKET_W}) AS BIGINT), 9) AS bucket,
+                CASE WHEN day(CAST(ts AS TIMESTAMP)) < {_DQ4_SPLIT_DAY}
+                     THEN 'ref' ELSE 'cur' END AS win
+         FROM events),
+        counts AS (
+         SELECT event_type, bucket,
+                SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS ref_n,
+                SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS cur_n
+         FROM b GROUP BY event_type, bucket),
+        tot AS (
+         SELECT *, SUM(ref_n) OVER (PARTITION BY event_type) AS ref_tot,
+                   SUM(cur_n) OVER (PARTITION BY event_type) AS cur_tot
+         FROM counts),
+        contrib AS (
+         SELECT event_type, bucket, CAST(ref_n AS BIGINT) AS ref_n,
+                CAST(cur_n AS BIGINT) AS cur_n,
+                CAST(FLOOR(
+                  (CAST((cur_n * ref_tot - ref_n * cur_tot) AS DOUBLE)
+                   * CAST((cur_n * ref_tot - ref_n * cur_tot) AS DOUBLE))
+                  / CAST(ref_n * cur_tot * ref_tot AS DOUBLE) * 1000000
+                ) AS BIGINT) AS contrib_u
+         FROM tot WHERE ref_n > 0)
+        SELECT event_type, bucket, ref_n, cur_n,
+               ROUND(contrib_u / 1000000.0, 6) AS contrib,
+               ROUND(SUM(contrib_u) OVER (PARTITION BY event_type) / 1000000.0, 6)
+                   AS chi2_type,
+               SUM(contrib_u) OVER (PARTITION BY event_type) / 1000000.0 > {_DQ4_CRIT}
+                   AS drifted
+        FROM contrib""",
+    tags=("quality", "drift", "statistics", "headline"),
+    doc="Distribution-drift monitor between a reference and a current "
+    "window (first vs second half of the month): per event type, value "
+    "histograms are compared bucket-by-bucket and the Pearson chi-square "
+    "statistic flags types whose CURRENT value distribution no longer "
+    "matches the reference — the standard data-quality gate in front of "
+    "a training pipeline (dq3 bounds individual outliers; dq4 catches "
+    "the whole distribution moving). Exactness: each bucket's "
+    "contribution (o·R − r·C)²/(r·C·R) is built from exact integer "
+    "counts (int→double conversion rounds identically in every IEEE "
+    "engine), then quantized to integer micro-units so the cross-bucket "
+    "sum is order-independent — the same discipline as sm5/t16. Plan: "
+    "one hash agg to (type, bucket) counts — 50 rows — then window "
+    "arithmetic on the post-agg rows; the scan never shuffles. Buckets "
+    "with an empty reference are excluded from the statistic (standard "
+    "practice; they show as cur-only rows upstream).",
+)
+def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / _DQ4_BUCKET_W).cast("bigint"), F.lit(9))
+    win = F.when(F.dayofmonth("ts") < _DQ4_SPLIT_DAY, "ref").otherwise("cur")
+    counts = (
+        ev.select("event_type", bucket.alias("bucket"), win.alias("win"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    w_type = Window.partitionBy("event_type")
+    tot = counts.withColumn("ref_tot", F.sum("ref_n").over(w_type)).withColumn(
+        "cur_tot", F.sum("cur_n").over(w_type)
+    )
+    num = (F.col("cur_n") * F.col("ref_tot") - F.col("ref_n") * F.col("cur_tot")).cast(
+        "double"
+    )
+    den = (F.col("ref_n") * F.col("cur_tot") * F.col("ref_tot")).cast("double")
+    contrib = tot.where(F.col("ref_n") > 0).withColumn(
+        "contrib_u", F.floor(num * num / den * 1000000).cast("bigint")
+    )
+    chi2_u = F.sum("contrib_u").over(w_type)
+    return contrib.select(
+        "event_type",
+        "bucket",
+        F.col("ref_n").cast("bigint").alias("ref_n"),
+        F.col("cur_n").cast("bigint").alias("cur_n"),
+        F.round(F.col("contrib_u") / 1000000.0, 6).alias("contrib"),
+        F.round(chi2_u / 1000000.0, 6).alias("chi2_type"),
+        (chi2_u / 1000000.0 > _DQ4_CRIT).alias("drifted"),
     )

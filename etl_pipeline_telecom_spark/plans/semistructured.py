@@ -327,3 +327,43 @@ def sm5_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_ppm",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+_SM6_K = 20
+_SM6_ORD = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "sm6_fixed_k_per_group",
+    f"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY {_SM6_ORD}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= {_SM6_K}""",
+    tags=("sampling", "balanced", "evaluation"),
+    doc="Exactly-k-per-group sampling: each language contributes its "
+    "k={_k} lowest-hash documents — the balanced eval-set construction "
+    "that per-rate sampling (sm1/sm2/sm5) cannot guarantee (rates give "
+    "EXPECTED counts; eval sets need exact ones). Ordering by the md5 "
+    "of the key is a deterministic uniform draw — reruns, engines, and "
+    "partitionings agree, and adding documents only perturbs the "
+    "selection locally (a new doc displaces at most the k-th member of "
+    "its own group — hash-ordered selection is stable under growth, "
+    "unlike rand()-ranked). Strata smaller than k contribute entirely. "
+    "Plan: one window shuffle on the group key; at 100 TB groups are "
+    "bounded (languages), and the full sort inside each group is "
+    "avoidable with a per-partition top-k combine (rank only the "
+    "survivors) — Spark's window TopK pushdown does this when k is a "
+    "literal.""".replace("{_k}", str(_SM6_K)),
+)
+def sm6_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _SM6_K)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -135,6 +135,15 @@ PROBES += [
     "v9_ann_recall_eval",
 ]
 
+# second mid-r6 batch: time-weighted average (one (user,day) window
+# shuffle), chi-square drift (scan → 50-row agg), exact-k sampling (one
+# group-key window)
+PROBES += [
+    "e10_time_weighted_avg",
+    "dq4_distribution_drift",
+    "sm6_fixed_k_per_group",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

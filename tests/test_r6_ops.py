@@ -290,3 +290,144 @@ def test_v9_recall_is_consistent_and_bounded(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_ann"] <= 3
         assert r["recall_at_3"] == round(r["n_hits"] / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# Second mid-round batch: e10 (time-weighted average), dq4 (chi-square
+# distribution drift), sm6 (exactly-k-per-group sampling)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+
+def test_e10_twa_weights_by_holding_time_not_sample_count(spark, tmp_path):
+    """v=10 held 10s, v=20 held 20s → TWA 16.666667 — NOT the naive
+    mean 23.333 that overweights the burst; the final sample bounds the
+    last interval and contributes no weight of its own. Single-event
+    days produce no row (no interval to integrate)."""
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark.plans.eventtime import e10_time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    _write_events(
+        tmp_path,
+        [
+            (1, t0, 7, "click", 10.0),
+            (2, t0 + 10 * s, 7, "click", 20.0),
+            (3, t0 + 30 * s, 7, "click", 40.0),
+            # another user, single event that day → no output row
+            (4, t0, 8, "view", 99.0),
+        ],
+    )
+    rows = e10_time_weighted_avg(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["user_id"], r["n_samples"], r["span_us"]) == (7, 3, 30_000_000)
+    assert r["twa"] == round((10.0 * 10 + 20.0 * 20) / 30, 6)
+    assert r["twa"] != round((10.0 + 20.0 + 40.0) / 3, 6)
+
+
+def test_e10_matches_oracle_on_crafted_bursts(spark, tmp_path):
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark import catalog
+
+    from .oracle_harness import compare
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(6):
+            eid += 1
+            rows.append((eid, t0 + (i * i + u) * s, u, "click", float(10 * u + i)))
+    _write_events(tmp_path, rows)
+    spec = catalog.REGISTRY["e10_time_weighted_avg"]
+    ok, msg = compare(spark, str(tmp_path), spec.fn, spec.sql)
+    assert ok, msg
+
+
+def test_dq4_flags_only_the_drifted_type(spark, tmp_path):
+    """Type 'same' has identical ref/cur histograms → every contribution
+    0, not drifted. Type 'moved' shifts all mass from bucket 1 to
+    bucket 0 → chi2 = 20 > 16.919 → drifted. Values replayed from the
+    same integer arithmetic."""
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark.plans.quality import dq4_distribution_drift
+
+    ref_day = dt.datetime(2024, 1, 5, 0, 0, 0)
+    cur_day = dt.datetime(2024, 1, 25, 0, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows, eid = [], 0
+
+    def add(day, etype, value, n):
+        nonlocal eid
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, day + eid * s, 1, etype, value))
+
+    # 'same': ref 10+10, cur 10+10 across buckets 0 (v=25) and 1 (v=75)
+    add(ref_day, "same", 25.0, 10); add(ref_day, "same", 75.0, 10)
+    add(cur_day, "same", 25.0, 10); add(cur_day, "same", 75.0, 10)
+    # 'moved': ref 10+10, cur 20+0 — all mass to bucket 0
+    add(ref_day, "moved", 25.0, 10); add(ref_day, "moved", 75.0, 10)
+    add(cur_day, "moved", 25.0, 20)
+    _write_events(tmp_path, rows)
+
+    got = {
+        (r["event_type"], r["bucket"]): (r["ref_n"], r["cur_n"], r["contrib"], r["chi2_type"], r["drifted"])
+        for r in dq4_distribution_drift(spark, str(tmp_path)).collect()
+    }
+    assert got[("same", 0)] == (10, 10, 0.0, 0.0, False)
+    assert got[("same", 1)] == (10, 10, 0.0, 0.0, False)
+    # (o*R - r*C)^2 / (r*C*R) with R=C=20: b0 (20*20-10*20)^2/4000 = 10
+    assert got[("moved", 0)] == (10, 20, 10.0, 20.0, True)
+    assert got[("moved", 1)] == (10, 0, 10.0, 20.0, True)
+
+
+def test_sm6_exact_k_small_strata_and_growth_stability(spark, tmp_path):
+    """Big language yields EXACTLY k rows, a 3-doc language contributes
+    all 3; the selection equals a driver-side md5-order replay; and
+    adding one document changes the selected set by at most one member
+    (hash-ordered selection is stable under growth)."""
+    from etl_pipeline_telecom_spark.plans.semistructured import _SM6_K, sm6_fixed_k_per_group
+
+    def selected(ids):
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        return order[:_SM6_K]
+
+    big = list(range(1000, 1100))
+    small = [1, 2, 3]
+    d = str(tmp_path)
+    rows_in = [(i, f"doc {i} text", "big", "src", 10) for i in big] + [
+        (i, f"small {i} text", "small", "src", 10) for i in small
+    ]
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = sm6_fixed_k_per_group(spark, d).collect()
+    got_big = sorted((r["rk"], r["doc_id"]) for r in rows if r["doc_id"] >= 1000)
+    got_small = sorted((r["rk"], r["doc_id"]) for r in rows if r["doc_id"] < 1000)
+    assert len(got_big) == _SM6_K
+    assert [i for _, i in sorted(got_big)] == selected(big)
+    assert len(got_small) == 3
+
+    grown = selected(big + [1100])
+    assert len(set(selected(big)) - set(grown)) <= 1
