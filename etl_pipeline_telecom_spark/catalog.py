@@ -143,7 +143,9 @@ def _load_all_plans() -> None:
 # v9_ann_recall_eval (IVF recall graded vs exact top-k),
 # e10_time_weighted_avg (LOCF integral over irregular samples),
 # dq4_distribution_drift (chi-square histogram drift monitor),
-# sm6_fixed_k_per_group (exact-k balanced sampling) — all new, first
+# sm6_fixed_k_per_group (exact-k balanced sampling),
+# st9_stream_drift_monitor (streaming twin of dq4; displaces
+# a19_grouped_regression, r5-green unchanged) — all new, first
 # driver verdict needed. OUT — a14_approx_distinct, a16_freq_items
 # (graduated forms in-window green r5, plans unchanged),
 # w9_ntile_buckets, sm4_weighted_sample, t10_bpe_pretokenize,
@@ -166,6 +168,7 @@ DRIVER_WINDOW = (
     "t13_line_dedup", "d16_ngram_overlap", "a20_hll_union", "sm5_temperature_mix",
     "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
     "e10_time_weighted_avg", "dq4_distribution_drift", "sm6_fixed_k_per_group",
+    "st9_stream_drift_monitor",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
@@ -173,7 +176,7 @@ DRIVER_WINDOW = (
     "pipe2_ingest_gate",
     "p2_upsert_latest",
     "t12_pack_sequences",
-    "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
+    "e8_funnel_steps", "p3_scd2_intervals",
     "dq3_outlier_bands",
     # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
     "j6_star_join",

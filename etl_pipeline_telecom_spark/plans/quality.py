@@ -155,9 +155,50 @@ _DQ4_SPLIT_DAY = 16  # ref = Jan 1-15, cur = Jan 16+  (fixture spans Jan)
 _DQ4_CRIT = 16.919  # chi-square critical value, df=9, alpha=0.05
 
 
-@register(
-    "dq4_distribution_drift",
-    f"""WITH b AS (
+def dq4_bucket_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket) -> (ref_n, cur_n) — the maintained state both
+    the batch monitor and st9's streaming twin aggregate to."""
+    bucket = F.least(F.floor(F.col("value") / _DQ4_BUCKET_W).cast("bigint"), F.lit(9))
+    win = F.when(F.dayofmonth("ts") < _DQ4_SPLIT_DAY, "ref").otherwise("cur")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), win.alias("win"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """dq4's chi-square arithmetic over a (type, bucket, ref_n, cur_n)
+    counts table — shared by the batch and streaming monitors."""
+    w_type = Window.partitionBy("event_type")
+    tot = counts.withColumn("ref_tot", F.sum("ref_n").over(w_type)).withColumn(
+        "cur_tot", F.sum("cur_n").over(w_type)
+    )
+    num = (F.col("cur_n") * F.col("ref_tot") - F.col("ref_n") * F.col("cur_tot")).cast(
+        "double"
+    )
+    den = (F.col("ref_n") * F.col("cur_tot") * F.col("ref_tot")).cast("double")
+    contrib = tot.where(F.col("ref_n") > 0).withColumn(
+        "contrib_u", F.floor(num * num / den * 1000000).cast("bigint")
+    )
+    chi2_u = F.sum("contrib_u").over(w_type)
+    return contrib.select(
+        "event_type",
+        "bucket",
+        F.col("ref_n").cast("bigint").alias("ref_n"),
+        F.col("cur_n").cast("bigint").alias("cur_n"),
+        F.round(F.col("contrib_u") / 1000000.0, 6).alias("contrib"),
+        F.round(chi2_u / 1000000.0, 6).alias("chi2_type"),
+        (chi2_u / 1000000.0 > _DQ4_CRIT).alias("drifted"),
+    )
+
+
+# shared with st9_stream_drift_monitor (the streaming twin maintains the
+# same counts; end-of-replay state equals the batch counts exactly)
+_SQL_DQ4 = f"""WITH b AS (
          SELECT event_type,
                 LEAST(CAST(FLOOR(value / {_DQ4_BUCKET_W}) AS BIGINT), 9) AS bucket,
                 CASE WHEN day(CAST(ts AS TIMESTAMP)) < {_DQ4_SPLIT_DAY}
@@ -187,7 +228,12 @@ _DQ4_CRIT = 16.919  # chi-square critical value, df=9, alpha=0.05
                    AS chi2_type,
                SUM(contrib_u) OVER (PARTITION BY event_type) / 1000000.0 > {_DQ4_CRIT}
                    AS drifted
-        FROM contrib""",
+        FROM contrib"""
+
+
+@register(
+    "dq4_distribution_drift",
+    _SQL_DQ4,
     tags=("quality", "drift", "statistics", "headline"),
     doc="Distribution-drift monitor between a reference and a current "
     "window (first vs second half of the month): per event type, value "
@@ -206,35 +252,4 @@ _DQ4_CRIT = 16.919  # chi-square critical value, df=9, alpha=0.05
     "practice; they show as cur-only rows upstream).",
 )
 def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.least(F.floor(F.col("value") / _DQ4_BUCKET_W).cast("bigint"), F.lit(9))
-    win = F.when(F.dayofmonth("ts") < _DQ4_SPLIT_DAY, "ref").otherwise("cur")
-    counts = (
-        ev.select("event_type", bucket.alias("bucket"), win.alias("win"))
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.sum(F.when(F.col("win") == "ref", 1).otherwise(0)).alias("ref_n"),
-            F.sum(F.when(F.col("win") == "cur", 1).otherwise(0)).alias("cur_n"),
-        )
-    )
-    w_type = Window.partitionBy("event_type")
-    tot = counts.withColumn("ref_tot", F.sum("ref_n").over(w_type)).withColumn(
-        "cur_tot", F.sum("cur_n").over(w_type)
-    )
-    num = (F.col("cur_n") * F.col("ref_tot") - F.col("ref_n") * F.col("cur_tot")).cast(
-        "double"
-    )
-    den = (F.col("ref_n") * F.col("cur_tot") * F.col("ref_tot")).cast("double")
-    contrib = tot.where(F.col("ref_n") > 0).withColumn(
-        "contrib_u", F.floor(num * num / den * 1000000).cast("bigint")
-    )
-    chi2_u = F.sum("contrib_u").over(w_type)
-    return contrib.select(
-        "event_type",
-        "bucket",
-        F.col("ref_n").cast("bigint").alias("ref_n"),
-        F.col("cur_n").cast("bigint").alias("cur_n"),
-        F.round(F.col("contrib_u") / 1000000.0, 6).alias("contrib"),
-        F.round(chi2_u / 1000000.0, 6).alias("chi2_type"),
-        (chi2_u / 1000000.0 > _DQ4_CRIT).alias("drifted"),
-    )
+    return drift_from_counts(dq4_bucket_counts(load_table(spark, sf_dir, "events")))

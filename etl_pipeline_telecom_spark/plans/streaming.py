@@ -287,3 +287,33 @@ def st8_stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("s") / F.col("c") - F.col("bs") / F.col("bc")), 6).alias("drift"),
         )
     )
+
+
+from .quality import _SQL_DQ4, dq4_bucket_counts, drift_from_counts  # noqa: E402
+
+
+@register(
+    "st9_stream_drift_monitor",
+    _SQL_DQ4,
+    tags=("streaming", "drift-monitor", "quality"),
+    doc="Streaming twin of dq4 — the form a drift gate actually deploys "
+    "in: a complete-mode streaming aggregation maintains the per-(event "
+    "type, value bucket) ref/cur counts over a 4-slice micro-batch "
+    "replay of the events table, and each refresh re-derives the "
+    "chi-square drift table from the maintained state (50 rows — the "
+    "post-agg arithmetic is driver-cheap however large the stream). "
+    "Counts are integer sums, so the end-of-replay state equals the "
+    "batch counts EXACTLY in any batch/arrival order — dq4's SQL is "
+    "therefore a valid oracle, st6's bounded-replay discipline. The "
+    "maintained state is bounded by the schema (types x 10 buckets), "
+    "not the stream; in production the 'ref' side would pin a frozen "
+    "snapshot and the stream feeds only 'cur' — same plan, one filter.",
+)
+def st9_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import replay_table_slices, run_available_now
+
+    replay = replay_table_slices(sf_dir, "events")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    counts, _ = run_available_now(dq4_bucket_counts(stream), output_mode="complete")
+    return drift_from_counts(counts)
