@@ -13,7 +13,7 @@ queries a user of a real analytics engine needs, designed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -251,4 +251,74 @@ def j7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("segment_spend"),
+    )
+
+
+@register(
+    "j8_temporal_snapshot_join",
+    """WITH dim AS (
+         SELECT user_id, event_id AS version_id, value AS attr,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS vfrom,
+                LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                  OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vto
+         FROM events WHERE event_type = 'signup'),
+        fact AS (
+         SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+         FROM events WHERE event_type = 'purchase')
+       SELECT f.event_id, f.user_id, d.version_id, d.attr AS version_attr
+       FROM fact f LEFT JOIN dim d
+         ON d.user_id = f.user_id
+        AND f.t_us >= d.vfrom AND (f.t_us < d.vto OR d.vto IS NULL)""",
+    tags=("join", "temporal", "scd2", "asof-join", "headline"),
+    doc="Point-in-time (temporal snapshot) join: each fact row joins the "
+    "dimension VERSION that was valid at the fact's event time — the "
+    "SCD-2 lookup that prevents attribute leakage from the future when "
+    "building training data (joining today's profile onto last year's "
+    "fact is the classic label-leak). Signup events are the versioned "
+    "dimension (p3's interval build), purchases are the facts. Plan: NO "
+    "interval join anywhere — facts and versions union into ONE stream, "
+    "one window partitioned by the key carries the latest version "
+    "forward (max over a (us, id, attr) struct; version rows sort "
+    "before same-microsecond facts so the inclusive valid-from bound "
+    "holds), facts project their carried version. One shuffle, task "
+    "size bounded per key — e4's linear as-of shape, against the "
+    "interval-join oracle. At 100 TB the interval join the oracle runs "
+    "would be the naive O(facts x versions-per-key) plan; this is the "
+    "union+window form warehouses use instead.",
+)
+def j8_temporal_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "purchase").cast("int").alias("kind"),
+            F.when(
+                F.col("event_type") == "signup",
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("id"),
+                    F.col("value").alias("attr"),
+                ),
+            ).alias("ver_s"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last = F.max("ver_s").over(w)
+    return (
+        u.withColumn("last", last)
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last.id").alias("version_id"),
+            F.col("last.attr").alias("version_attr"),
+        )
     )

@@ -142,6 +142,7 @@ PROBES += [
     "e10_time_weighted_avg",
     "dq4_distribution_drift",
     "sm6_fixed_k_per_group",
+    "j8_temporal_snapshot_join",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -431,3 +431,62 @@ def test_sm6_exact_k_small_strata_and_growth_stability(spark, tmp_path):
 
     grown = selected(big + [1100])
     assert len(set(selected(big)) - set(grown)) <= 1
+
+
+def test_j8_same_microsecond_and_pre_version_facts(spark, tmp_path):
+    """Temporal snapshot edges random data cannot reach: a fact at the
+    SAME microsecond as a version change joins that new version
+    (inclusive valid-from); a fact with no prior version gets nulls;
+    two versions in the same microsecond — the higher event_id wins
+    (its sibling's interval is empty)."""
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark.plans.joins import j8_temporal_snapshot_join
+
+    t0 = dt.datetime(2024, 1, 10, 9, 0, 0)
+    s = dt.timedelta(seconds=1)
+    _write_events(
+        tmp_path,
+        [
+            (100, t0 - 5 * s, 1, "purchase", 1.0),   # before any version → nulls
+            (5, t0, 1, "signup", 10.0),              # version A
+            (101, t0, 1, "purchase", 2.0),           # same µs as A → joins A
+            (6, t0 + 10 * s, 1, "signup", 20.0),     # version B
+            (7, t0 + 10 * s, 1, "signup", 30.0),     # version C, same µs as B
+            (102, t0 + 10 * s, 1, "purchase", 3.0),  # joins C (B's interval empty)
+            (103, t0 + 20 * s, 1, "purchase", 4.0),  # later fact → still C
+        ],
+    )
+    got = {
+        r["event_id"]: (r["version_id"], r["version_attr"])
+        for r in j8_temporal_snapshot_join(spark, str(tmp_path)).collect()
+    }
+    assert got[100] == (None, None)
+    assert got[101] == (5, 10.0)
+    assert got[102] == (7, 30.0)
+    assert got[103] == (7, 30.0)
+
+
+def test_j8_matches_oracle_on_crafted_edges(spark, tmp_path):
+    """The same crafted edge fixture round-trips the full oracle compare
+    — the window form and the interval-join form agree at the edges."""
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark import catalog
+
+    from .oracle_harness import compare
+
+    t0 = dt.datetime(2024, 1, 10, 9, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows, eid = [], 0
+    for u in range(4):
+        for i in range(5):
+            eid += 1
+            etype = "signup" if i % 2 == 0 else "purchase"
+            rows.append((eid, t0 + (i * 3 + u) * s, u, etype, float(i + u)))
+        eid += 1
+        rows.append((eid, t0, u, "purchase", 99.0))  # same-µs-as-version edge
+    _write_events(tmp_path, rows)
+    spec = catalog.REGISTRY["j8_temporal_snapshot_join"]
+    ok, msg = compare(spark, str(tmp_path), spec.fn, spec.sql)
+    assert ok, msg
