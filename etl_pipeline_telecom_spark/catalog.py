@@ -147,8 +147,11 @@ def _load_all_plans() -> None:
 # st9_stream_drift_monitor (streaming twin of dq4; displaces
 # a19_grouped_regression, r5-green unchanged),
 # j8_temporal_snapshot_join (point-in-time SCD-2 lookup via the linear
-# union+window shape; displaces dq3_outlier_bands, r5-green unchanged)
-# — all new, first driver verdict needed. OUT — a14_approx_distinct, a16_freq_items
+# union+window shape; displaces dq3_outlier_bands, r5-green unchanged),
+# a21_poisson_bootstrap (deterministic scalable bootstrap SE; displaces
+# j6_star_join — its r2 plan rewrite finally got in-window verdicts in
+# r5 AND this round's full sweeps) — all new, first driver verdict
+# needed. OUT — a14_approx_distinct, a16_freq_items
 # (graduated forms in-window green r5, plans unchanged),
 # w9_ntile_buckets, sm4_weighted_sample, t10_bpe_pretokenize,
 # t11_bigram_topk, e6_gap_fill, e9_windowed_funnel,
@@ -171,6 +174,7 @@ DRIVER_WINDOW = (
     "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
     "e10_time_weighted_avg", "dq4_distribution_drift", "sm6_fixed_k_per_group",
     "st9_stream_drift_monitor", "j8_temporal_snapshot_join",
+    "a21_poisson_bootstrap",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
@@ -179,8 +183,6 @@ DRIVER_WINDOW = (
     "p2_upsert_latest",
     "t12_pack_sequences",
     "e8_funnel_steps", "p3_scd2_intervals",
-    # round-2 plan rewrite that never had an in-window verdict (ADVICE r2)
-    "j6_star_join",
     # round-3 queries + the round-4 build/probe split (build MUST precede
     # the probe in driver order so the probe measures a warm index)
     "d12_index_build", "d12_persisted_lsh_probe", "d13_contamination_bloom",

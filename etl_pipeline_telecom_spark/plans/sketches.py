@@ -353,3 +353,102 @@ def a20_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_customers") * F.lit(0.05)
         ).alias("within_bound"),
     )
+
+
+_BOOT_B = 16  # bootstrap replicates
+# cumulative Poisson(1) pmf thresholds in ppm: P(0), P(<=1), P(<=2), P(<=3);
+# weights cap at 4 (P(>=5) ~ 0.4% folds into the tail bucket)
+_BOOT_T = (367_879, 735_759, 919_699, 981_012)
+
+
+def _sql_boot_weight(b: int) -> str:
+    u = (
+        f"CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_{b}'), 1, 8)) AS BIGINT)"
+        f" % 1000000"
+    )
+    return (
+        f"CASE WHEN {u} < {_BOOT_T[0]} THEN 0 WHEN {u} < {_BOOT_T[1]} THEN 1 "
+        f"WHEN {u} < {_BOOT_T[2]} THEN 2 WHEN {u} < {_BOOT_T[3]} THEN 3 ELSE 4 END"
+    )
+
+
+def _sql_a21() -> str:
+    sums = ", ".join(
+        f"CAST(SUM({_sql_boot_weight(b)} * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s{b}, "
+        f"CAST(SUM({_sql_boot_weight(b)}) AS DOUBLE) AS c{b}"
+        for b in range(_BOOT_B)
+    )
+    means_u = ", ".join(f"CAST(FLOOR(s{b} / c{b} * 1000000) AS BIGINT) AS m{b}" for b in range(_BOOT_B))
+    msum = " + ".join(f"m{b}" for b in range(_BOOT_B))
+    m2sum = " + ".join(f"m{b} * m{b}" for b in range(_BOOT_B))
+    B = _BOOT_B
+    return f"""WITH agg AS (SELECT {sums} FROM events),
+        mu AS (SELECT {means_u} FROM agg),
+        st AS (SELECT ({msum}) AS ms, ({m2sum}) AS m2s FROM mu)
+        SELECT CAST({B} AS BIGINT) AS n_replicates,
+               ROUND(CAST(ms AS DOUBLE) / {B} / 1000000, 6) AS boot_mean,
+               ROUND(SQRT(CAST({B} * m2s - ms * ms AS DOUBLE) / ({B} * ({B} - 1)))
+                     / 1000000, 6) AS boot_se
+        FROM st"""
+
+
+@register(
+    "a21_poisson_bootstrap",
+    _sql_a21(),
+    tags=("sketch", "statistics", "bootstrap", "headline"),
+    doc="Poisson bootstrap standard error of the global mean — THE "
+    "scalable bootstrap: instead of resampling n rows with replacement "
+    "(impossible distributed), each row gets an independent "
+    "Poisson(1)-distributed weight per replicate, realized here as a "
+    "DETERMINISTIC per-(row, replicate) hash draw against the cumulative "
+    "pmf — reruns and engines agree, unlike rand(). All 16 replicates "
+    "are computed in ONE aggregation pass with NO row explosion (16 "
+    "conditional-sum pairs in a single map-side-combining agg); the "
+    "replicate means are quantized to integer micro-units so the "
+    "across-replicate mean/variance arithmetic is exact in any order "
+    "(sm5/t16/dq4 discipline), and the final sqrt is IEEE-identical "
+    "cross-engine. At 100 TB this is one scan + one 32-column partial "
+    "agg — the cost of the statistic is the cost of a COUNT(*).",
+)
+def a21_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+
+    def weight(b: int):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"_{b}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint") % 1_000_000
+        return (
+            F.when(u < _BOOT_T[0], 0)
+            .when(u < _BOOT_T[1], 1)
+            .when(u < _BOOT_T[2], 2)
+            .when(u < _BOOT_T[3], 3)
+            .otherwise(4)
+        )
+
+    aggs = []
+    for b in range(_BOOT_B):
+        w = weight(b)
+        aggs.append(F.sum(w * v).cast("double").alias(f"s{b}"))
+        aggs.append(F.sum(w).cast("double").alias(f"c{b}"))
+    agg = ev.agg(*aggs)
+    mu = agg.select(
+        *[
+            F.floor(F.col(f"s{b}") / F.col(f"c{b}") * 1_000_000).cast("bigint").alias(f"m{b}")
+            for b in range(_BOOT_B)
+        ]
+    )
+    ms = sum((F.col(f"m{b}") for b in range(1, _BOOT_B)), F.col("m0"))
+    m2s = sum((F.col(f"m{b}") * F.col(f"m{b}") for b in range(1, _BOOT_B)), F.col("m0") * F.col("m0"))
+    B = _BOOT_B
+    return mu.select(ms.alias("ms"), m2s.alias("m2s")).select(
+        F.lit(B).cast("bigint").alias("n_replicates"),
+        F.round(F.col("ms").cast("double") / B / 1_000_000, 6).alias("boot_mean"),
+        F.round(
+            F.sqrt((B * F.col("m2s") - F.col("ms") * F.col("ms")).cast("double") / (B * (B - 1)))
+            / 1_000_000,
+            6,
+        ).alias("boot_se"),
+    )

@@ -143,6 +143,7 @@ PROBES += [
     "dq4_distribution_drift",
     "sm6_fixed_k_per_group",
     "j8_temporal_snapshot_join",
+    "a21_poisson_bootstrap",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -490,3 +490,46 @@ def test_j8_matches_oracle_on_crafted_edges(spark, tmp_path):
     spec = catalog.REGISTRY["j8_temporal_snapshot_join"]
     ok, msg = compare(spark, str(tmp_path), spec.fn, spec.sql)
     assert ok, msg
+
+
+def test_a21_constant_values_have_zero_bootstrap_se(spark, tmp_path):
+    """Every replicate's weighted mean of a constant is the constant, so
+    the bootstrap SE is EXACTLY 0 and the mean exactly the constant —
+    pins the weight/mean/variance plumbing end-to-end."""
+    import datetime as dt
+
+    from etl_pipeline_telecom_spark.plans.sketches import a21_poisson_bootstrap
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    _write_events(tmp_path, [(i, t0 + i * s, 1, "click", 7.25) for i in range(200)])
+    [r] = a21_poisson_bootstrap(spark, str(tmp_path)).collect()
+    assert r["n_replicates"] == 16
+    assert r["boot_mean"] == 7.25
+    assert r["boot_se"] == 0.0
+
+
+def test_a21_se_tracks_analytic_se_on_fixture(spark):
+    """On the real sf0.01 events the (deterministic) bootstrap SE must
+    land near the analytic se = sd/sqrt(n) — a fixed-draw sanity check,
+    not a statistical flake (every hash draw is deterministic)."""
+    import math
+
+    from etl_pipeline_telecom_spark.plans.sketches import a21_poisson_bootstrap
+    from etl_pipeline_telecom_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    [r] = a21_poisson_bootstrap(spark, sf).collect()
+    stats = (
+        load_table(spark, sf, "events")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev("value").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    analytic = stats["sd"] / math.sqrt(stats["n"])
+    assert abs(r["boot_mean"] - stats["mu"]) < 5 * analytic
+    assert 0.3 * analytic < r["boot_se"] < 3.0 * analytic
