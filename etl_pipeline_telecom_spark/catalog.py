@@ -157,6 +157,20 @@ def _load_all_plans() -> None:
 # t11_bigram_topk, e6_gap_fill, e9_windowed_funnel,
 # d14_fuzzy_name_pairs, a18_exact_corr (r5-in-window green, plans
 # unchanged this round).
+#
+# Round 7 rotations: IN — t15_bpe_merges (new: the actual BPE training
+# loop), d9_mllib_minhash and d12_index_build (graduated from rows-only
+# to oracle-backed — plan AND oracle changed), d8_neardup_clusters
+# (min-label propagation rewritten as alternating large-star/small-star),
+# d10_contamination_check and d13_contamination_bloom (optimized-plan
+# hash drifted via the shared shingle-cache plan after the dedup-module
+# edits; semantics untouched, but drift means re-verdict; d16 and v7
+# drifted the same way and stay/remain in). dq4/st9/t13/a21 stay in
+# (ADVICE r6 guards changed their plans). OUT — a20_hll_union,
+# sm5_temperature_mix, sm6_fixed_k_per_group (first verdicts green in
+# r6, plans unchanged this round) and st2_stream_dedup (green r1-r6;
+# streaming module untouched this round, so its source-hash coverage is
+# unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -165,16 +179,20 @@ DRIVER_WINDOW = (
     # event-time + streaming
     "e1_tumbling_window", "e3_session_window", "e3b_session_window_skewfree",
     "e4_asof_join",
-    "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize", "st4_stream_stream_join",
+    "st1_stream_tumbling", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
     # r6 additions — first-ever driver verdict needed
     "st7_stream_bloom_refresh", "st8_stream_centroid_drift",
     "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
-    "t13_line_dedup", "d16_ngram_overlap", "a20_hll_union", "sm5_temperature_mix",
+    "t13_line_dedup",
     "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
-    "e10_time_weighted_avg", "dq4_distribution_drift", "sm6_fixed_k_per_group",
+    "e10_time_weighted_avg", "dq4_distribution_drift",
     "st9_stream_drift_monitor", "j8_temporal_snapshot_join",
     "a21_poisson_bootstrap",
+    # r7 additions — graduations, the star-alternation rewrite, BPE,
+    # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
+    "t15_bpe_merges", "d9_mllib_minhash", "d8_neardup_clusters",
+    "d10_contamination_check", "d16_ngram_overlap",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",

@@ -69,14 +69,131 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG SOF markers that carry frame dimensions (all SOFn except DHT/DAC)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def probe_image_dims(payload: bytes) -> dict | None:
+    """Header-only REAL dimension probe for PNG/GIF/BMP/JPEG payloads.
+
+    Reads the published container headers directly (no codec library
+    needed — the same fast-metadata trick PIL's lazy open uses), so the
+    real-decode path is exercisable even where PIL/cv2 are absent.
+    Returns None for payloads that are not a recognized image format.
+    """
+    p = bytes(payload)
+    if p[:8] == _PNG_MAGIC and len(p) >= 26 and p[12:16] == b"IHDR":
+        ct = p[25]  # color type → sample channels
+        return {
+            "format": "png",
+            "width": int.from_bytes(p[16:20], "big"),
+            "height": int.from_bytes(p[20:24], "big"),
+            "channels": {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct, 3),
+        }
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        return {
+            "format": "gif",
+            "width": int.from_bytes(p[6:8], "little"),
+            "height": int.from_bytes(p[8:10], "little"),
+            "channels": 3,
+        }
+    if p[:2] == b"BM" and len(p) >= 30:
+        return {
+            "format": "bmp",
+            "width": int.from_bytes(p[18:22], "little", signed=True),
+            "height": abs(int.from_bytes(p[22:26], "little", signed=True)),
+            "channels": max(1, int.from_bytes(p[28:30], "little") // 8),
+        }
+    if p[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to the SOF frame header
+        i = 2
+        while i + 9 < len(p) and p[i] == 0xFF:
+            marker = p[i + 1]
+            if marker in _JPEG_SOF:
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(p[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(p[i + 7 : i + 9], "big"),
+                    "channels": p[i + 9],
+                }
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+                i += 2
+                continue
+            i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
+        return None
+    return None
+
+
 def decode_media_real(payload: bytes, media_type: str) -> dict:
-    """Real decoder seam — requires codec libraries not in this container."""
-    if media_type == "image" and _HAVE_PIL:
-        raise NotImplementedError("PIL present but real decode is out of scope here")
+    """REAL decoder: PIL full decode when available, else the header-only
+    probe for recognized image containers; raises only when the payload is
+    genuinely undecodable here (e.g. audio/video — no ffmpeg in this
+    container). The stub (:func:`decode_media`) remains the
+    oracle-checkable path the catalog queries use on synthetic payloads.
+    """
+    b = bytes(payload)
+    if media_type == "image":
+        if _HAVE_PIL:
+            import io
+
+            with PIL.Image.open(io.BytesIO(b)) as im:
+                return {
+                    "content_md5": hashlib.md5(b).hexdigest(),
+                    "width": im.size[0],
+                    "height": im.size[1],
+                    "channels": len(im.getbands()),
+                    "decoder": "pil",
+                }
+        probed = probe_image_dims(b)
+        if probed is not None:
+            return {
+                "content_md5": hashlib.md5(b).hexdigest(),
+                "width": probed["width"],
+                "height": probed["height"],
+                "channels": probed["channels"],
+                "decoder": "header",
+            }
+        raise NotImplementedError(
+            "unrecognized image container and PIL is absent; install PIL "
+            "for full-decode support"
+        )
     raise NotImplementedError(
         f"no codec available for media_type={media_type!r}; "
-        "install PIL/cv2/ffmpeg bindings and implement decode_media_real"
+        "install cv2/ffmpeg bindings and extend decode_media_real"
     )
+
+
+REAL_MEDIA_SCHEMA = (
+    "doc_id long, nbytes long, content_md5 string, width long, height long, "
+    "channels long, decoder string"
+)
+
+
+def real_media_features(media: DataFrame) -> DataFrame:
+    """The REAL-decode twin of the m1 feature extractor: same Arrow
+    ``mapInPandas`` batch shape, driving :func:`decode_media_real` instead
+    of the stub — proves the Spark-side plumbing (schema, batching, binary
+    transfer) against genuine image containers, not just fake dims."""
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for doc_id, media_type, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                d = decode_media_real(b, media_type)
+                rows.append(
+                    (int(doc_id), len(b), d["content_md5"], d["width"], d["height"], d["channels"], d["decoder"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "nbytes", "content_md5", "width", "height", "channels", "decoder"],
+            )
+
+    return media.mapInPandas(batches, schema=REAL_MEDIA_SCHEMA)
 
 
 def decode_media(payload: bytes, media_type: str) -> dict:

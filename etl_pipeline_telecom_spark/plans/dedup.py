@@ -416,14 +416,45 @@ def d7_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the graduated d9 oracle: the exact Jaccard-≥0.5 pair set over shared
+# shingles (every J ≥ 0.5 pair shares shingles, so the shingle equi-join
+# sees all of them), each claimed found. MLlib's hash family can't be
+# recomputed in DuckDB, but the GRADE of its output against the exact
+# answer is deterministic: a missed pair flips mllib_found to false, an
+# extra pair adds a row — either hash-mismatches.
+_SQL_MLLIB_GRADE = f"""WITH ds AS ({_SQL_DOC_SHINGLE}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS both_cnt
+          FROM ds sa JOIN ds sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+          GROUP BY sa.doc_id, sb.doc_id)
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt), 6)
+                   AS jaccard,
+               TRUE AS mllib_found
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.both_cnt AS DOUBLE) / (na.n + nb.n - i.both_cnt) >= 0.5"""
+
+
 @register(
     "d9_mllib_minhash",
-    None,  # MLlib's hash family is seed-dependent → rows-only; recall vs the
-    # exact d5 pipeline is asserted in tests/test_clustering.py
+    _SQL_MLLIB_GRADE,
     tags=("dedup", "minhash", "lsh", "mllib"),
     doc="MLlib MinHashLSH approxSimilarityJoin over hashed shingle vectors "
     "(seeded, deterministic per seed) — the library alternative to the "
-    "hand-rolled d3-d5 pipeline; distance threshold 0.5 ≙ jaccard ≥ 0.5",
+    "hand-rolled d3-d5 pipeline — GRADED against the exact answer "
+    "(VERDICT r6 item 3): the result is the union of MLlib's found pairs "
+    "and the exact Jaccard-≥0.5 pairs, with the EXACT shingle-set jaccard "
+    "and an mllib_found flag; the oracle recomputes the exact pair set in "
+    "DuckDB claiming every pair found, so a recall miss or a hash-"
+    "collision extra is a hash mismatch, even though DuckDB can't replay "
+    "MLlib's hash family. Threshold 0.5+1e-6 keeps an exactly-0.5 pair "
+    "included whether MLlib's distance filter is strict or inclusive. "
+    "Containment verified 0-missed/0-extra on the fixtures (8 OR-ed hash "
+    "tables: per-pair miss ≤ 0.5^8 at J=0.5). Recall vs d5 is separately "
+    "asserted in tests/test_clustering.py.",
 )
 def d9_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -435,13 +466,56 @@ def d9_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = tf.transform(shing).select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
-    return (
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5 + 1e-6, distCol="jaccard_dist")
+    found = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .distinct()
+        .withColumn("mllib_found", F.lit(True))
+    )
+    # exact J >= 0.5 pairs over shared shingles (the oracle's pair set)
+    ds = shing.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = shing.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    jac = F.col("both_cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("both_cnt"))
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    # full outer: a missed exact pair keeps its row with mllib_found=false;
+    # an MLlib extra (not exact-≥0.5) surfaces as an added row with a
+    # recomputed sub-threshold jaccard — both diverge from the oracle
+    arr = shing.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    arr_a = shing.select(F.col("doc_id").alias("doc_a2"), F.col("sh").alias("sh_a"))
+    merged = exact.join(found, ["doc_a", "doc_b"], "full")
+    extra_j = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / (
+            F.size("sh_a")
+            + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        ),
+        6,
+    )
+    return (
+        merged.join(arr_a, merged["doc_a"] == arr_a["doc_a2"], "left")
+        .join(arr, merged["doc_b"] == arr["doc_b2"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("jaccard"), extra_j).alias("jaccard"),
+            F.coalesce(F.col("mllib_found"), F.lit(False)).alias("mllib_found"),
         )
     )
 
@@ -653,19 +727,49 @@ def persisted_band_index(
     return read_bucketed(spark, table)
 
 
+# the graduated d12_index_build oracle: DuckDB recomputes the band rows
+# the persisted index MUST contain (signatures → band explode → old-side
+# filter) and summarizes them per band. The Spark side reads the summary
+# from the index it just WROTE, so a build that dropped/duplicated rows,
+# mangled a bucket key, or leaked new-side docs hash-mismatches.
+_SQL_INDEX_SUMMARY = f"""WITH sig AS ({_SQL_SIGNATURES}),
+        bk AS ({" UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band, mh{i} AS k1, mh{j} AS k2 FROM sig"
+            for bi, (i, j) in enumerate(_BANDS))})
+        SELECT band, COUNT(*) AS n_rows,
+               COUNT(DISTINCT CAST(k1 AS VARCHAR) || ':' || CAST(k2 AS VARCHAR))
+                   AS n_buckets,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS min_doc
+        FROM bk WHERE doc_id % 7 <> 3
+        GROUP BY band"""
+
+
 @register(
     "d12_index_build",
-    None,  # build step: rows-only (the probe carries the oracle — the
-    # index contents are an internal representation, not a query result)
+    _SQL_INDEX_SUMMARY,
     tags=("dedup", "minhash", "lsh", "index"),
     doc="The one-time LSH index BUILD d12 probes against: the old corpus's "
     "band-bucket rows written as a parquet table bucketed+sorted by "
     "(band, k1, k2), keyed by a hash of the absolute fixture dir. Split "
     "from the probe (VERDICT r3) so benchmarks of d12 measure the "
-    "shuffle-free probe, not a rebuild-per-run; this entry always rebuilds",
+    "shuffle-free probe, not a rebuild-per-run; this entry always rebuilds. "
+    "Graduated from rows-only (VERDICT r6 item 2): the result is a "
+    "deterministic per-band summary (row/bucket/doc counts + min doc id) "
+    "READ BACK from the just-persisted table, verified against DuckDB "
+    "recomputing the same band signatures from the corpus — the write "
+    "path itself is what the hash checks. The summary agg is a drop in "
+    "the bucket (4·|old docs| narrow rows), and at 100 TB doubles as the "
+    "index-health stats a standing dedup service reports per rebuild.",
 )
 def d12_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return persisted_band_index(spark, sf_dir, rebuild=True)
+    idx = persisted_band_index(spark, sf_dir, rebuild=True)
+    return idx.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.concat_ws(":", "k1", "k2")).alias("n_buckets"),
+        F.count_distinct("old_doc").alias("n_docs"),
+        F.min("old_doc").alias("min_doc"),
+    )
 
 
 @register(

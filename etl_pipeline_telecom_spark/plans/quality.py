@@ -151,7 +151,10 @@ def dq3_outlier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DQ4_BUCKET_W = 50  # value-bucket width; buckets 0..9 (capped)
-_DQ4_SPLIT_DAY = 16  # ref = Jan 1-15, cur = Jan 16+  (fixture spans Jan)
+# A full timestamp boundary (not dayofmonth) so the ref/cur split stays
+# correct on multi-month data; the constant is fixture-tuned (events span
+# 2024-01) but the plan shape is production-correct as-is.
+_DQ4_SPLIT_TS = "2024-01-16 00:00:00"
 _DQ4_CRIT = 16.919  # chi-square critical value, df=9, alpha=0.05
 
 
@@ -159,7 +162,9 @@ def dq4_bucket_counts(ev: DataFrame) -> DataFrame:
     """(event_type, bucket) -> (ref_n, cur_n) — the maintained state both
     the batch monitor and st9's streaming twin aggregate to."""
     bucket = F.least(F.floor(F.col("value") / _DQ4_BUCKET_W).cast("bigint"), F.lit(9))
-    win = F.when(F.dayofmonth("ts") < _DQ4_SPLIT_DAY, "ref").otherwise("cur")
+    win = F.when(
+        F.col("ts") < F.lit(_DQ4_SPLIT_TS).cast("timestamp"), "ref"
+    ).otherwise("cur")
     return (
         ev.select("event_type", bucket.alias("bucket"), win.alias("win"))
         .groupBy("event_type", "bucket")
@@ -181,7 +186,12 @@ def drift_from_counts(counts: DataFrame) -> DataFrame:
         "double"
     )
     den = (F.col("ref_n") * F.col("cur_tot") * F.col("ref_tot")).cast("double")
-    contrib = tot.where(F.col("ref_n") > 0).withColumn(
+    # ref_n > 0: buckets with an empty reference carry no statistic.
+    # cur_tot > 0: a type with ZERO current-window rows would make num and
+    # den both 0 — num*num/den is NaN, and Spark's floor+cast silently
+    # nulls it while DuckDB errors on CAST(NaN AS BIGINT); excluding the
+    # whole type (nothing to compare against) keeps both engines defined.
+    contrib = tot.where((F.col("ref_n") > 0) & (F.col("cur_tot") > 0)).withColumn(
         "contrib_u", F.floor(num * num / den * 1000000).cast("bigint")
     )
     chi2_u = F.sum("contrib_u").over(w_type)
@@ -201,7 +211,7 @@ def drift_from_counts(counts: DataFrame) -> DataFrame:
 _SQL_DQ4 = f"""WITH b AS (
          SELECT event_type,
                 LEAST(CAST(FLOOR(value / {_DQ4_BUCKET_W}) AS BIGINT), 9) AS bucket,
-                CASE WHEN day(CAST(ts AS TIMESTAMP)) < {_DQ4_SPLIT_DAY}
+                CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_DQ4_SPLIT_TS}'
                      THEN 'ref' ELSE 'cur' END AS win
          FROM events),
         counts AS (
@@ -221,7 +231,7 @@ _SQL_DQ4 = f"""WITH b AS (
                    * CAST((cur_n * ref_tot - ref_n * cur_tot) AS DOUBLE))
                   / CAST(ref_n * cur_tot * ref_tot AS DOUBLE) * 1000000
                 ) AS BIGINT) AS contrib_u
-         FROM tot WHERE ref_n > 0)
+         FROM tot WHERE ref_n > 0 AND cur_tot > 0)
         SELECT event_type, bucket, ref_n, cur_n,
                ROUND(contrib_u / 1000000.0, 6) AS contrib,
                ROUND(SUM(contrib_u) OVER (PARTITION BY event_type) / 1000000.0, 6)

@@ -378,7 +378,15 @@ def _sql_a21() -> str:
         f"CAST(SUM({_sql_boot_weight(b)}) AS DOUBLE) AS c{b}"
         for b in range(_BOOT_B)
     )
-    means_u = ", ".join(f"CAST(FLOOR(s{b} / c{b} * 1000000) AS BIGINT) AS m{b}" for b in range(_BOOT_B))
+    # NULLIF guards c_b = 0 (empty events table; all-zero draws are
+    # astronomically unlikely but covered too): s/NULLIF(c,0) is NULL —
+    # never 0/0=NaN, which DuckDB's CAST(NaN AS BIGINT) would reject —
+    # and COALESCE pins the empty-input contract to replicate mean 0,
+    # hence boot_mean = boot_se = 0.0 on an empty table in both engines.
+    means_u = ", ".join(
+        f"COALESCE(CAST(FLOOR(s{b} / NULLIF(c{b}, 0) * 1000000) AS BIGINT), 0) AS m{b}"
+        for b in range(_BOOT_B)
+    )
     msum = " + ".join(f"m{b}" for b in range(_BOOT_B))
     m2sum = " + ".join(f"m{b} * m{b}" for b in range(_BOOT_B))
     B = _BOOT_B
@@ -407,8 +415,14 @@ def _sql_a21() -> str:
     "replicate means are quantized to integer micro-units so the "
     "across-replicate mean/variance arithmetic is exact in any order "
     "(sm5/t16/dq4 discipline), and the final sqrt is IEEE-identical "
-    "cross-engine. At 100 TB this is one scan + one 32-column partial "
-    "agg — the cost of the statistic is the cost of a COUNT(*).",
+    "cross-engine. Empty-input contract: a zero weight count (empty "
+    "table) makes the replicate mean NULL via NULLIF, coalesced to 0 — "
+    "boot_mean = boot_se = 0.0, never a 0/0 NaN (DuckDB would reject "
+    "CAST(NaN AS BIGINT)). int64 headroom: B*m2s sums 16 squared "
+    "micro-unit means, exact while |mean| < ~760 (m_b < 7.6e8 µ, "
+    "m_b^2*16 < 2^63); fixture values cap at ~500. At 100 TB this is "
+    "one scan + one 32-column partial agg — the cost of the statistic "
+    "is the cost of a COUNT(*).",
 )
 def a21_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -434,9 +448,16 @@ def a21_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(w * v).cast("double").alias(f"s{b}"))
         aggs.append(F.sum(w).cast("double").alias(f"c{b}"))
     agg = ev.agg(*aggs)
+    # NULLIF + COALESCE mirror the oracle's c_b = 0 guard exactly:
+    # empty input → every replicate mean 0 → boot_mean = boot_se = 0.0.
     mu = agg.select(
         *[
-            F.floor(F.col(f"s{b}") / F.col(f"c{b}") * 1_000_000).cast("bigint").alias(f"m{b}")
+            F.coalesce(
+                F.floor(
+                    F.col(f"s{b}") / F.nullif(F.col(f"c{b}"), F.lit(0.0)) * 1_000_000
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias(f"m{b}")
             for b in range(_BOOT_B)
         ]
     )

@@ -546,10 +546,31 @@ def t13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is hash-aggregable (min over a struct falls back to SortAggregate,
     # which would sort the hot partition — exactly the straggler the
     # map-side combine is here to prevent). 2^20 lines/doc headroom keeps
-    # doc_id * 2^20 + line_idx exact for doc ids up to ~8.7e12.
-    packed_first = F.min(
-        F.shiftleft(F.col("doc_id"), 20) + F.col("line_idx")
-    ).alias("first")
+    # doc_id * 2^20 + line_idx exact for doc ids up to 2^43 (~8.7e12).
+    # Out-of-bound inputs (a >10.5M-token doc, an oversized/negative
+    # doc_id) would silently corrupt the canonical pick and the
+    # shiftright decode, so the packing raises at runtime instead — an
+    # in-row guard in the same task, no extra scan (guards.py discipline
+    # applied where a plan-time limit(n).count() can't see the bound).
+    pack_ok = (
+        (F.col("line_idx") < (1 << 20))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < (1 << 43))
+    )
+    packed = F.when(
+        pack_ok, F.shiftleft(F.col("doc_id"), 20) + F.col("line_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("t13_line_dedup: (doc_id, line_idx) out of packing "
+                      "bounds (need 0 <= doc_id < 2^43, line_idx < 2^20): "),
+                F.col("doc_id").cast("string"),
+                F.lit(","),
+                F.col("line_idx").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    packed_first = F.min(packed).alias("first")
     kept = (
         lined.groupBy("line")
         .agg(packed_first)
@@ -736,3 +757,158 @@ def t14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_md5",
         F.count(F.lit(1)).over(w_copies).cast("bigint").alias("n_copies"),
     )
+
+
+_BPE_MERGES = 8  # fixed merge budget — bounds the unrolled oracle and the loop
+
+
+def _sql_t15() -> str:
+    """t15's oracle: the SAME 8 BPE training rounds, unrolled as CTEs.
+
+    Each round is pure window/agg SQL (pair counts → deterministic argmax
+    → greedy left-to-right merge via the run-parity trick), so DuckDB
+    replays the loop exactly — same counting convention (naive adjacent
+    pairs, overlaps double-counted, as in Sennrich's reference
+    implementation), same tie-break (freq DESC, then pair lexicographic).
+    """
+    parts = [
+        f"""wc AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    s0 AS (
+      SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+      FROM wc, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t)"""
+    ]
+    for r in range(_BPE_MERGES):
+        parts.append(f"""pc{r} AS (
+      SELECT a, b, SUM(freq) AS f FROM (
+        SELECT sym AS a, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
+        FROM s{r})
+      WHERE b IS NOT NULL GROUP BY a, b),
+    best{r} AS (SELECT a, b, f FROM pc{r} ORDER BY f DESC, a, b LIMIT 1),
+    mk{r} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.a AS ba, b.b AS bb,
+             COALESCE(s.sym = b.a
+                      AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+                      FALSE) AS m
+      FROM s{r} s LEFT JOIN best{r} b ON TRUE),
+    rn{r} AS (
+      SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM mk{r}),
+    kp{r} AS (
+      SELECT *, m AND (rn - MIN(rn) OVER (PARTITION BY word, m, pos - rn)) % 2 = 0
+                    AS keep
+      FROM rn{r}),
+    dr{r} AS (
+      SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos), FALSE)
+                    AS consumed
+      FROM kp{r}),
+    s{r + 1} AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN keep THEN ba || bb ELSE sym END AS sym
+      FROM dr{r} WHERE NOT consumed)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS merge_left, b AS merge_right, "
+        f"CAST(f AS BIGINT) AS pair_freq FROM best{r}"
+        for r in range(_BPE_MERGES)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register(
+    "t15_bpe_merges",
+    _sql_t15(),
+    tags=("text", "tokenize", "bpe", "iterative"),
+    doc="The actual BPE TRAINING loop (t10 stops at pretokenization): "
+    f"{_BPE_MERGES} iterative pair-merge rounds over the corpus's distinct "
+    "pretokens, returning the learned merge table (rank, pair, frequency "
+    "at selection). Semantics match Sennrich's reference BPE: pair counts "
+    "are naive adjacent pairs weighted by word frequency (overlaps double-"
+    "counted, as collections.Counter over zip does), the winner is argmax "
+    "by (freq DESC, pair lexicographic) — fully deterministic — and the "
+    "merge applies greedily left-to-right (run-parity keeps the 1st, 3rd, "
+    "… match of each consecutive-match run; its pair partner is dropped). "
+    "Scale: the heavy distributed stage is the pretoken wordcount (one "
+    "shuffle over the corpus); the training loop then runs on DISTINCT "
+    "pretokens only — bounded by vocabulary, not corpus bytes, exactly "
+    "why production BPE trainers operate on word counts. Each round is "
+    "windows + one tiny argmax joined back with a broadcast; lineage is "
+    "cut per round with localCheckpoint (d8 discipline). The oracle "
+    "unrolls the identical rounds as CTEs — same convention, same "
+    "tie-break, bit-identical winners.",
+)
+def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = wc.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "sym"),
+    ).localCheckpoint()
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for r in range(_BPE_MERGES):
+        pc = (
+            seq.withColumn("b", F.lead("sym").over(w_word))
+            .where(F.col("b").isNotNull())
+            .groupBy(F.col("sym").alias("a"), "b")
+            .agg(F.sum("freq").alias("f"))
+        )
+        best = (
+            pc.orderBy(F.desc("f"), "a", "b")
+            .limit(1)
+            .select(F.col("a").alias("ba"), F.col("b").alias("bb"), "f")
+            .localCheckpoint()  # 0-or-1 row, read twice (merge + output)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).alias("merge_rank"),
+                F.col("ba").alias("merge_left"),
+                F.col("bb").alias("merge_right"),
+                F.col("f").cast("bigint").alias("pair_freq"),
+            )
+        )
+        dr = (
+            seq.join(best.select("ba", "bb"), F.lit(True), "left")
+            .withColumn("nxt", F.lead("sym").over(w_word))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
+                    F.lit(False),
+                ),
+            )
+            .withColumn("rn", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w_word))
+            .withColumn("grp", F.col("pos") - F.col("rn"))
+            .withColumn("minrn", F.min("rn").over(Window.partitionBy("word", "m", "grp")))
+            .withColumn("keep", F.col("m") & (((F.col("rn") - F.col("minrn")) % 2) == 0))
+            .withColumn("consumed", F.coalesce(F.lag("keep").over(w_word), F.lit(False)))
+        )
+        seq = (
+            dr.where(~F.col("consumed"))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.when(F.col("keep"), F.concat("ba", "bb")).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

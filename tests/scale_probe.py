@@ -167,6 +167,54 @@ _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 _JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") + _BAD_PLAN_NODES
 
 
+def probe_cc(spark: SparkSession) -> list[dict]:
+    """Crafted-graph scale row for d8's connected components (VERDICT r6
+    item 4): a long chain GLUED to one giant star — the worst case for
+    diameter-bound label propagation — at 1k and 100k nodes. The star
+    alternation must keep ROUNDS flat (O(log n)) while runtime scales
+    sublinearly; a round blow-up here is exactly the regression the old
+    min-label propagation would show (rounds = chain length)."""
+    from etl_pipeline_telecom_spark.plans.pipeline import connected_components
+
+    def crafted(n_chain: int, n_star: int) -> DataFrame:
+        chain = spark.range(n_chain - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        hub = F.lit(n_chain - 1)  # glue: the star's hub is the chain's tail
+        star = spark.range(1, n_star + 1).select(
+            hub.alias("doc_a"), (hub + F.col("id")).alias("doc_b")
+        )
+        return chain.union(star)
+
+    rows = []
+    timings, rounds = {}, {}
+    for label, (nc, ns) in (("small", (500, 500)), ("big", (50_000, 50_000))):
+        pairs = crafted(nc, ns)
+        st: dict = {}
+        t0 = time.perf_counter()
+        connected_components(pairs, stats=st).count()
+        timings[label] = time.perf_counter() - t0
+        rounds[label] = st["rounds"]
+    ratio = timings["big"] / max(timings["small"], 1e-9)
+    rows.append(
+        {
+            "query": "cc_chain_giant[crafted]",
+            "t_small_warm_sec": round(timings["small"], 3),
+            "t_big_warm_sec": round(timings["big"], 3),
+            "ratio": round(ratio, 1),
+            "joins": ["SortMergeJoin"],
+            "disallowed_plan_nodes": [],
+            "rounds_small": rounds["small"],
+            "rounds_big": rounds["big"],
+        }
+    )
+    print(
+        f"{'cc_chain_giant[crafted]':28s} {timings['small']:8.2f} "
+        f"{timings['big']:8.2f} {ratio:6.1f}x  rounds {rounds['small']}→{rounds['big']}"
+    )
+    return rows
+
+
 def _shift(col: str, stride: int):
     # long arithmetic: copy_i × a 1e9 stride overflows int32 under ANSI
     return (F.col(col) + F.col("copy_i").cast("bigint") * F.lit(stride).cast("bigint")).alias(col)
@@ -428,6 +476,8 @@ def main() -> int:
         print(f"synthesized in {time.perf_counter() - t0:.1f}s")
     strict = "--strict" in sys.argv
     violations, results = probe(spark, names, strict=strict)
+    if not args or any("cc_chain" in a for a in args):
+        results += probe_cc(spark)
     if "--skew" in sys.argv:
         if not os.path.exists(os.path.join(SKEW_OUT, "events.parquet")):
             print(f"synthesizing hot-key variant → {SKEW_OUT}")

@@ -24,19 +24,14 @@ def test_every_query_has_doc_and_tags():
 # every sql=None query must say why in its doc/source: iterative,
 # engine-specific, or watermark-dependent. a15 graduated to oracle-backed
 # in r3 (scalar quartile rows + exact cents interpolation + deterministic
-# sketch bound); d12_index_build is the r4 build step of the build/probe
-# split — the index contents are internal representation, the probe
-# (d12_persisted_lsh_probe) carries the d11 oracle that proves the build
-# result-neutral
-# r5 graduations: st3 (sentinel-replay closes all sessions → e3's SQL is
-# exact), a14/a16 (sketch outputs recast as deterministic bound/coverage
-# booleans the oracle asserts TRUE). Remaining two: d9 exposes MLlib's
-# internal signature representation; d12_index_build's output is the
-# index internals whose correctness the probe's d11 oracle carries.
-_JUSTIFIED_ROWS_ONLY = {
-    "d9_mllib_minhash",
-    "d12_index_build",
-}
+# sketch bound); r5 graduations: st3 (sentinel-replay closes all sessions
+# → e3's SQL is exact), a14/a16 (sketch outputs recast as deterministic
+# bound/coverage booleans the oracle asserts TRUE). r7 graduations close
+# the set: d12_index_build returns a per-band summary READ BACK from the
+# persisted index vs DuckDB recomputing the band rows; d9 returns its
+# found pairs graded against the exact Jaccard-≥0.5 set (the grade is
+# deterministic even though MLlib's hash family isn't DuckDB-computable).
+_JUSTIFIED_ROWS_ONLY: set[str] = set()
 
 
 def test_rows_only_queries_are_justified():

@@ -98,3 +98,17 @@ def test_skew_probes_present_and_bounded():
     assert not missing, f"missing skew evidence: {sorted(missing)}"
     over = {q: r for q, r in probed.items() if q in required_skew and r > MAX_RATIO}
     assert not over, f"skew straggler cliff: {over}"
+
+
+def test_cc_crafted_rounds_stay_flat():
+    """r7+: the connected-components star alternation on the crafted
+    chain+giant-star graph must not blow up its round count as the graph
+    grows 100× — rounds are O(log n), so big may exceed small by at most
+    a couple of doublings; and the runtime gate applies like everywhere."""
+    rec = _latest_record()
+    rows = [q for q in rec["queries"] if q["query"].startswith("cc_chain_giant")]
+    if not rows:
+        pytest.skip("record predates the crafted CC probe (r7)")
+    row = rows[0]
+    assert row["rounds_big"] <= row["rounds_small"] + 3, row
+    assert row["ratio"] <= MAX_RATIO, row

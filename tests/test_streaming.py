@@ -361,3 +361,117 @@ def test_st8_live_centroids_equal_batch_recompute(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def _write_events_file(d: str, fname: str, rows, mtime: float) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    path = os.path.join(d, fname)
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _stage_late_arrival_dir(tmp_path):
+    """Four micro-batches: on-time events → two far-future watermark
+    advancers → rows older than the advanced watermark (must be DROPPED).
+
+    TWO advancers because the watermark used to filter batch N's input is
+    computed from data through batch N-2 (the same one-batch lag the st3
+    sentinel replay handles with two sentinels): advancer #1 raises the
+    event-time high mark, advancer #2's batch makes it the FILTERING
+    watermark, so the late file in batch 3 is dropped. Both advancers
+    share one hourly window/session (5 min apart, user 99) whose end stays
+    above every watermark the stream ever reaches — it never closes, so
+    the appended result must equal the batch aggregation over
+    on_time_rows alone. Returns (dir, on_time_rows, n_late)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    on_time = [
+        (1, t0 + 5 * m, 1, "click", 10.0),
+        (2, t0 + 20 * m, 1, "click", 2.5),
+        (3, t0 + 70 * m, 1, "click", 4.0),  # second hourly window / session
+    ]
+    adv1 = [(50, dt.datetime(2024, 1, 20, 0, 0, 0), 99, "click", 1.0)]
+    adv2 = [(51, dt.datetime(2024, 1, 20, 0, 5, 0), 99, "click", 1.0)]
+    late = [
+        (60, t0 + 30 * m, 1, "click", 100.0),
+        (61, t0 + 75 * m, 1, "click", 100.0),
+    ]
+    base = time.time() - 3600
+    d = str(tmp_path)
+    _write_events_file(d, "00_ontime.parquet", on_time, base)
+    _write_events_file(d, "01_advancer.parquet", adv1, base + 10)
+    _write_events_file(d, "02_advancer.parquet", adv2, base + 20)
+    _write_events_file(d, "03_late.parquet", late, base + 30)
+    return d, on_time, len(late)
+
+
+def _run_append_with_progress(spark, agg):
+    import itertools as it
+    import json as jsonlib
+
+    name = f"late_test_{next(_LATE_IDS)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    dropped = 0
+    for p in q.recentProgress:
+        prog = jsonlib.loads(p.json) if hasattr(p, "json") else p
+        for op in prog.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    return spark.table(name), dropped
+
+
+import itertools as _it  # noqa: E402
+
+_LATE_IDS = _it.count()
+
+
+def test_watermark_drops_late_rows_tumbling(spark, tmp_path):
+    """SURVEY §2.10 late-data surface (VERDICT r6 item 6): rows arriving
+    beyond the watermark are EXCLUDED from the tumbling aggregation, the
+    exclusion is exactly what a batch filter would remove, and the
+    StreamingQueryProgress drop accounting says so."""
+    d, on_time, n_late = _stage_late_arrival_dir(tmp_path)
+    stream = read_events_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    out, dropped = _run_append_with_progress(spark, stream_tumbling_counts(stream))
+
+    batch = spark.createDataFrame(
+        on_time, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    expected = _rows(stream_tumbling_counts(batch))  # watermark is a no-op in batch
+    assert _rows(out) == expected  # late rows absent; advancer window never closed
+    assert dropped == n_late
+
+
+def test_watermark_drops_late_rows_sessions(spark, tmp_path):
+    d, on_time, n_late = _stage_late_arrival_dir(tmp_path)
+    stream = read_events_stream(spark, d, glob="*.parquet", max_files_per_trigger=1)
+    out, dropped = _run_append_with_progress(spark, stream_session_agg(stream))
+
+    batch = spark.createDataFrame(
+        on_time, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    expected = _rows(stream_session_agg(batch))
+    assert _rows(out) == expected
+    assert dropped == n_late
