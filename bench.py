@@ -124,6 +124,11 @@ def main() -> None:
         # r6 additions (streaming st7/st8 stay out of the bench set, the
         # st6 precedent — replay-harness overhead, not plan cost)
         "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
+        # r7 additions (the r6-late headline joiners — t13/t14/dq4/a21/
+        # e10/a20/sm5/sm6/j8 — stay IN the compat sum: r6 recorded them
+        # there, and the r6↔r7 comparison outranks the stale "20q" label)
+        "t17_bpe_encode", "t18_pii_scrub", "t19_gopher_flags",
+        "a22_countmin_heavy_hitters", "sm7_token_budget_cut",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     payload = {

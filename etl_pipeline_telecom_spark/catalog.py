@@ -171,6 +171,26 @@ def _load_all_plans() -> None:
 # r6, plans unchanged this round) and st2_stream_dedup (green r1-r6;
 # streaming module untouched this round, so its source-hash coverage is
 # unchanged).
+#
+# Mid-round-7 additions: IN — w10_rolling_stats (ROWS-frame rolling
+# stats), e11_max_concurrency (sweep-line interval overlap),
+# dq5_freshness (staleness + day-coverage monitor), t19_gopher_flags
+# (Gopher rule filter), t18_pii_scrub (PII redaction with byte-exact
+# redacted-output oracle), p4_cdc_apply (changelog apply with delete
+# tombstones), a22_countmin_heavy_hitters (exact-replay count-min
+# sketch) — all new, first driver verdict needed. OUT —
+# st7_stream_bloom_refresh, st8_stream_centroid_drift,
+# d15_fuzzy_indel_pairs, m4_media_exact_dedup, t14_cdc_chunks,
+# t16_unigram_rarity, e10_time_weighted_avg (first verdicts green in
+# the r6 driver window — CORRECTNESS_r06 — and their plans are
+# unchanged this round per PLAN_MANIFEST; v9_ann_recall_eval STAYS in —
+# its plan drifted with the r7 similarity-module edits). Second batch:
+# IN — t17_bpe_encode (corpus encode over t15's learned vocabulary; the
+# t15 body was refactored into the shared _bpe_train helper, so t15's
+# plan-hash coverage extends to it) and sm7_token_budget_cut (hard
+# per-language token-budget prefix cut). OUT — j8_temporal_snapshot_join
+# (first verdict green r6, plan unchanged) and e8_funnel_steps
+# (r5-verdict green, plan unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
@@ -182,17 +202,18 @@ DRIVER_WINDOW = (
     "st1_stream_tumbling", "st3_stream_sessionize", "st4_stream_stream_join",
     "st5_stream_static_join", "st6_stream_maintained_rollup",
     # r6 additions — first-ever driver verdict needed
-    "st7_stream_bloom_refresh", "st8_stream_centroid_drift",
-    "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
     "t13_line_dedup",
-    "t14_cdc_chunks", "t16_unigram_rarity", "v9_ann_recall_eval",
-    "e10_time_weighted_avg", "dq4_distribution_drift",
-    "st9_stream_drift_monitor", "j8_temporal_snapshot_join",
+    "v9_ann_recall_eval", "dq4_distribution_drift",
+    "st9_stream_drift_monitor",
     "a21_poisson_bootstrap",
     # r7 additions — graduations, the star-alternation rewrite, BPE,
     # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
     "t15_bpe_merges", "d9_mllib_minhash", "d8_neardup_clusters",
     "d10_contamination_check", "d16_ngram_overlap",
+    # mid-r7 additions — first driver verdict needed
+    "w10_rolling_stats", "e11_max_concurrency", "dq5_freshness",
+    "t19_gopher_flags", "t18_pii_scrub", "p4_cdc_apply",
+    "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
@@ -200,7 +221,7 @@ DRIVER_WINDOW = (
     "pipe2_ingest_gate",
     "p2_upsert_latest",
     "t12_pack_sequences",
-    "e8_funnel_steps", "p3_scd2_intervals",
+    "p3_scd2_intervals",
     # round-3 queries + the round-4 build/probe split (build MUST precede
     # the probe in driver order so the probe measures a warm index)
     "d12_index_build", "d12_persisted_lsh_probe", "d13_contamination_bloom",

@@ -607,3 +607,65 @@ def e10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
         )
     )
+
+
+@register(
+    "e11_max_concurrency",
+    """WITH iv AS (
+         SELECT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  + ((event_id % 3600) + 60) * 1000000 AS e
+         FROM events
+       ), pts AS (
+         SELECT event_type, s AS t, 1 AS delta FROM iv
+         UNION ALL
+         SELECT event_type, e AS t, -1 AS delta FROM iv
+       ), run AS (
+         SELECT event_type,
+                SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+         FROM pts
+       )
+       SELECT event_type,
+              CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+              CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+       FROM run GROUP BY event_type""",
+    tags=("eventtime", "intervals", "sweep"),
+    doc="Peak concurrent intervals per event type via the classic "
+    "sweep-line (+1 at start, -1 at end, running sum): each event spawns "
+    "a deterministic half-open interval [ts, ts + (event_id%3600+60)s). "
+    "LINEAR, never the quadratic interval self-join: one explode to 2N "
+    "boundary points, one shuffle+sort on event_type, one running-sum "
+    "window, one hash agg. Ends sort before starts at an equal "
+    "timestamp (delta -1 < +1) so touching intervals don't overlap "
+    "(half-open semantics); within a tie-run of equal (t, delta) the "
+    "prefix-sum MULTISET is permutation-invariant, so MAX(conc) is "
+    "deterministic cross-engine even though per-row running values at "
+    "ties are not (only the aggregate is emitted). At 100 TB a skewed "
+    "type would pre-split on (event_type, day) with per-day carry-in "
+    "offsets (the e3b two-level pattern)",
+)
+def e11_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = s + ((F.col("event_id") % 3600) + 60) * F.lit(1_000_000)
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(s.alias("t"), F.lit(1).alias("delta")),
+                F.struct(e.alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.delta")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+    )

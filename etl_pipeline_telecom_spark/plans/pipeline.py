@@ -362,3 +362,64 @@ def pipe2_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+@register(
+    "p4_cdc_apply",
+    """WITH c AS (
+         SELECT user_id, event_type, event_id, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                (event_id % 10 = 9) AS is_del
+         FROM events
+       ), r AS (
+         SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn,
+                COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_ops,
+                SUM(CASE WHEN is_del THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id, event_type) AS n_deletes
+         FROM c)
+       SELECT user_id, event_type,
+              event_id AS live_event_id,
+              ts_us AS live_ts_us,
+              value AS live_value,
+              CAST(n_ops AS BIGINT) AS n_ops,
+              CAST(n_deletes AS BIGINT) AS n_deletes
+       FROM r WHERE rn = 1 AND NOT is_del""",
+    tags=("pipeline", "cdc", "merge", "upsert"),
+    doc="CDC changelog apply with DELETE tombstones: the event stream is "
+    "an ordered op log per (user_id, event_type) key (event_id%10=9 "
+    "marks deletes, the rest upserts); the materialized table is the "
+    "LAST op per key — absent if that op is a delete, resurrected if an "
+    "upsert follows a delete — plus op/delete audit counts. Extends "
+    "p2's SCD-1 merge with the delete/resurrection semantics a real "
+    "change-data feed has. Spark plan is ONE shuffle: a single hash "
+    "aggregate taking max(struct(ts_us, event_id, is_del, value)) — the "
+    "struct order ≙ the oracle's ts DESC, event_id DESC (event_id "
+    "uniqueness totalizes it) — then a post-agg tombstone filter; "
+    "map-side partial agg collapses each partition to ≤ keys rows "
+    "before the exchange, the MERGE-INTO shape that survives 100 TB",
+)
+def p4_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 10 == 9
+    st = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        is_del.alias("is_del"),
+        F.col("value").alias("value"),
+    )
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.max(st).alias("last"),
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(is_del, 1).otherwise(0)).cast("bigint").alias("n_deletes"),
+    )
+    return g.where(~F.col("last.is_del")).select(
+        "user_id",
+        "event_type",
+        F.col("last.event_id").alias("live_event_id"),
+        F.col("last.ts_us").alias("live_ts_us"),
+        F.col("last.value").alias("live_value"),
+        "n_ops",
+        "n_deletes",
+    )

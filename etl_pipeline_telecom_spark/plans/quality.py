@@ -263,3 +263,69 @@ _SQL_DQ4 = f"""WITH b AS (
 )
 def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_from_counts(dq4_bucket_counts(load_table(spark, sf_dir, "events")))
+
+
+# Fixed audit instant for dq5 freshness (fixtures are January 2024; a
+# wall-clock now() would be non-reproducible AND non-oracle-able).
+_DQ5_NOW_US = 1_706_745_600_000_000  # TIMESTAMP '2024-02-01 00:00:00' UTC
+_DQ5_FRESH_US = 14 * 86_400 * 1_000_000  # freshness SLA: 14 days
+
+
+@register(
+    "dq5_freshness",
+    f"""WITH g AS (
+         SELECT event_type,
+                MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us,
+                COUNT(DISTINCT CAST(ts AS DATE)) AS days_seen,
+                MIN(CAST(ts AS DATE)) AS min_d,
+                MAX(CAST(ts AS DATE)) AS max_d,
+                COUNT(*) AS n_events,
+                SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts
+         FROM events GROUP BY event_type)
+       SELECT event_type,
+              last_ts_us,
+              {_DQ5_NOW_US} - last_ts_us AS staleness_us,
+              ({_DQ5_NOW_US} - last_ts_us) < {_DQ5_FRESH_US} AS fresh,
+              CAST(days_seen AS BIGINT) AS days_seen,
+              CAST(date_diff('day', min_d, max_d) + 1 AS BIGINT) AS span_days,
+              CAST(FLOOR(CAST(days_seen AS DOUBLE) * 1000000.0
+                         / (date_diff('day', min_d, max_d) + 1)) AS BIGINT)
+                  AS coverage_ppm,
+              n_events,
+              CAST(null_ts AS BIGINT) AS null_ts
+       FROM g""",
+    tags=("quality", "freshness", "completeness"),
+    doc="Per-type data freshness + completeness monitor: staleness of the "
+    "newest event against a FIXED audit instant (wall-clock now() is "
+    "neither reproducible nor oracle-able — production would bind the "
+    "constant per run), day-coverage of the observed span as integer "
+    "ppm (count-of-distinct-days over span-days — gaps in the feed drop "
+    "coverage below 1e6), null-timestamp accounting. One hash aggregate "
+    "over the scan (distinct-days is a per-type partial distinct, "
+    "bounded by span not row count); all arithmetic integer or "
+    "identical-operand double → bit-exact cross-engine",
+)
+def dq5_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        F.countDistinct(F.to_date("ts")).alias("days_seen"),
+        F.min(F.to_date("ts")).alias("min_d"),
+        F.max(F.to_date("ts")).alias("max_d"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("bigint").alias("null_ts"),
+    )
+    span = F.datediff("max_d", "min_d") + F.lit(1)
+    return g.select(
+        "event_type",
+        "last_ts_us",
+        (F.lit(_DQ5_NOW_US) - F.col("last_ts_us")).alias("staleness_us"),
+        ((F.lit(_DQ5_NOW_US) - F.col("last_ts_us")) < F.lit(_DQ5_FRESH_US)).alias("fresh"),
+        F.col("days_seen").cast("bigint").alias("days_seen"),
+        span.cast("bigint").alias("span_days"),
+        F.floor(F.col("days_seen").cast("double") * 1_000_000.0 / span)
+        .cast("bigint")
+        .alias("coverage_ppm"),
+        "n_events",
+        "null_ts",
+    )

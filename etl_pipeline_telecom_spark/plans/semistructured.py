@@ -367,3 +367,74 @@ def sm6_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _SM6_K)
         .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+_SM7_BUDGET_FRAC = 0.4  # per-language token budget: 40% of observed tokens
+
+
+@register(
+    "sm7_token_budget_cut",
+    f"""WITH d AS (
+          SELECT doc_id, lang,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+       ), b AS (
+          SELECT lang, CAST(FLOOR(SUM(n_tok) * {_SM7_BUDGET_FRAC}) AS BIGINT) AS budget
+          FROM d GROUP BY lang
+       ), r AS (
+          SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+          FROM d
+       ), k AS (
+          SELECT r.lang, r.n_tok, b.budget
+          FROM r JOIN b ON r.lang = b.lang
+          WHERE r.cum <= b.budget
+       )
+       SELECT lang,
+              COUNT(*) AS n_docs_kept,
+              CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+              MAX(budget) AS budget_tokens,
+              CAST(FLOOR(CAST(SUM(n_tok) AS DOUBLE) * 1000000.0 / MAX(budget)) AS BIGINT)
+                  AS utilization_ppm
+       FROM k GROUP BY lang""",
+    tags=("sampling", "token-budget", "mixing", "headline"),
+    doc="Token-BUDGET corpus cut: each language gets a hard token budget "
+    "(40% of its observed whitespace tokens here; production binds "
+    "absolute budgets) and admits whole documents in deterministic "
+    "hash order until the running token total would exceed it — the "
+    "exact-budget counterpart of rate-based sampling (sm1/sm5 give "
+    "EXPECTED token shares; a training mix needs a hard ceiling). "
+    "Hash-ordered admission is reproducible across engines/reruns and "
+    "stable under corpus growth (a new doc displaces only later-hash "
+    "docs in its own language). Plan: one narrow token-count scan, a "
+    "5-row budget aggregate broadcast back, one per-lang running-sum "
+    "window (shuffle bounded by the language key), final 5-row audit "
+    "agg. Whole-doc admission means the budget is a floor-threshold, "
+    "not bin-packing — t12_pack_sequences handles the packing side",
+)
+def sm7_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    b = d.groupBy("lang").agg(
+        F.floor(F.sum("n_tok") * F.lit(_SM7_BUDGET_FRAC)).cast("bigint").alias("budget")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = d.withColumn("cum", F.sum("n_tok").over(w))
+    k = r.join(F.broadcast(b), "lang").where(F.col("cum") <= F.col("budget"))
+    return k.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.max("budget").alias("budget_tokens"),
+        F.floor(F.sum("n_tok").cast("double") * 1_000_000.0 / F.max("budget"))
+        .cast("bigint")
+        .alias("utilization_ppm"),
+    )

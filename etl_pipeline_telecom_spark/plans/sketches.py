@@ -473,3 +473,102 @@ def a21_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boot_se"),
     )
+
+
+# a22 count-min sketch: depth 4 pairwise-independent-ish hash rows over a
+# Mersenne prime, width 256. Unlike HLL (a20, graduated via a bound
+# check) the CMS is pure integer arithmetic — BOTH engines replay the
+# sketch exactly, so the oracle is hash-exact, not a bound.
+_CMS_P = 2_147_483_647  # 2^31 - 1
+_CMS_W = 256
+_CMS_ROWS = ((0, 1103515245, 12345), (1, 1140671485, 12820163),
+             (2, 214013, 2531011), (3, 69069, 1234567))
+_CMS_HH_FRAC = 128  # heavy hitter: estimated count >= total/128 (15/150 users at sf0.01)
+
+_SQL_CMS_PARAMS = "(VALUES " + ", ".join(f"({d}, {a}, {b})" for d, a, b in _CMS_ROWS) + ") p(d, a, b)"
+
+
+@register(
+    "a22_countmin_heavy_hitters",
+    f"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        cells AS (
+          SELECT p.d, ((p.a * ev.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS cell,
+                 COUNT(*) AS cnt
+          FROM ev CROSS JOIN {_SQL_CMS_PARAMS}
+          GROUP BY 1, 2),
+        users AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1),
+        est AS (
+          SELECT u.user_id, u.exact_cnt, MIN(c.cnt) AS cms_est
+          FROM users u
+          CROSS JOIN {_SQL_CMS_PARAMS}
+          JOIN cells c
+            ON c.d = p.d
+           AND c.cell = ((p.a * u.user_id + p.b) % {_CMS_P}) % {_CMS_W}
+          GROUP BY 1, 2),
+        tot AS (SELECT COUNT(*) AS n FROM ev)
+        SELECT est.user_id,
+               est.exact_cnt,
+               CAST(est.cms_est AS BIGINT) AS cms_est,
+               est.cms_est >= est.exact_cnt AS no_underestimate,
+               est.exact_cnt * {_CMS_HH_FRAC} >= tot.n AS is_true_hh
+        FROM est, tot
+        WHERE est.cms_est * {_CMS_HH_FRAC} >= tot.n""",
+    tags=("sketch", "mergeable", "heavy-hitters", "headline"),
+    doc="Count-min-sketch heavy hitters (Cormode–Muthukrishnan): depth-4 "
+    "width-256 counter array over ((a*key+b) mod 2^31-1) mod w hash "
+    "rows, point estimate = min over rows, report keys the SKETCH "
+    "claims exceed total/128 alongside their exact counts, the "
+    "no-underestimate invariant (always true, by construction), and "
+    "whether each is a TRUE heavy hitter (false positives are the "
+    "sketch's documented failure mode; false negatives impossible). "
+    "All-integer arithmetic → the oracle replays the sketch EXACTLY "
+    "(vs a20's bound-check graduation). Scale shape: the sketch is a "
+    "1024-row table built by one map-side-combinable aggregate (this "
+    "IS the mergeable property — executor-local sketches sum), then "
+    "BROADCAST to the distinct-key probe; the fact table never "
+    "shuffles twice, and at 100 TB the probe side would be the "
+    "candidate stream from the same partial agg",
+)
+def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+
+    def cms_cells():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P) % _CMS_W).alias(
+                            "cell"
+                        ),
+                    )
+                    for d, a, b in _CMS_ROWS
+                ]
+            )
+        ).alias("h")
+
+    cells = (
+        ev.select(cms_cells())
+        .groupBy("h.d", "h.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        users.select("user_id", "exact_cnt", cms_cells())
+        .select("user_id", "exact_cnt", "h.d", "h.cell")
+        .join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("cms_est") * _CMS_HH_FRAC >= F.col("n"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+            (F.col("exact_cnt") * _CMS_HH_FRAC >= F.col("n")).alias("is_true_hh"),
+        )
+    )

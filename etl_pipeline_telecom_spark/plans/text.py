@@ -819,6 +819,32 @@ def _sql_t15() -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + finals
 
 
+def _sql_t17() -> str:
+    """t17's oracle: t15's unrolled training CTEs, then encode the corpus
+    by joining each pretoken to its FINAL symbol-sequence length."""
+    # reuse the training chain verbatim: split t15's SQL at its final
+    # merge-table SELECTs and graft the encode tail onto the CTE chain
+    train = _sql_t15()
+    head, _, _tail = train.partition("\n    SELECT 1 AS merge_rank")
+    return (
+        head
+        + f""",
+    ntok AS (SELECT word, COUNT(*) AS n_tok, SUM(len(sym)) AS n_chars
+             FROM s{_BPE_MERGES} GROUP BY word),
+    corpus AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS word
+      FROM documents)
+    SELECT c.doc_id,
+           COUNT(*) AS n_pretokens,
+           CAST(SUM(n.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n.n_chars) AS BIGINT) AS n_pretoken_chars,
+           CAST(FLOOR(CAST(SUM(n.n_chars) AS DOUBLE) * 1000000.0
+                      / SUM(n.n_tok)) AS BIGINT) AS chars_per_token_ppm
+    FROM corpus c JOIN ntok n ON c.word = n.word
+    GROUP BY c.doc_id"""
+    )
+
+
 @register(
     "t15_bpe_merges",
     _sql_t15(),
@@ -843,6 +869,22 @@ def _sql_t15() -> str:
 )
 def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    merges, _seq = _bpe_train(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_train(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The t15 training loop, shared with t17's corpus encoder.
+
+    Returns (per-round merge rows, the FINAL symbol sequences) — after
+    the last round ``seq`` holds each distinct pretoken's merged symbol
+    sequence, i.e. its BPE encoding under the learned vocabulary, which
+    is exactly what encoding the corpus needs (join by word; no re-run
+    of the merges over raw text).
+    """
     wc = (
         docs.select(
             F.explode(
@@ -908,7 +950,222 @@ def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, seq
+
+
+@register(
+    "t19_gopher_flags",
+    f"""WITH w AS (
+         SELECT doc_id, {_SQL_RAW_TOKENS} AS words FROM documents
+       ), m AS (
+         SELECT doc_id,
+                len(words) AS n_words,
+                list_aggregate(list_transform(words, x -> len(x)), 'sum') AS sum_wl,
+                len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                len(list_filter(words, x -> lower(x) IN ({_SQL_STOP_LIST}))) AS stop_hits,
+                len(list_filter(words, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) AS sym_words
+         FROM w)
+       SELECT doc_id,
+              CAST(n_words AS BIGINT) AS n_words,
+              ROUND(CAST(sum_wl AS DOUBLE) / n_words, 6) AS mean_word_len,
+              CAST(FLOOR(CAST(alpha_words AS DOUBLE) * 1000000.0 / n_words) AS BIGINT)
+                  AS alpha_ppm,
+              CAST(stop_hits AS BIGINT) AS stop_hits,
+              (n_words BETWEEN 20 AND 100000) AS r_wordcount,
+              (CAST(sum_wl AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0) AS r_meanlen,
+              (FLOOR(CAST(alpha_words AS DOUBLE) * 1000000.0 / n_words) >= 800000)
+                  AS r_alpha,
+              (stop_hits >= 2) AS r_stop,
+              (sym_words * 10 <= n_words) AS r_symbol,
+              ((n_words BETWEEN 20 AND 100000)
+               AND (CAST(sum_wl AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+               AND (FLOOR(CAST(alpha_words AS DOUBLE) * 1000000.0 / n_words) >= 800000)
+               AND (stop_hits >= 2)
+               AND (sym_words * 10 <= n_words)) AS pass_gopher
+       FROM m""",
+    tags=("text", "quality-filter", "headline"),
+    doc="Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, "
+    "thresholds fixture-tuned): word-count bounds, mean-word-length "
+    "band, alphabetic-word fraction, minimum stopword evidence, "
+    "symbol-token ratio — each surfaced as a flag plus the conjunctive "
+    "verdict, so downstream mixes can re-weight rather than hard-drop. "
+    "Pure narrow projection (array HOFs inside codegen, no explode, no "
+    "shuffle, no Python); ratios are integer-operand double divisions "
+    "or pure-integer compares (sym*10 <= n) → bit-exact cross-engine. "
+    "At 100 TB this is scan-bound and embarrassingly parallel",
+)
+def t19_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    m = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        ).alias("sum_wl"),
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).alias("alpha_words"),
+        F.size(F.filter(words, lambda x: F.lower(x).isin(*STOPWORDS))).alias("stop_hits"),
+        F.size(F.filter(words, lambda x: x.rlike("^[^A-Za-z0-9]+$"))).alias("sym_words"),
+    )
+    mean_wl = F.col("sum_wl").cast("double") / F.col("n_words")
+    alpha_ppm = F.floor(F.col("alpha_words").cast("double") * 1_000_000.0 / F.col("n_words"))
+    r_wordcount = F.col("n_words").between(20, 100000)
+    r_meanlen = mean_wl.between(3.0, 10.0)
+    r_alpha = alpha_ppm >= 800000
+    r_stop = F.col("stop_hits") >= 2
+    r_symbol = F.col("sym_words") * 10 <= F.col("n_words")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        alpha_ppm.cast("bigint").alias("alpha_ppm"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_symbol.alias("r_symbol"),
+        (r_wordcount & r_meanlen & r_alpha & r_stop & r_symbol).alias("pass_gopher"),
+    )
+
+
+# t18 PII patterns — deliberately restricted to the regex subset where
+# Java (Spark) and RE2 (DuckDB) agree: char classes, bounded repeats,
+# \b word boundaries; no lookaround, no backrefs.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# the synthetic contact footer (fixture text is digit-free word salad, so
+# the PII surface is constructed — identically in both engines — on a
+# deterministic third of the corpus; the untouched two-thirds pin the
+# negative path)
+_SQL_PII_FOOTER = (
+    "' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+@register(
+    "t18_pii_scrub",
+    f"""WITH aug AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || {_SQL_PII_FOOTER}
+                     ELSE text END AS text
+         FROM documents
+       ), red AS (
+         SELECT doc_id, text,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_PHONE}', '<PHONE>', 'g'),
+                  '{_PII_IPV4}', '<IP>', 'g') AS clean
+         FROM aug)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+              (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(text, '{_PII_PHONE}'))
+               + len(regexp_extract_all(text, '{_PII_IPV4}'))) > 0 AS had_pii,
+              md5(clean) AS clean_fp,
+              CAST(len(clean) AS BIGINT) AS clean_len
+       FROM red""",
+    tags=("text", "pii", "privacy", "headline"),
+    doc="PII detection + redaction pass (emails, dashed phone numbers, "
+    "IPv4 literals): per-document match counts, a had_pii flag, and the "
+    "md5 fingerprint + length of the REDACTED text — the oracle proves "
+    "the actual replacement output byte-for-byte, not just the counts. "
+    "Patterns live in the Java∩RE2 regex subset so both engines match "
+    "identically; redaction order (email → phone → ip) is pinned since "
+    "later patterns could touch earlier spans. Pure narrow projection — "
+    "regexp_count/regexp_replace inside codegen, no Python, no shuffle; "
+    "at 100 TB this is the scan-bound scrub stage ahead of any "
+    "training-data release gate",
+)
+def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), footer))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    n_emails = F.regexp_count("text", F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count("text", F.lit(_PII_PHONE))
+    n_ips = F.regexp_count("text", F.lit(_PII_IPV4))
+    return aug.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        n_ips.cast("bigint").alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("had_pii"),
+        F.md5(clean).alias("clean_fp"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
+
+
+@register(
+    "t17_bpe_encode",
+    _sql_t17(),
+    tags=("text", "tokenize", "bpe", "headline"),
+    doc="BPE ENCODE over the learned vocabulary — the consumer half of "
+    "t15's training loop: after the final merge round each distinct "
+    "pretoken's symbol sequence IS its encoding, so the corpus is "
+    "tokenized by joining pretokens to a vocabulary-sized (word → "
+    "token-count) table — the merges are never re-applied per "
+    "occurrence. Emits per-document pretoken/BPE-token/char counts and "
+    "the chars-per-token compression ratio (integer ppm — the token-"
+    "budget planning number). Scale shape: the only corpus-sized stages "
+    "are the pretoken explode joined against a BROADCAST vocabulary and "
+    "one map-side-combinable per-doc aggregate; the training loop's "
+    "cost is bounded by DISTINCT pretokens (t15's contract). The oracle "
+    "replays the identical 8 training rounds as CTEs, then the same "
+    "join+agg — bit-identical by the t15 argument.",
+)
+def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, seq = _bpe_train(docs)
+    ntok = seq.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.length("sym")).alias("n_chars"),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+        ).alias("word"),
+    )
+    return (
+        corpus.join(F.broadcast(ntok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_pretoken_chars"),
+            F.floor(
+                F.sum("n_chars").cast("double") * 1_000_000.0 / F.sum("n_tok")
+            )
+            .cast("bigint")
+            .alias("chars_per_token_ppm"),
+        )
+    )

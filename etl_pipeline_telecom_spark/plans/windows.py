@@ -214,3 +214,43 @@ def w9_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+@register(
+    "w10_rolling_stats",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / (COUNT(*) OVER w), 6) AS roll_avg,
+              CAST(MIN(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_min,
+              CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_max
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    tags=("window", "frame", "rolling"),
+    doc="Per-user rolling 5-event stats (sum/avg/min/max over an explicit "
+    "ROWS frame) — the moving-average smoothing / feature-window op. "
+    "Decimal-exact accumulation inside the frame, one double division "
+    "per row with identical operands cross-engine (the a4 discipline), "
+    "total order via (ts, event_id) with nulls pinned last. Plan: one "
+    "shuffle on user_id, in-partition sort, single WindowExec computing "
+    "all four frames in one pass — no self-join, no per-frame rescan",
+)
+def w10_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+        .rowsBetween(-4, 0)
+    )
+    v = F.col("value").cast(_DEC)
+    roll_sum = F.sum(v).over(w).cast("double")
+    return events.select(
+        "event_id",
+        "user_id",
+        roll_sum.alias("roll_sum"),
+        F.round(roll_sum / F.count(F.lit(1)).over(w), 6).alias("roll_avg"),
+        F.min(v).over(w).cast("double").alias("roll_min"),
+        F.max(v).over(w).cast("double").alias("roll_max"),
+    )

@@ -68,7 +68,20 @@ def sweep(spark, sf_dir: str) -> dict[str, dict]:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    out = args[1] if len(args) > 1 else "CORRECTNESS_full_r5.json"
+    if len(args) > 1:
+        out = args[1]
+    else:
+        # default: REFRESH the current round's artifact (the latest
+        # committed one) — a hardcoded name here silently clobbered an
+        # OLDER round's artifact once (r7 sweep → r5 file)
+        import glob as _glob
+
+        from .plan_manifest import REPO, round_num
+
+        latest = sorted(
+            _glob.glob(os.path.join(REPO, "CORRECTNESS_full_r*.json")), key=round_num
+        )
+        out = os.path.basename(latest[-1]) if latest else "CORRECTNESS_full_r1.json"
 
     from etl_pipeline_telecom_spark.session import get_spark
 

@@ -146,6 +146,25 @@ PROBES += [
     "a21_poisson_bootstrap",
 ]
 
+# mid-r7 additions: rolling frame (per-user window), sweep-line
+# concurrency (2N explode + per-type running sum), freshness (distinct-
+# day agg), Gopher flags + PII scrub (scan-side — probed for the regex/
+# HOF cost curve, the t2 precedent), CDC apply (one-shuffle max-struct
+# agg), count-min HH (mergeable 1024-cell agg + broadcast probe), BPE
+# encode (vocab-bounded training + broadcast corpus join), token-budget
+# cut (per-lang running-sum window + broadcast budgets)
+PROBES += [
+    "w10_rolling_stats",
+    "e11_max_concurrency",
+    "dq5_freshness",
+    "t19_gopher_flags",
+    "t18_pii_scrub",
+    "p4_cdc_apply",
+    "a22_countmin_heavy_hitters",
+    "t17_bpe_encode",
+    "sm7_token_budget_cut",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -1,0 +1,309 @@
+"""Crafted-data pins for the mid-round-7 operators.
+
+Each test hand-computes the expected values on a tiny crafted fixture,
+asserts them against the Spark plan, and round-trips the same fixture
+through the full DuckDB oracle compare (the driver's hash discipline) —
+so the semantic claim AND the cross-engine claim are both pinned.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+
+import pytest
+
+from etl_pipeline_telecom_spark import catalog
+
+from .oracle_harness import compare
+from .test_r6_ops import _write_events
+
+
+def _write_docs_file(d: str, rows: list[tuple[int, str]]) -> None:
+    """Single-file documents.parquet (pyarrow) so DuckDB's read_parquet
+    sees the same bytes Spark does — the Spark dir-writer breaks the
+    oracle round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["src"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+catalog._load_all_plans()
+
+T0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+S = dt.timedelta(seconds=1)
+
+
+def _roundtrip(spark, d: str, name: str) -> None:
+    spec = catalog.REGISTRY[name]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, f"{name}: {msg}"
+
+
+def test_w10_frame_is_trailing_five_rows_per_user(spark, tmp_path):
+    """Values 1..7 for one user → at row 7 the frame is rows 3..7
+    (sum 25, avg 5), at row 3 the frame is only rows 1..3 (partial
+    frames average over the actual count, not a padded 5); a second
+    user's rows never leak into the frame."""
+    from etl_pipeline_telecom_spark.plans.windows import w10_rolling_stats
+
+    rows = [(i, T0 + i * S, 1, "click", float(i)) for i in range(1, 8)]
+    rows += [(100, T0, 2, "click", 1000.0)]
+    _write_events(tmp_path, rows)
+    got = {r["event_id"]: r for r in w10_rolling_stats(spark, str(tmp_path)).collect()}
+    assert got[7]["roll_sum"] == 25.0 and got[7]["roll_avg"] == 5.0
+    assert got[7]["roll_min"] == 3.0 and got[7]["roll_max"] == 7.0
+    assert got[3]["roll_sum"] == 6.0 and got[3]["roll_avg"] == 2.0
+    assert got[100]["roll_sum"] == 1000.0  # user 2 isolated
+    _roundtrip(spark, str(tmp_path), "w10_rolling_stats")
+
+
+def test_e11_half_open_touching_intervals_never_overlap(spark, tmp_path):
+    """Durations are (event_id % 3600) + 60 s. Type 'a': two intervals
+    where the first ends EXACTLY when the second starts → max 1 (the
+    -1 boundary sorts before the +1 at the same instant). Type 'b':
+    three intervals all alive at t0+20s → max 3."""
+    from etl_pipeline_telecom_spark.plans.eventtime import e11_max_concurrency
+
+    rows = [
+        # type a: id 3600 → 60s at t0, [t0, t0+60); id 7200 → 60s at t0+60
+        (3600, T0, 1, "a", 0.0),
+        (7200, T0 + 60 * S, 1, "a", 0.0),
+        # type b: ids 0/1/2 → 60/61/62s, all starting within 20s
+        (0, T0, 2, "b", 0.0),
+        (1, T0 + 10 * S, 2, "b", 0.0),
+        (2, T0 + 20 * S, 2, "b", 0.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_type"]: r for r in e11_max_concurrency(spark, str(tmp_path)).collect()}
+    assert got["a"]["max_concurrent"] == 1 and got["a"]["n_intervals"] == 2
+    assert got["b"]["max_concurrent"] == 3 and got["b"]["n_intervals"] == 3
+    _roundtrip(spark, str(tmp_path), "e11_max_concurrency")
+
+
+def test_dq5_staleness_and_day_coverage(spark, tmp_path):
+    """'fresh' type's last event is Jan 30 (2d before the fixed audit
+    instant Feb 1) → fresh; 'stale' type stops Jan 10 (22d) → not
+    fresh. 'fresh' has events on Jan 28 and Jan 30 but not Jan 29 →
+    days_seen 2 over span 3 → coverage 666666 ppm (floor)."""
+    from etl_pipeline_telecom_spark.plans.quality import dq5_freshness
+
+    rows = [
+        (1, dt.datetime(2024, 1, 28, 8, 0, 0), 1, "fresh", 0.0),
+        (2, dt.datetime(2024, 1, 30, 8, 0, 0), 1, "fresh", 0.0),
+        (3, dt.datetime(2024, 1, 10, 8, 0, 0), 1, "stale", 0.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_type"]: r for r in dq5_freshness(spark, str(tmp_path)).collect()}
+    assert got["fresh"]["fresh"] is True and got["stale"]["fresh"] is False
+    assert got["fresh"]["days_seen"] == 2 and got["fresh"]["span_days"] == 3
+    assert got["fresh"]["coverage_ppm"] == 666_666
+    two_days_us = 2 * 86_400 * 1_000_000 - 8 * 3600 * 1_000_000
+    assert got["fresh"]["staleness_us"] == two_days_us
+    assert got["stale"]["coverage_ppm"] == 1_000_000  # single day, full span
+    _roundtrip(spark, str(tmp_path), "dq5_freshness")
+
+
+def test_t19_each_rule_fails_independently(spark, tmp_path):
+    """doc 0 passes every rule; doc 1 is too short (wordcount); doc 2
+    has no stopword evidence; doc 3 is symbol soup (alpha + symbol
+    rules). The conjunctive verdict is true only for doc 0."""
+    from etl_pipeline_telecom_spark.plans.text import t19_gopher_flags
+
+    good = "the quick brown fox and his friend ran over the hill with joy " * 2
+    _write_docs_file(
+        str(tmp_path),
+        [
+            (0, good.strip()),
+            (1, "the tiny and doc"),
+            (2, " ".join(f"word{i}" for i in range(25))),
+            (3, " ".join(["#!?"] * 25)),
+        ],
+    )
+    got = {r["doc_id"]: r for r in t19_gopher_flags(spark, str(tmp_path)).collect()}
+    assert got[0]["pass_gopher"] is True
+    assert got[1]["r_wordcount"] is False and got[1]["pass_gopher"] is False
+    assert got[2]["r_stop"] is False and got[2]["r_wordcount"] is True
+    assert got[3]["r_alpha"] is False and got[3]["r_symbol"] is False
+    _roundtrip(spark, str(tmp_path), "t19_gopher_flags")
+
+
+def test_t18_redacts_organic_and_injected_pii_exactly(spark, tmp_path):
+    """doc 1 (no injected footer: 1 % 3 != 0) carries ORGANIC PII — an
+    email, a dashed phone, an IPv4 — and every span is replaced; doc 3
+    gets the deterministic footer (3 % 3 == 0) and its counts/clean
+    fingerprint match the hand-built redaction; doc 2 is clean and
+    passes through byte-identical."""
+    from etl_pipeline_telecom_spark.plans.text import t18_pii_scrub
+
+    organic = "mail alice@example.org or call +44-123-4567 from 192.168.0.1 now"
+    clean2 = "just plain words here"
+    _write_docs_file(str(tmp_path), [(1, organic), (2, clean2), (3, "body text")])
+    got = {r["doc_id"]: r for r in t18_pii_scrub(spark, str(tmp_path)).collect()}
+
+    red1 = "mail <EMAIL> or call <PHONE> from <IP> now"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 1, 1)
+    assert got[1]["clean_fp"] == hashlib.md5(red1.encode()).hexdigest()
+    assert got[1]["clean_len"] == len(red1)
+
+    assert got[2]["had_pii"] is False
+    assert got[2]["clean_fp"] == hashlib.md5(clean2.encode()).hexdigest()
+
+    # footer for doc 3: " Contact: user3@example.com or +1-555-0003 ip 10.3.0.1"
+    red3 = "body text Contact: <EMAIL> or <PHONE> ip <IP>"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (1, 1, 1)
+    assert got[3]["clean_fp"] == hashlib.md5(red3.encode()).hexdigest()
+    assert got[3]["clean_len"] == len(red3)
+    _roundtrip(spark, str(tmp_path), "t18_pii_scrub")
+
+
+def test_p4_delete_tombstone_and_resurrection(spark, tmp_path):
+    """Key (1,'x'): U,U,D in order → absent. Key (2,'y'): D then a later
+    U → present with the U's value (resurrection). Key (3,'z'): single
+    U → present. Audit counts include tombstone ops."""
+    from etl_pipeline_telecom_spark.plans.pipeline import p4_cdc_apply
+
+    rows = [
+        (1, T0 + 1 * S, 1, "x", 10.0),
+        (2, T0 + 2 * S, 1, "x", 11.0),
+        (9, T0 + 3 * S, 1, "x", 0.0),     # id%10==9 → delete, last → gone
+        (19, T0 + 1 * S, 2, "y", 0.0),    # delete first
+        (20, T0 + 2 * S, 2, "y", 42.0),   # then upsert → resurrected
+        (30, T0, 3, "z", 7.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = {(r["user_id"], r["event_type"]): r for r in p4_cdc_apply(spark, str(tmp_path)).collect()}
+    assert (1, "x") not in got
+    assert got[(2, "y")]["live_value"] == 42.0 and got[(2, "y")]["n_deletes"] == 1
+    assert got[(2, "y")]["n_ops"] == 2
+    assert got[(3, "z")]["live_event_id"] == 30 and got[(3, "z")]["n_deletes"] == 0
+    _roundtrip(spark, str(tmp_path), "p4_cdc_apply")
+
+
+def test_a22_cms_claims_every_true_heavy_hitter(spark, tmp_path):
+    """1000 events for user 1, 200 for user 2, 80 singleton users →
+    total 1280, threshold 1280/128 = 10. Users 1 and 2 must be claimed
+    with exact counts and flagged true HHs; every claimed row satisfies
+    the no-underestimate invariant; singletons are claimed only via
+    collision overcount (and then correctly flagged is_true_hh=false)."""
+    from etl_pipeline_telecom_spark.plans.sketches import a22_countmin_heavy_hitters
+
+    rows = []
+    eid = 0
+    for _ in range(1000):
+        rows.append((eid, T0 + eid * S, 1, "click", 0.0)); eid += 1
+    for _ in range(200):
+        rows.append((eid, T0 + eid * S, 2, "click", 0.0)); eid += 1
+    for u in range(100, 180):
+        rows.append((eid, T0 + eid * S, u, "click", 0.0)); eid += 1
+    _write_events(tmp_path, rows)
+    out = a22_countmin_heavy_hitters(spark, str(tmp_path)).collect()
+    got = {r["user_id"]: r for r in out}
+    assert got[1]["exact_cnt"] == 1000 and got[1]["is_true_hh"] is True
+    assert got[2]["exact_cnt"] == 200 and got[2]["is_true_hh"] is True
+    assert all(r["no_underestimate"] for r in out)
+    for r in out:
+        if r["user_id"] not in (1, 2):
+            assert r["is_true_hh"] is False
+    _roundtrip(spark, str(tmp_path), "a22_countmin_heavy_hitters")
+
+
+def test_t17_encode_matches_reference_bpe_tokenization(spark, tmp_path):
+    """Per-doc BPE token counts must equal a pure-python reference BPE
+    (train on the corpus, then greedily apply the learned merges to
+    each pretoken). Two docs share the vocabulary, so training sees
+    the union while each doc's count reflects its own pretokens."""
+    import re
+
+    from etl_pipeline_telecom_spark.plans.text import (
+        _BPE_MERGES,
+        _BPE_PATTERN,
+        t17_bpe_encode,
+    )
+    from .test_r7_guards import _python_bpe
+
+    texts = [
+        "low low low low low lower lower newest newest newest newest newest newest widest widest widest",
+        "newest widest low",
+    ]
+    _write_docs_file(str(tmp_path), list(enumerate(texts)))
+
+    freqs: dict[str, int] = {}
+    per_doc_toks: list[list[str]] = []
+    for t in texts:
+        toks = re.findall(_BPE_PATTERN, t.lower())
+        per_doc_toks.append(toks)
+        for tok in toks:
+            freqs[tok] = freqs.get(tok, 0) + 1
+    merges = [(a, b) for _, a, b, _ in _python_bpe(freqs, _BPE_MERGES)]
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    expected = {
+        doc_id: sum(len(encode(w)) for w in toks)
+        for doc_id, toks in enumerate(per_doc_toks)
+    }
+    got = {r["doc_id"]: r for r in t17_bpe_encode(spark, str(tmp_path)).collect()}
+    assert {d: r["n_bpe_tokens"] for d, r in got.items()} == expected
+    assert got[0]["n_pretokens"] == len(per_doc_toks[0])
+    # compression must be real: fewer BPE tokens than characters
+    assert got[0]["n_bpe_tokens"] < got[0]["n_pretoken_chars"]
+    _roundtrip(spark, str(tmp_path), "t17_bpe_encode")
+
+
+def test_sm7_budget_is_a_prefix_cut_in_hash_order(spark, tmp_path):
+    """Three 4-token docs + one 1-token doc, budget = floor(13*0.4) = 5:
+    admission is a PREFIX of the hash order — once the running total
+    would exceed the budget, every later doc is excluded, even a
+    1-token doc that would individually fit (quota cut, not bin
+    packing). Expected set computed by replaying the rule in python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.semistructured import (
+        _SM7_BUDGET_FRAC,
+        sm7_token_budget_cut,
+    )
+
+    docs = [(10, "w w w w"), (11, "x x x x"), (12, "y y y y"), (13, "z")]
+    _write_docs_file(str(tmp_path), docs)
+
+    ntok = {d: len(t.split()) for d, t in docs}
+    budget = int(sum(ntok.values()) * _SM7_BUDGET_FRAC)
+    order = sorted(ntok, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    kept, cum = [], 0
+    for d in order:
+        cum += ntok[d]
+        if cum <= budget:
+            kept.append(d)
+        else:
+            break  # prefix semantics: nothing after the first overflow
+    [row] = sm7_token_budget_cut(spark, str(tmp_path)).collect()
+    assert row["budget_tokens"] == budget == 5
+    assert row["n_docs_kept"] == len(kept)
+    assert row["tokens_kept"] == sum(ntok[d] for d in kept)
+    _roundtrip(spark, str(tmp_path), "sm7_token_budget_cut")
