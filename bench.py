@@ -129,6 +129,7 @@ def main() -> None:
         # there, and the r6↔r7 comparison outranks the stale "20q" label)
         "t17_bpe_encode", "t18_pii_scrub", "t19_gopher_flags",
         "a22_countmin_heavy_hitters", "sm7_token_budget_cut",
+        "j9_interval_bucket_join", "a23_histogram_quantiles",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     payload = {

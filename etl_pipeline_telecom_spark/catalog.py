@@ -191,16 +191,30 @@ def _load_all_plans() -> None:
 # per-language token-budget prefix cut). OUT — j8_temporal_snapshot_join
 # (first verdict green r6, plan unchanged) and e8_funnel_steps
 # (r5-verdict green, plan unchanged).
+#
+# Third mid-r7 batch: IN — j9_interval_bucket_join (fact-to-fact bucketed
+# range join), g2_throttle_debounce (applyInPandas greedy throttle with a
+# recursive-CTE oracle), a23_histogram_quantiles (mergeable binned
+# quantile path), st10_stream_cdc_apply (stateful streaming CDC apply,
+# p4's oracle) — all new. st2/st7/st8 REJOIN: the streaming-module source
+# hash covers every st* entry and streaming/stateful.py + plans/
+# streaming.py changed (st10), so the whole st cohort re-verdicts. OUT —
+# e4_asof_join, t9_tfidf_topterms (r4-verdict green, unchanged),
+# pipe2_ingest_gate, p2_upsert_latest, p3_scd2_intervals (r5-verdict
+# green, unchanged), t12_pack_sequences, e3b_session_window_skewfree
+# (r6-verdict green, unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
     "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
     "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
-    # event-time + streaming
-    "e1_tumbling_window", "e3_session_window", "e3b_session_window_skewfree",
-    "e4_asof_join",
-    "st1_stream_tumbling", "st3_stream_sessionize", "st4_stream_stream_join",
-    "st5_stream_static_join", "st6_stream_maintained_rollup",
+    # event-time + streaming (the FULL st cohort: streaming-module source
+    # hash covers every st* entry and the module changed this round)
+    "e1_tumbling_window", "e3_session_window",
+    "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
+    "st4_stream_stream_join", "st5_stream_static_join",
+    "st6_stream_maintained_rollup", "st7_stream_bloom_refresh",
+    "st8_stream_centroid_drift", "st10_stream_cdc_apply",
     # r6 additions — first-ever driver verdict needed
     "t13_line_dedup",
     "v9_ann_recall_eval", "dq4_distribution_drift",
@@ -214,18 +228,16 @@ DRIVER_WINDOW = (
     "w10_rolling_stats", "e11_max_concurrency", "dq5_freshness",
     "t19_gopher_flags", "t18_pii_scrub", "p4_cdc_apply",
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
+    "j9_interval_bucket_join", "g2_throttle_debounce",
+    "a23_histogram_quantiles",
     # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
     "m1_media_features",
     "dq1_lineitem_checks",
     # r5 late additions (verdict r5; pipe2 kept as young canary)
-    "pipe2_ingest_gate",
-    "p2_upsert_latest",
-    "t12_pack_sequences",
-    "p3_scd2_intervals",
     # round-3 queries + the round-4 build/probe split (build MUST precede
     # the probe in driver order so the probe measures a warm index)
     "d12_index_build", "d12_persisted_lsh_probe", "d13_contamination_bloom",
-    "t9_tfidf_topterms", "v7_ivf_probe",
+    "v7_ivf_probe",
     # regression canaries: one per round-1-proven family
     "a4_group_avg", "j2_revenue_topk", "d1_exact_dedup",
 )

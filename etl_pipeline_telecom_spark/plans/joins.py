@@ -322,3 +322,83 @@ def j8_temporal_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last.attr").alias("version_attr"),
         )
     )
+
+
+# j9 bucket width: every interval duration is <= (1799 + 60) s, so a
+# 2048 s bucket guarantees an interval covers at most 2 buckets — the
+# explode factor is bounded by ceil(max_dur / W) + 1, never data-driven
+_J9_W_US = 2048 * 1_000_000
+
+
+@register(
+    "j9_interval_bucket_join",
+    """WITH iv AS (
+         SELECT user_id, event_id AS iv_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  + ((event_id % 1800) + 60) * 1000000 AS e
+         FROM events WHERE event_id % 4 = 0 AND ts IS NOT NULL
+       ), pt AS (
+         SELECT user_id, event_id AS pt_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         FROM events WHERE event_id % 4 <> 0 AND ts IS NOT NULL
+       ), j AS (
+         SELECT pt.user_id, pt.pt_id, iv.iv_id
+         FROM pt JOIN iv
+           ON pt.user_id = iv.user_id AND pt.t >= iv.s AND pt.t < iv.e
+       )
+       SELECT user_id,
+              COUNT(*) AS n_containments,
+              COUNT(DISTINCT pt_id) AS n_points_covered,
+              COUNT(DISTINCT iv_id) AS n_intervals_hit
+       FROM j GROUP BY user_id""",
+    tags=("join", "range-join", "intervals", "headline"),
+    doc="Fact-to-fact interval containment join — the shape e5's "
+    "broadcast band join cannot take when BOTH sides are large: every "
+    "4th event spawns a [ts, ts + (id%1800+60)s) interval, the rest "
+    "are points, and each point finds the same user's covering "
+    "intervals. The Spark plan is the BUCKETED range join: intervals "
+    "explode to the <=2 time buckets they touch (bucket width 2048 s "
+    ">= max duration bounds the fan-out), points map to one bucket, "
+    "and the join is a plain EQUI-join on (user_id, bucket) with the "
+    "range predicate demoted to a post-join filter — shuffle-"
+    "partitionable, AQE-skew-splittable, no BroadcastNestedLoopJoin "
+    "anywhere (plan-asserted in tests/test_plan_shapes.py). The "
+    "oracle runs the naive BETWEEN join; same containment multiset. "
+    "At 100 TB both sides shuffle once on (user, bucket) — this is "
+    "Spark's own storage-partitioned range-join recipe, and the "
+    "double-counting trap (an interval spanning 2 buckets meets a "
+    "1-bucket point once, because the POINT owns a single bucket) is "
+    "what keeps the equi-join exact",
+)
+def j9_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    t_us = F.unix_micros("ts")
+    iv = ev.where(F.col("event_id") % 4 == 0).select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        t_us.alias("s"),
+        (t_us + ((F.col("event_id") % 1800) + 60) * F.lit(1_000_000)).alias("e"),
+    )
+    iv_b = iv.select(
+        "user_id",
+        "iv_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / _J9_W_US), F.floor((F.col("e") - 1) / _J9_W_US))
+        ).alias("bkt"),
+    )
+    pt = ev.where(F.col("event_id") % 4 != 0).select(
+        "user_id",
+        F.col("event_id").alias("pt_id"),
+        t_us.alias("t"),
+        F.floor(t_us / _J9_W_US).alias("bkt"),
+    )
+    j = pt.join(iv_b, ["user_id", "bkt"]).where(
+        (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_containments"),
+        F.countDistinct("pt_id").alias("n_points_covered"),
+        F.countDistinct("iv_id").alias("n_intervals_hit"),
+    )

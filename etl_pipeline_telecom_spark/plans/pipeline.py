@@ -364,9 +364,10 @@ def pipe2_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "p4_cdc_apply",
-    """WITH c AS (
+# shared with plans/streaming.py: st10's stateful streaming CDC apply
+# must satisfy the exact same oracle as this batch form (the e1/e3
+# batch-twin discipline)
+P4_CDC_SQL = """WITH c AS (
          SELECT user_id, event_type, event_id, value,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
                 (event_id % 10 = 9) AS is_del
@@ -385,7 +386,12 @@ def pipe2_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
               value AS live_value,
               CAST(n_ops AS BIGINT) AS n_ops,
               CAST(n_deletes AS BIGINT) AS n_deletes
-       FROM r WHERE rn = 1 AND NOT is_del""",
+       FROM r WHERE rn = 1 AND NOT is_del"""
+
+
+@register(
+    "p4_cdc_apply",
+    P4_CDC_SQL,
     tags=("pipeline", "cdc", "merge", "upsert"),
     doc="CDC changelog apply with DELETE tombstones: the event stream is "
     "an ordered op log per (user_id, event_type) key (event_id%10=9 "

@@ -438,3 +438,64 @@ def sm7_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("utilization_ppm"),
     )
+
+
+_G2_GAP_US = 86_400 * 1_000_000  # throttle: min 1 day between KEPT events
+_G2_SCHEMA = "user_id long, event_id long, kept_ts_us long"
+
+
+def _throttle_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy per-user debounce: keep an event iff it is >= GAP after the
+    last KEPT one. Sequentially dependent — each decision reads the
+    previous KEPT row, not just the previous row — so no window frame
+    expresses it; the per-group loop is the honest form (the group-fits-
+    in-memory contract of g1, documented)."""
+    pdf = pdf.sort_values(["kept_ts_us", "event_id"])
+    out = []
+    last = None
+    for uid, eid, t in zip(pdf["user_id"], pdf["event_id"], pdf["kept_ts_us"]):
+        if last is None or t >= last + _G2_GAP_US:
+            out.append((int(uid), int(eid), int(t)))
+            last = t
+    return pd.DataFrame(out, columns=["user_id", "event_id", "kept_ts_us"])
+
+
+@register(
+    "g2_throttle_debounce",
+    f"""WITH RECURSIVE o AS (
+         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events WHERE ts IS NOT NULL
+       ), walk AS (
+         SELECT user_id, rn, t, event_id, TRUE AS kept, t AS last_kept
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.rn, o.t, o.event_id,
+                o.t >= w.last_kept + {_G2_GAP_US} AS kept,
+                CASE WHEN o.t >= w.last_kept + {_G2_GAP_US} THEN o.t
+                     ELSE w.last_kept END AS last_kept
+         FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+       )
+       SELECT user_id, event_id, t AS kept_ts_us FROM walk WHERE kept""",
+    tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle"),
+    doc="Greedy per-user throttle/debounce (keep an event only if >= 1 "
+    "day after the last KEPT event — rate-limiting, notification "
+    "dedup, snapshot thinning): the decision depends on the previous "
+    "KEPT row, a sequential recurrence no window frame expresses "
+    "(lag() sees the previous ROW; a kept-only running max is "
+    "circular). Spark side: one shuffle on user_id, then an "
+    "applyInPandas per-group scan — linear, executor-side, bound by "
+    "the g1 group-fits-in-memory contract (at 100 TB a (user, month) "
+    "pre-split with carry-in state would cap group size). The oracle "
+    "is a RECURSIVE CTE walking each user's rows in order — all users "
+    "advance in parallel per recursion step, so depth = max events "
+    "per user, and the throttle rule is replayed exactly",
+)
+def g2_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("kept_ts_us"))
+    )
+    return ev.groupBy("user_id").applyInPandas(_throttle_group, schema=_G2_SCHEMA)

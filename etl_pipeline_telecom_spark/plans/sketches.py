@@ -572,3 +572,97 @@ def a22_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_cnt") * _CMS_HH_FRAC >= F.col("n")).alias("is_true_hh"),
         )
     )
+
+
+_A23_BIN_CENTS = 10_000  # $100 bins over extendedprice cents
+_A23_PS = (250, 500, 750, 900)  # quantiles in parts-per-thousand
+
+
+@register(
+    "a23_histogram_quantiles",
+    f"""WITH c AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM lineitem),
+        h AS (SELECT cents // {_A23_BIN_CENTS} AS bin, COUNT(*) AS cnt FROM c GROUP BY 1),
+        cum AS (
+          SELECT bin, cnt,
+                 SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM h),
+        ps AS (SELECT unnest([{', '.join(str(p) for p in _A23_PS)}]) AS p_ppt),
+        sel AS (
+          SELECT ps.p_ppt, MIN(cum.bin) AS qbin, MAX(cum.n) AS n
+          FROM cum, ps WHERE cum.cum * 1000 >= ps.p_ppt * cum.n
+          GROUP BY ps.p_ppt),
+        ex AS (
+          SELECT unnest([{', '.join(str(p) for p in _A23_PS)}]) AS p_ppt,
+                 unnest(quantile_cont(cents, [{', '.join(str(p / 1000.0) for p in _A23_PS)}]))
+                     AS exact_cents
+          FROM c)
+        SELECT s.p_ppt,
+               s.qbin * {_A23_BIN_CENTS} AS bin_lo_cents,
+               (s.qbin + 1) * {_A23_BIN_CENTS} AS bin_hi_cents,
+               ROUND(e.exact_cents, 6) AS exact_cents,
+               CAST(s.n AS BIGINT) AS n
+        FROM sel s JOIN ex e ON s.p_ppt = e.p_ppt""",
+    tags=("sketch", "mergeable", "percentile", "headline"),
+    doc="Histogram-based quantile estimation — the MERGEABLE percentile "
+    "path (a13's exact median needs a full sort; a15's GK sketch is "
+    "engine-specific): a fixed-width integer-bin histogram of price "
+    "cents is built in one map-side-combinable aggregate (per-"
+    "partition histograms SUM — that is the mergeable property), the "
+    "quantile lands in the first bin whose cumulative count reaches "
+    "ceil(p*n) (integer cross-multiplied as cum*1000 >= p_ppt*n — no "
+    "float rank), and the answer is the bin's [lo, hi) edge pair with "
+    "guaranteed error <= one bin width. Unlike HLL/GK the estimate is "
+    "pure integer arithmetic, so the oracle replays it EXACTLY; the "
+    "interpolated exact quantile (integer-cents lerp, the a15/a17 "
+    "IEEE-identical trick) rides along as the verification anchor. "
+    "The cumulative window runs over the BOUNDED bin table (price "
+    "range / $100 ≈ thousands of rows post-agg), never the fact scan",
+)
+def a23_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    h = c.groupBy((F.col("cents") / _A23_BIN_CENTS).cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    cum = h.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _A23_PS])).alias("p_ppt")
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(ps))
+        .where(F.col("cum") * 1000 >= F.col("p_ppt") * F.col("n"))
+        .groupBy("p_ppt")
+        .agg(F.min("bin").alias("qbin"), F.max("n").alias("n"))
+    )
+    ps_sql = ", ".join(str(p / 1000.0) for p in _A23_PS)
+    ex = (
+        c.agg(F.expr(f"percentile(cents, array({ps_sql}))").alias("q"))
+        .select(F.posexplode("q").alias("pos", "exact_cents"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _A23_PS]), F.col("pos") + 1
+            ).alias("p_ppt"),
+            "exact_cents",
+        )
+    )
+    return sel.join(ex, "p_ppt").select(
+        "p_ppt",
+        (F.col("qbin") * _A23_BIN_CENTS).alias("bin_lo_cents"),
+        ((F.col("qbin") + 1) * _A23_BIN_CENTS).alias("bin_hi_cents"),
+        F.round("exact_cents", 6).alias("exact_cents"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -317,3 +317,38 @@ def st9_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
     counts, _ = run_available_now(dq4_bucket_counts(stream), output_mode="complete")
     return drift_from_counts(counts)
+
+
+# p4's batch CDC-apply SQL is the exact oracle for the stateful
+# streaming twin (the e3/st3 discipline). Imported mid-file because
+# _load_all_plans loads streaming before pipeline; importing here just
+# loads pipeline's registrations a few slots earlier — window-first
+# ordering is unaffected.
+from .pipeline import P4_CDC_SQL  # noqa: E402
+
+
+@register(
+    "st10_stream_cdc_apply",
+    P4_CDC_SQL,
+    tags=("streaming", "stateful", "cdc", "upsert"),
+    doc="Streaming CDC apply: the changelog stream is materialized into "
+    "a live table INCREMENTALLY — one applyInPandasWithState tuple per "
+    "(user_id, event_type) key tracks the latest (ts, event_id) op "
+    "plus op/delete audit counts; delete tombstones suppress the key, "
+    "later upserts resurrect it. Keys flush when the event-time "
+    "watermark passes (sentinel replay advances it a year past the "
+    "data, firing each key exactly once after all real ops) — so the "
+    "emitted set equals the batch p4 materialization EXACTLY and p4's "
+    "SQL is the oracle. State is bounded by live keys, not stream "
+    "volume: the materialized-view-maintenance shape a 100 TB "
+    "changelog needs (vs p4's full-rescan batch form)",
+)
+def st10_stream_cdc_apply(spark, sf_dir):
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import replay_dir_with_sentinels, run_available_now
+    from ..streaming.stateful import cdc_apply_with_state
+
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    out, _ = run_available_now(cdc_apply_with_state(stream))
+    return out.where(F.col("user_id") >= 0)

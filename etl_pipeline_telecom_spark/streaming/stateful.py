@@ -230,3 +230,84 @@ def sessionize_with_tws(events: DataFrame, *, watermark: str = "10 minutes") -> 
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (st10): the stateful twin of plans/pipeline.p4 —
+# same changelog semantics (event_id%10==9 is a DELETE tombstone, latest
+# (ts, event_id) op wins, deletes suppress the key, later upserts
+# resurrect it), maintained incrementally in the state store and flushed
+# by the event-time watermark (sentinel replay, the st3 mechanics).
+# State is ONE small tuple per live key — bounded by distinct keys, not
+# stream volume: the materialized-view maintenance shape.
+
+CDC_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, live_event_id long, live_ts_us long, "
+    "live_value double, n_ops long, n_deletes long"
+)
+CDC_STATE_SCHEMA = (
+    "ts_us long, event_id long, is_del boolean, value double, n_ops long, n_deletes long"
+)
+
+
+def _cdc_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    user_id, event_type = key
+    if state.hasTimedOut:
+        ts_us, event_id, is_del, value, n_ops, n_deletes = state.get
+        state.remove()
+        if not is_del:  # a delete-last key materializes NO row (p4 filter)
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "event_type": event_type,
+                        "live_event_id": event_id,
+                        "live_ts_us": ts_us,
+                        "live_value": value,
+                        "n_ops": n_ops,
+                        "n_deletes": n_deletes,
+                    }
+                ]
+            )
+        return
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    cur = list(state.get) if state.exists else None
+    for ts_us, event_id, value in zip(batch["ts_us"], batch["event_id"], batch["value"]):
+        ts_us, event_id = int(ts_us), int(event_id)
+        is_del = event_id % 10 == 9
+        if cur is None:
+            cur = [ts_us, event_id, is_del, float(value), 1, int(is_del)]
+        else:
+            cur[4] += 1
+            cur[5] += int(is_del)
+            if (ts_us, event_id) > (cur[0], cur[1]):
+                cur[0], cur[1], cur[2], cur[3] = ts_us, event_id, is_del, float(value)
+    state.update(tuple(cur))
+    # no natural close: flush when the watermark finally passes (the
+    # sentinel advances it a year past the data)
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+    return
+    yield  # pragma: no cover — makes this a generator in the no-emit path
+
+
+def cdc_apply_with_state(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """events stream → incrementally-maintained live table (append on flush).
+
+    Emits each (user_id, event_type) key's materialized row when the
+    event-time watermark passes its timeout — on a sentinel replay that
+    is exactly once per key, after all real data: the batch p4 SQL is an
+    exact oracle.
+    """
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id", "value", "ts"
+    )
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        _cdc_group,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -144,6 +144,13 @@ _BNLJ_ALLOWED = {
     "v9_ann_recall_eval",  # embeds v7 (its centroid broadcast) plus v1's
                          # Q=10 bounded exact side — the ground-truth pass
                          # a recall eval needs, guarded like v1
+    "a22_countmin_heavy_hitters",  # 1-row scalar total-count broadcast
+                         # onto the distinct-key estimate side (the a16
+                         # pattern); the sketch itself joins as a plain
+                         # 1024-row BroadcastHashJoin
+    "a23_histogram_quantiles",  # 4-row quantile-list literal crossed
+                         # onto the BOUNDED bin table (post-agg), the
+                         # e6 aggregated-sides pattern
     "t16_unigram_rarity",  # 1-row scalar broadcast (train token total),
                          # same shape as t9's corpus-count broadcast
 }

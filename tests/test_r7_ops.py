@@ -307,3 +307,106 @@ def test_sm7_budget_is_a_prefix_cut_in_hash_order(spark, tmp_path):
     assert row["n_docs_kept"] == len(kept)
     assert row["tokens_kept"] == sum(ntok[d] for d in kept)
     _roundtrip(spark, str(tmp_path), "sm7_token_budget_cut")
+
+
+def test_j9_containment_is_half_open_same_user_and_crosses_buckets(spark, tmp_path):
+    """Interval [t0, t0+64s) (event_id 4): a point at +63s is inside, at
+    +64s is NOT (half-open), another user's point never matches. A
+    second interval straddling a 2048 s bucket boundary must still meet
+    a point living in its SECOND bucket — the cross-bucket explode."""
+    from etl_pipeline_telecom_spark.plans.joins import (
+        _J9_W_US,
+        j9_interval_bucket_join,
+    )
+
+    w_s = _J9_W_US // 1_000_000
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    epoch0 = int(t0.timestamp())
+    # start 30 s before the next bucket boundary; duration 8%1800+60=68 s
+    boundary = (epoch0 // w_s + 1) * w_s
+    t_cross = dt.datetime.utcfromtimestamp(boundary - 30)
+    rows = [
+        (4, t0, 1, "click", 0.0),                      # interval [t0, t0+64)
+        (1, t0 + 63 * S, 1, "click", 0.0),             # inside
+        (2, t0 + 64 * S, 1, "click", 0.0),             # boundary → outside
+        (3, t0 + 10 * S, 2, "click", 0.0),             # other user → no match
+        (8, t_cross, 3, "click", 0.0),                 # crosses bucket edge
+        (5, t_cross + 50 * S, 3, "click", 0.0),        # in the SECOND bucket
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["user_id"]: r for r in j9_interval_bucket_join(spark, str(tmp_path)).collect()}
+    assert got[1]["n_containments"] == 1 and got[1]["n_points_covered"] == 1
+    assert 2 not in got
+    assert got[3]["n_containments"] == 1  # cross-bucket containment found
+    _roundtrip(spark, str(tmp_path), "j9_interval_bucket_join")
+
+
+def test_g2_throttle_keeps_exact_gap_boundary_and_resets_on_keep(spark, tmp_path):
+    """Gap = 1 day. t0 kept; +12 h dropped; +1 d kept (>= is inclusive —
+    the exact-boundary event passes); +1 d + 100 s dropped (clock reset
+    to the KEPT event, not the dropped one). Second user independent."""
+    from etl_pipeline_telecom_spark.plans.semistructured import g2_throttle_debounce
+
+    D12, D1 = dt.timedelta(hours=12), dt.timedelta(days=1)
+    rows = [
+        (1, T0, 1, "click", 0.0),
+        (2, T0 + D12, 1, "click", 0.0),
+        (3, T0 + D1, 1, "click", 0.0),
+        (4, T0 + D1 + 100 * S, 1, "click", 0.0),
+        (5, T0 + D1 + D1, 1, "click", 0.0),
+        (6, T0 + D12, 2, "click", 0.0),
+    ]
+    _write_events(tmp_path, rows)
+    kept = sorted(r["event_id"] for r in g2_throttle_debounce(spark, str(tmp_path)).collect())
+    assert kept == [1, 3, 5, 6]
+    _roundtrip(spark, str(tmp_path), "g2_throttle_debounce")
+
+
+def test_a23_quantile_lands_in_first_bin_reaching_rank(spark, tmp_path):
+    """10 prices at $0,150,300,...,1350 → cents bins of $100: the median
+    rank ceil(0.5*10)=5 is reached in the bin holding the 5th value
+    ($600 → bin 6); exact interpolated median (575+600)/2*100 cents
+    rides along. Bin edges are the estimate — error <= one bin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.sketches import a23_histogram_quantiles
+
+    prices = [i * 150.0 for i in range(10)]
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(prices, pa.float64())}),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    got = {r["p_ppt"]: r for r in a23_histogram_quantiles(spark, str(tmp_path)).collect()}
+    # p=0.5: rank ceil(.5*10)=5 → 5th value $600 (60000c) → bin 6 → [60000, 70000)
+    assert got[500]["bin_lo_cents"] == 60000 and got[500]["bin_hi_cents"] == 70000
+    assert got[500]["exact_cents"] == (60000 + 75000) / 2.0  # cont-interp median
+    assert got[500]["n"] == 10
+    # p=0.9: rank 9 → value 1200.00 → bin 12
+    assert got[900]["bin_lo_cents"] == 120000
+    _roundtrip(spark, str(tmp_path), "a23_histogram_quantiles")
+
+
+def test_st10_stream_matches_batch_cdc_semantics(spark, tmp_path):
+    """The stateful streaming CDC apply on the p4 crafted fixture:
+    delete-last key absent, delete-then-upsert resurrected, audit
+    counts carried — identical to the batch p4 materialization."""
+    from etl_pipeline_telecom_spark.plans.streaming import st10_stream_cdc_apply
+
+    rows = [
+        (1, T0 + 1 * S, 1, "x", 10.0),
+        (2, T0 + 2 * S, 1, "x", 11.0),
+        (9, T0 + 3 * S, 1, "x", 0.0),     # delete, last → key gone
+        (19, T0 + 1 * S, 2, "y", 0.0),
+        (20, T0 + 2 * S, 2, "y", 42.0),   # resurrection
+        (30, T0, 3, "z", 7.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = {
+        (r["user_id"], r["event_type"]): r
+        for r in st10_stream_cdc_apply(spark, str(tmp_path)).collect()
+    }
+    assert (1, "x") not in got
+    assert got[(2, "y")]["live_value"] == 42.0 and got[(2, "y")]["n_deletes"] == 1
+    assert got[(3, "z")]["live_event_id"] == 30 and got[(3, "z")]["n_ops"] == 1
+    _roundtrip(spark, str(tmp_path), "st10_stream_cdc_apply")
