@@ -203,15 +203,24 @@ def _load_all_plans() -> None:
 # pipe2_ingest_gate, p2_upsert_latest, p3_scd2_intervals (r5-verdict
 # green, unchanged), t12_pack_sequences, e3b_session_window_skewfree
 # (r6-verdict green, unchanged).
+#
+# Fourth mid-r7 batch: IN — m5_shard_manifest (byte-budget blob shards),
+# dq6_referential_integrity (FK orphan + childless-parent audit),
+# w11_value_window_ops (first/last/nth_value), a24_decayed_counts
+# (integer-exact exponential decay), x3_json_schema_audit (typed
+# from_json parse audit with corrupt-record detection) — all new. OUT —
+# e1_tumbling_window, e3_session_window, m1_media_features,
+# dq1_lineitem_checks, v3_label_centroids (r1-proven verdicts, plans
+# unchanged; e1/e3's shared oracles stay exercised through in-window
+# st1/st3).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
-    "v1_knn_brute", "v2_knn_partitioned", "v3_label_centroids", "v4_embedding_neardup",
+    "v1_knn_brute", "v2_knn_partitioned", "v4_embedding_neardup",
     "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
     # event-time + streaming (the FULL st cohort: streaming-module source
     # hash covers every st* entry and the module changed this round)
-    "e1_tumbling_window", "e3_session_window",
-    "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
+        "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
     "st4_stream_stream_join", "st5_stream_static_join",
     "st6_stream_maintained_rollup", "st7_stream_bloom_refresh",
     "st8_stream_centroid_drift", "st10_stream_cdc_apply",
@@ -229,10 +238,9 @@ DRIVER_WINDOW = (
     "t19_gopher_flags", "t18_pii_scrub", "p4_cdc_apply",
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     "j9_interval_bucket_join", "g2_throttle_debounce",
-    "a23_histogram_quantiles",
-    # multimodal, data quality, sketches, semi-structured, sampling, UDF, pipeline
-    "m1_media_features",
-    "dq1_lineitem_checks",
+    "a23_histogram_quantiles", "m5_shard_manifest",
+    "dq6_referential_integrity", "w11_value_window_ops",
+    "a24_decayed_counts", "x3_json_schema_audit",
     # r5 late additions (verdict r5; pipe2 kept as young canary)
     # round-3 queries + the round-4 build/probe split (build MUST precede
     # the probe in driver order so the probe measures a warm index)

@@ -145,3 +145,78 @@ def m4_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reclaimable_bytes"),
         )
     )
+
+
+_M5_SHARD_BYTES = 4096  # shard byte budget (WebDataset-style tar shards)
+
+
+@register(
+    "m5_shard_manifest",
+    f"""WITH m AS (
+         SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                             WHEN 1 THEN 'audio'
+                                             ELSE 'video' END AS media_type,
+                octet_length(encode(text)) AS nbytes,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents
+       ), c AS (
+         SELECT *, SUM(nbytes) OVER (PARTITION BY media_type
+                                     ORDER BY h, doc_id) AS cum
+         FROM m)
+       SELECT media_type,
+              CAST((cum - nbytes) // {_M5_SHARD_BYTES} AS BIGINT) AS shard_id,
+              COUNT(*) AS n_blobs,
+              CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+              MIN(doc_id) AS min_doc,
+              MAX(doc_id) AS max_doc
+       FROM c GROUP BY 1, 2""",
+    tags=("multimodal", "sharding", "manifest", "headline"),
+    doc="Blob shard-manifest builder (the WebDataset/tar-shard layout "
+    "step of a multimodal ingest): within each media type, blobs line "
+    "up in deterministic hash order and a blob joins the shard its "
+    "running-byte START falls in (next-fit with whole-blob assignment "
+    "— a straddling blob stays in the shard where it starts, so "
+    "shards can exceed the budget by at most one blob; the overflow-"
+    "tolerant rule every sequential shard writer uses). The manifest "
+    "rows (type, shard, blob count, bytes, doc range) are what the "
+    "actual tar-writer job consumes. Plan: one narrow per-type "
+    "running-sum window + one hash agg; payload bytes never shuffle — "
+    "only (doc_id, nbytes, hash) rows move, the m4 discipline. "
+    "Hash-ordered layout is restart-stable: re-runs and engine "
+    "changes produce byte-identical shard assignments",
+)
+def m5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    m = media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.nbytes").alias("nbytes"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = m.withColumn("cum", F.sum("nbytes").over(w))
+    return (
+        c.select(
+            "media_type",
+            "doc_id",
+            "nbytes",
+            F.floor((F.col("cum") - F.col("nbytes")) / _M5_SHARD_BYTES)
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+        .groupBy("media_type", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -329,3 +329,70 @@ def dq5_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "null_ts",
     )
+
+
+def _sql_dq6_rel(rel: str, child: str, ck: str, parent: str, pk: str) -> str:
+    orphans = (
+        f"(SELECT COUNT(*) FROM {child} c LEFT JOIN {parent} p"
+        f" ON c.{ck} = p.{pk} WHERE p.{pk} IS NULL)"
+    )
+    childless = (
+        f"(SELECT COUNT(*) FROM {parent} p LEFT JOIN"
+        f" (SELECT DISTINCT {ck} AS k FROM {child}) c ON p.{pk} = c.k"
+        f" WHERE c.k IS NULL)"
+    )
+    return (
+        f"SELECT '{rel}' AS relation,\n"
+        f"  (SELECT COUNT(*) FROM {child}) AS n_child,\n"
+        f"  {orphans} AS n_orphans,\n"
+        f"  {orphans} = 0 AS fk_ok,\n"
+        f"  {childless} AS n_childless_parents"
+    )
+
+
+@register(
+    "dq6_referential_integrity",
+    " UNION ALL ".join(
+        [
+            _sql_dq6_rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _sql_dq6_rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            _sql_dq6_rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            _sql_dq6_rel("events->customer", "events", "user_id", "customer", "c_custkey"),
+        ]
+    ),
+    tags=("quality", "referential-integrity", "anti-join"),
+    doc="Referential-integrity audit across the star schema: per FK "
+    "relation, the orphan count (child keys with no parent — the "
+    "violation a broken ingest introduces; LEFT ANTI join), the "
+    "boolean verdict, and the childless-parent count (parents never "
+    "referenced — the reverse direction that catches truncated child "
+    "loads; ~1/3 of customers have no orders, so this side is "
+    "non-degenerate on healthy data). Plan: one anti-join + one "
+    "distinct-key anti-join per relation, each broadcast when the "
+    "parent is a dim; at 100 TB the child side shuffles once on its "
+    "FK. The fixtures are referentially clean — the orphan-detecting "
+    "path is pinned on crafted broken data in tests/test_r7_ops.py",
+)
+def dq6_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for rel, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        n_child = c.count()
+        n_orphans = c.join(p, c[ck] == p[pk], "left_anti").count()
+        n_childless = p.join(
+            c.select(F.col(ck).alias("k")).distinct(), p[pk] == F.col("k"), "left_anti"
+        ).count()
+        row = spark.createDataFrame(
+            [(rel, n_child, n_orphans, n_orphans == 0, n_childless)],
+            "relation string, n_child long, n_orphans long, fk_ok boolean, "
+            "n_childless_parents long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

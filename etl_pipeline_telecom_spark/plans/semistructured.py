@@ -499,3 +499,66 @@ def g2_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.unix_micros("ts").alias("kept_ts_us"))
     )
     return ev.groupBy("user_id").applyInPandas(_throttle_group, schema=_G2_SCHEMA)
+
+
+@register(
+    "x3_json_schema_audit",
+    # json_extract errors (not NULLs) on malformed input in DuckDB, so
+    # every extraction sits behind the json_valid guard
+    """WITH p AS (
+         SELECT event_type, props,
+                COALESCE(CASE WHEN props IS NOT NULL AND json_valid(props)
+                               THEN json_type(props) END = 'OBJECT',
+                         FALSE) AS is_obj,
+                CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END AS k
+         FROM events)
+       SELECT event_type,
+              COUNT(*) AS n_rows,
+              SUM(CASE WHEN is_obj THEN 1 ELSE 0 END)::BIGINT AS n_objects,
+              SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_k,
+              CAST(MIN(k) AS BIGINT) AS k_min,
+              CAST(MAX(k) AS BIGINT) AS k_max,
+              CAST(SUM(k) AS BIGINT) AS k_sum
+       FROM p GROUP BY event_type""",
+    tags=("json", "semistructured", "schema-audit"),
+    doc="Typed JSON ingestion audit: props parses through a DECLARED "
+    "schema (from_json(props, 'k bigint') — the typed path, vs x1's "
+    "stringly get_json_object) and each type reports row count, "
+    "well-formed-object count (from_json yields NULL on malformed "
+    "input or a non-object; the oracle mirrors that with json_valid + "
+    "json_type='OBJECT'), key-presence count, and min/max/sum of the "
+    "typed field — the schema-drift tripwire an evolving event feed "
+    "needs. Malformed-JSON and missing-key paths are pinned on "
+    "crafted rows in tests/test_r7_ops.py (the fixture is uniformly "
+    "well-formed). Scan-side projection + one hash agg; JSON parsing "
+    "stays inside codegen, no Python",
+)
+def x3_json_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # PERMISSIVE from_json yields an all-null ROW (not NULL) on malformed
+    # input, so well-formedness must be read off a corrupt-record column
+    parsed = F.from_json(
+        "props",
+        "k bigint, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    is_object = F.col("props").isNotNull() & F.col("p._corrupt").isNull()
+    k = parsed["k"]
+    return (
+        ev.select("event_type", "props", parsed.alias("p"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(is_object, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_objects"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_k"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )

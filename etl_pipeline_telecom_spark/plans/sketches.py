@@ -666,3 +666,56 @@ def a23_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_cents", 6).alias("exact_cents"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+_A24_NOW_US = 1_706_745_600_000_000  # dq5's fixed audit instant (2024-02-01 UTC)
+_A24_HALFLIFE_DAYS = 7
+
+
+@register(
+    "a24_decayed_counts",
+    f"""WITH e AS (
+         SELECT event_type,
+                CAST(({_A24_NOW_US} - epoch_us(CAST(ts AS TIMESTAMP)))
+                     // 86400000000 AS BIGINT) AS age_days
+         FROM events WHERE ts IS NOT NULL),
+        w AS (
+         SELECT event_type, age_days,
+                CAST(1000000 // POWER(2, age_days // {_A24_HALFLIFE_DAYS}) AS BIGINT)
+                    AS w_ppm
+         FROM e WHERE age_days >= 0)
+       SELECT event_type,
+              COUNT(*) AS n_events,
+              CAST(SUM(w_ppm) AS BIGINT) AS decayed_score_ppm,
+              CAST(MIN(age_days) AS BIGINT) AS newest_age_days
+       FROM w GROUP BY event_type""",
+    tags=("agg", "decay", "trending"),
+    doc="Exponentially time-decayed event counts (trending/popularity "
+    "scoring): each event contributes weight 2^-(age//7d) — a halving "
+    "per whole half-life — summed per type against the fixed dq5 audit "
+    "instant. The weight is INTEGER arithmetic (1e6 >> halvings as an "
+    "integer divide), deliberately NOT fractional pow(): cross-engine "
+    "pow is not correctly-rounded and a last-ulp divergence would break "
+    "the hash verdict — the same reason sm5/t16 quantize to ppm. "
+    "Whole-interval decay also makes the score MERGEABLE: partial sums "
+    "from any partitioning add exactly. One scan-side projection + one "
+    "hash agg; future-dated rows (age < 0) are excluded in both engines",
+)
+def a24_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    age_days = F.floor((F.lit(_A24_NOW_US) - F.unix_micros("ts")) / F.lit(86_400_000_000)).cast(
+        "bigint"
+    )
+    e = ev.select("event_type", age_days.alias("age_days")).where(F.col("age_days") >= 0)
+    w_ppm = F.floor(
+        F.lit(1_000_000) / F.pow(F.lit(2.0), F.floor(F.col("age_days") / _A24_HALFLIFE_DAYS))
+    ).cast("bigint")
+    return (
+        e.select("event_type", w_ppm.alias("w_ppm"), "age_days")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_ppm").cast("bigint").alias("decayed_score_ppm"),
+            F.min("age_days").cast("bigint").alias("newest_age_days"),
+        )
+    )

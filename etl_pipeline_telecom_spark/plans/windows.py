@@ -254,3 +254,40 @@ def w10_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(v).over(w).cast("double").alias("roll_min"),
         F.max(v).over(w).cast("double").alias("roll_max"),
     )
+
+
+@register(
+    "w11_value_window_ops",
+    """SELECT o_custkey, o_orderkey,
+              FIRST_VALUE(o_orderkey) OVER w AS first_order,
+              LAST_VALUE(o_orderkey) OVER w_full AS last_order,
+              NTH_VALUE(o_orderkey, 2) OVER w_full AS second_order,
+              CAST(o_orderkey = FIRST_VALUE(o_orderkey) OVER w AS INT) AS is_first
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    tags=("window", "value-functions"),
+    doc="first/last/nth_value window functions over each customer's order "
+    "history (first order, latest order, second order, is-first flag) — "
+    "the value-function half of the window surface (w1-w10 cover "
+    "ranking/frames/lag). LAST_VALUE and NTH_VALUE are computed over "
+    "the FULL-partition frame explicitly: the default frame ends at "
+    "CURRENT ROW, which silently turns last_value into the current row "
+    "— the classic window-function footgun, pinned here in both "
+    "engines. One shuffle on the partition key, total order via the "
+    "(date, key) tie-break",
+)
+def w11_value_window_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    first = F.first("o_orderkey").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        first.alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        (F.col("o_orderkey") == first).cast("int").alias("is_first"),
+    )

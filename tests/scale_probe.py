@@ -165,6 +165,23 @@ PROBES += [
     "sm7_token_budget_cut",
 ]
 
+# third/fourth mid-r7 batches: bucketed range join (the fact-to-fact
+# shuffle shape), greedy throttle (grouped-map scan), histogram
+# quantiles (mergeable bin agg), blob shard manifest (per-type running
+# sum), FK audit (anti-joins), value windows, decayed counts, JSON
+# parse audit. st10 stays out (streaming scope; its batch twin p4 is
+# probed)
+PROBES += [
+    "j9_interval_bucket_join",
+    "g2_throttle_debounce",
+    "a23_histogram_quantiles",
+    "m5_shard_manifest",
+    "dq6_referential_integrity",
+    "w11_value_window_ops",
+    "a24_decayed_counts",
+    "x3_json_schema_audit",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -410,3 +410,163 @@ def test_st10_stream_matches_batch_cdc_semantics(spark, tmp_path):
     assert got[(2, "y")]["live_value"] == 42.0 and got[(2, "y")]["n_deletes"] == 1
     assert got[(3, "z")]["live_event_id"] == 30 and got[(3, "z")]["n_ops"] == 1
     _roundtrip(spark, str(tmp_path), "st10_stream_cdc_apply")
+
+
+def _write_events_props(tmp_path, rows):
+    """Events writer with per-row props (the shared one pins props='{}')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def test_m5_straddling_blob_stays_in_start_shard(spark, tmp_path):
+    """Blobs join the shard their running-byte START falls in: with a
+    4096-byte budget and 3000-byte blobs, the second blob starts at
+    3000 (< 4096) → shard 0 holds 6000 bytes (overflow-tolerant
+    next-fit); the third starts at 6000 → shard 1. Replayed in python
+    over the same md5 order."""
+    from etl_pipeline_telecom_spark.plans.multimodal import (
+        _M5_SHARD_BYTES,
+        m5_shard_manifest,
+    )
+
+    # all doc_ids % 3 == 0 → one media_type ('image')
+    docs = [(0, "a" * 3000), (3, "b" * 3000), (6, "c" * 3000), (9, "d" * 200)]
+    _write_docs_file(str(tmp_path), docs)
+    sizes = {d: len(t) for d, t in docs}
+    order = sorted(sizes, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    shards: dict[int, list[int]] = {}
+    cum = 0
+    for d in order:
+        shards.setdefault(cum // _M5_SHARD_BYTES, []).append(d)
+        cum += sizes[d]
+    got = {r["shard_id"]: r for r in m5_shard_manifest(spark, str(tmp_path)).collect()}
+    assert set(got) == set(shards)
+    for sid, members in shards.items():
+        assert got[sid]["n_blobs"] == len(members)
+        assert got[sid]["shard_bytes"] == sum(sizes[d] for d in members)
+    # the straddle really happened: some shard exceeds the budget
+    assert any(r["shard_bytes"] > _M5_SHARD_BYTES for r in got.values())
+    _roundtrip(spark, str(tmp_path), "m5_shard_manifest")
+
+
+def test_dq6_detects_orphans_and_childless_parents(spark, tmp_path):
+    """Crafted broken star: order 20 references customer 99 (absent) →
+    1 orphan, fk_ok false; customer 2 has no orders → childless; a
+    lineitem references a missing part."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.quality import dq6_referential_integrity
+
+    def w(name, cols):
+        pq.write_table(pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()}),
+                       os.path.join(str(tmp_path), f"{name}.parquet"))
+
+    w("customer", {"c_custkey": [1, 2]})
+    w("orders", {"o_orderkey": [10, 20], "o_custkey": [1, 99]})
+    w("part", {"p_partkey": [100]})
+    w("lineitem", {"l_orderkey": [10, 10], "l_partkey": [100, 555]})
+    # events needs a ts column (load_table's timestamp sniff reads it)
+    import datetime as _dt
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([_dt.datetime(2024, 1, 5)], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+        }),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    got = {r["relation"]: r for r in dq6_referential_integrity(spark, str(tmp_path)).collect()}
+    assert got["orders->customer"]["n_orphans"] == 1
+    assert got["orders->customer"]["fk_ok"] is False
+    assert got["orders->customer"]["n_childless_parents"] == 1  # customer 2
+    assert got["lineitem->part"]["n_orphans"] == 1
+    assert got["lineitem->orders"]["n_orphans"] == 0
+    assert got["lineitem->orders"]["fk_ok"] is True
+    _roundtrip(spark, str(tmp_path), "dq6_referential_integrity")
+
+
+def test_w11_last_value_uses_full_frame_not_current_row(spark, tmp_path):
+    """Customer 1 has orders 10 < 20 < 30 by date: EVERY row must see
+    last_order=30 (full-partition frame — the default frame would make
+    last_value echo the current row); second_order=20 everywhere; a
+    single-order customer gets second_order NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.windows import w11_value_window_ops
+
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([10, 20, 30, 40], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, d) for d in (1, 2, 3, 1)], pa.timestamp("us")
+            ),
+        }),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    got = {r["o_orderkey"]: r for r in w11_value_window_ops(spark, str(tmp_path)).collect()}
+    assert all(got[k]["last_order"] == 30 for k in (10, 20, 30))
+    assert all(got[k]["second_order"] == 20 for k in (10, 20, 30))
+    assert got[10]["is_first"] == 1 and got[20]["is_first"] == 0
+    assert got[40]["second_order"] is None and got[40]["last_order"] == 40
+    _roundtrip(spark, str(tmp_path), "w11_value_window_ops")
+
+
+def test_a24_weights_halve_per_whole_halflife_and_future_rows_drop(spark, tmp_path):
+    """Against the fixed 2024-02-01 instant: age 0d → 1e6, exactly 7d →
+    500000 (the halving boundary is inclusive via integer //), 14d →
+    250000, future rows are excluded entirely."""
+    from etl_pipeline_telecom_spark.plans.sketches import a24_decayed_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 31, 12, 0, 0), 1, "a", 0.0),  # age 0 → 1e6
+        (2, dt.datetime(2024, 1, 25, 0, 0, 0), 1, "a", 0.0),   # age 7 → 500000
+        (3, dt.datetime(2024, 1, 18, 0, 0, 0), 1, "a", 0.0),   # age 14 → 250000
+        (4, dt.datetime(2024, 2, 2, 0, 0, 0), 1, "a", 0.0),    # future → dropped
+        (5, dt.datetime(2024, 1, 31, 0, 0, 0), 1, "b", 0.0),   # age 1 → 1e6
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_type"]: r for r in a24_decayed_counts(spark, str(tmp_path)).collect()}
+    assert got["a"]["n_events"] == 3  # future row gone
+    assert got["a"]["decayed_score_ppm"] == 1_000_000 + 500_000 + 250_000
+    assert got["a"]["newest_age_days"] == 0
+    assert got["b"]["decayed_score_ppm"] == 1_000_000
+    _roundtrip(spark, str(tmp_path), "a24_decayed_counts")
+
+
+def test_x3_counts_malformed_and_keyless_props_separately(spark, tmp_path):
+    """'{\"k\": 5}' is an object with k; '{}' is an object WITHOUT k;
+    '{oops' is malformed (from_json → NULL, json_valid → false); NULL
+    props count as neither. k stats ignore non-k rows."""
+    from etl_pipeline_telecom_spark.plans.semistructured import x3_json_schema_audit
+
+    t = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        (1, t, 1, "a", 0.0, '{"k": 5}'),
+        (2, t, 1, "a", 0.0, "{}"),
+        (3, t, 1, "a", 0.0, "{oops"),
+        (4, t, 1, "a", 0.0, None),
+        (5, t, 1, "a", 0.0, '{"k": 11}'),
+    ]
+    _write_events_props(tmp_path, rows)
+    [row] = x3_json_schema_audit(spark, str(tmp_path)).collect()
+    assert row["n_rows"] == 5
+    assert row["n_objects"] == 3
+    assert row["n_with_k"] == 2
+    assert (row["k_min"], row["k_max"], row["k_sum"]) == (5, 11, 16)
+    _roundtrip(spark, str(tmp_path), "x3_json_schema_audit")
