@@ -213,11 +213,17 @@ def _load_all_plans() -> None:
 # dq1_lineitem_checks, v3_label_centroids (r1-proven verdicts, plans
 # unchanged; e1/e3's shared oracles stay exercised through in-window
 # st1/st3).
+#
+# Fifth mid-r7 batch: IN — r3_pivot_latest_value (long→wide latest-value
+# pivot), x4_jsonl_source_scan (JSONL source round-trip vs the parquet
+# oracle), v10_sq8_ann_recall (int8 scalar-quantized search graded by
+# recall) — all new. OUT — v2_knn_partitioned, v4_embedding_neardup,
+# v6_gemm_neardup (r4-verdict green, plans unchanged this round per
+# PLAN_MANIFEST).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup",
-    "v1_knn_brute", "v2_knn_partitioned", "v4_embedding_neardup",
-    "v5_lsh_bucketed_neardup", "v6_gemm_neardup", "v8_embedding_decontam",
+    "v1_knn_brute", "v5_lsh_bucketed_neardup", "v8_embedding_decontam",
     # event-time + streaming (the FULL st cohort: streaming-module source
     # hash covers every st* entry and the module changed this round)
         "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
@@ -239,6 +245,7 @@ DRIVER_WINDOW = (
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     "j9_interval_bucket_join", "g2_throttle_debounce",
     "a23_histogram_quantiles", "m5_shard_manifest",
+    "r3_pivot_latest_value", "x4_jsonl_source_scan", "v10_sq8_ann_recall",
     "dq6_referential_integrity", "w11_value_window_ops",
     "a24_decayed_counts", "x3_json_schema_audit",
     # r5 late additions (verdict r5; pipe2 kept as young canary)

@@ -63,3 +63,46 @@ def r2_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("month_spend"),
         )
     )
+
+
+@register(
+    "r3_pivot_latest_value",
+    """WITH latest AS (
+         SELECT user_id, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                            event_id DESC) AS rn
+         FROM events)
+       SELECT user_id,
+              MAX(CASE WHEN event_type = 'click' THEN value END) AS click,
+              MAX(CASE WHEN event_type = 'view' THEN value END) AS view,
+              MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+              MAX(CASE WHEN event_type = 'error' THEN value END) AS error,
+              MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup
+       FROM latest WHERE rn = 1 GROUP BY user_id""",
+    tags=("reshape", "pivot", "long-to-wide"),
+    doc="Long→wide pivot carrying each key's LATEST VALUE (a7/a8 pivot "
+    "COUNTS; feature stores pivot the newest reading per signal): one "
+    "max(struct(ts, event_id, value)) aggregate per (user, type) picks "
+    "the latest row — the p2 single-shuffle merge shape — then the "
+    "Spark pivot() relational operator spreads the 5-type enum into "
+    "columns (second agg is on pre-collapsed keys-only rows). The "
+    "oracle takes the ROW_NUMBER + conditional-MAX form. Explicit "
+    "pivot value list in both engines: an unlisted novel type must "
+    "FAIL the schema compare, not silently add a column",
+)
+def r3_pivot_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    st = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
+    )
+    latest = ev.groupBy("user_id", "event_type").agg(F.max(st).alias("m"))
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        latest.select("user_id", "event_type", F.col("m.value").alias("value"))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.max("value"))
+    )

@@ -562,3 +562,49 @@ def x3_json_schema_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("k_sum"),
         )
     )
+
+
+@register(
+    "x4_jsonl_source_scan",
+    """SELECT event_type,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              MIN(event_id) AS min_id,
+              MAX(event_id) AS max_id,
+              MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+              SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_ts
+       FROM events GROUP BY event_type""",
+    tags=("source", "jsonl", "roundtrip"),
+    doc="JSONL source-format round-trip: events export to newline-"
+    "delimited JSON (the lingua franca of LLM corpus drops — staged "
+    "deterministically, repr-shortest doubles, microsecond timestamp "
+    "strings) and re-enter through spark.read.json with an EXPLICIT "
+    "schema + timestampFormat (schema inference on JSONL is a "
+    "full extra pass AND type-unstable — never at 100 TB). The "
+    "aggregate must match DuckDB reading the ORIGINAL parquet: "
+    "count, decimal-exact value sums, id range, max event time, null-"
+    "timestamp count — any serialization loss (float shortening, "
+    "timezone shift, null coercion) breaks the hash. The S-family "
+    "counterpart of S1's CSV scan",
+)
+def x4_jsonl_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import stage_events_jsonl
+
+    path = stage_events_jsonl(sf_dir)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_ts"),
+    )

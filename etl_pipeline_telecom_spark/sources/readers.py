@@ -142,3 +142,65 @@ def load_with_fallback(loaders: list[Callable[[], DataFrame]]) -> DataFrame:
         except Exception as exc:  # noqa: BLE001 — mirror reference's broad fallback
             errors.append(f"{loader}: {exc}")
     raise RuntimeError("all sources failed: " + "; ".join(errors))
+
+
+def stage_events_jsonl(sf_dir: str) -> str:
+    """Export events.parquet to a newline-delimited JSON file under /tmp.
+
+    The staged file is the INPUT for the x4 JSONL-source query: the
+    engine must ingest JSONL (the lingua franca of LLM corpus drops)
+    through ``spark.read.json`` with an explicit schema and land
+    byte-identical values to the parquet original — which is exactly
+    what the x4 oracle checks by aggregating the parquet directly.
+
+    Determinism: rows sorted by event_id; doubles via json.dumps (repr
+    shortest-roundtrip — parses back to the identical float64);
+    timestamps as 'yyyy-MM-dd HH:mm:ss.SSSSSS' naive-UTC strings; cached
+    by source mtime and published with an atomic rename (the
+    replay_dir_with_sentinels discipline).
+    """
+    import hashlib
+    import json as _json
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_x4_jsonl_{key}"
+    out = os.path.join(out_dir, "events.jsonl")
+    if os.path.isfile(out):
+        return out
+    work = f"{out_dir}.stage-{os.getpid()}-{_time.monotonic_ns()}"
+    os.makedirs(work)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pq.read_table(src)
+    # either fixture generation (ns or us unit) → µs datetimes
+    ts_us = pc.cast(t["ts"], pa.timestamp("us")).to_pylist()
+    cols = {name: t[name].to_pylist() for name in ("event_id", "user_id", "event_type", "value", "props")}
+    cols["ts"] = ts_us
+    rows = sorted(zip(*(cols[c] for c in ("event_id", "ts", "user_id", "event_type", "value", "props"))))
+    with open(os.path.join(work, "events.jsonl"), "w") as f:
+        for eid, ts, uid, etype, value, props in rows:
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": None if ts is None else ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "user_id": uid,
+                        "event_type": etype,
+                        "value": value,
+                        "props": props,
+                    }
+                )
+                + "\n"
+            )
+    try:
+        os.rename(work, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -180,6 +180,9 @@ PROBES += [
     "w11_value_window_ops",
     "a24_decayed_counts",
     "x3_json_schema_audit",
+    "r3_pivot_latest_value",
+    "x4_jsonl_source_scan",
+    "v10_sq8_ann_recall",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

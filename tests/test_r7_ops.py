@@ -570,3 +570,97 @@ def test_x3_counts_malformed_and_keyless_props_separately(spark, tmp_path):
     assert row["n_with_k"] == 2
     assert (row["k_min"], row["k_max"], row["k_sum"]) == (5, 11, 16)
     _roundtrip(spark, str(tmp_path), "x3_json_schema_audit")
+
+
+def test_r3_pivot_carries_latest_value_per_type(spark, tmp_path):
+    """User 1 clicks twice — the later value (7.5) wins; view column
+    filled, untouched types stay NULL; user 2 independent."""
+    from etl_pipeline_telecom_spark.plans.reshape import r3_pivot_latest_value
+
+    rows = [
+        (1, T0 + 1 * S, 1, "click", 2.5),
+        (2, T0 + 9 * S, 1, "click", 7.5),   # later → wins
+        (3, T0 + 5 * S, 1, "view", 1.0),
+        (4, T0, 2, "purchase", 99.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["user_id"]: r for r in r3_pivot_latest_value(spark, str(tmp_path)).collect()}
+    assert got[1]["click"] == 7.5 and got[1]["view"] == 1.0
+    assert got[1]["purchase"] is None and got[1]["error"] is None
+    assert got[2]["purchase"] == 99.0 and got[2]["click"] is None
+    _roundtrip(spark, str(tmp_path), "r3_pivot_latest_value")
+
+
+def test_x4_jsonl_roundtrip_survives_nulls_and_float_precision(spark, tmp_path):
+    """A null timestamp and a repr-ugly double (0.1+0.2) must survive
+    parquet → JSONL → spark.read.json byte-exactly: the oracle
+    aggregates the ORIGINAL parquet, so any serialization loss breaks
+    the compare."""
+    from etl_pipeline_telecom_spark.plans.semistructured import x4_jsonl_source_scan
+
+    ugly = 0.1 + 0.2  # 0.30000000000000004
+    rows = [
+        (1, T0, 1, "a", ugly),
+        (2, None, 1, "a", 1.25),
+        (3, T0 + 5 * S, 2, "b", -17.831),
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_type"]: r for r in x4_jsonl_source_scan(spark, str(tmp_path)).collect()}
+    assert got["a"]["n_rows"] == 2 and got["a"]["n_null_ts"] == 1
+    # DECIMAL(18,2) of the ugly double is 0.30; 0.30 + 1.25 = 1.55
+    assert got["a"]["sum_value"] == 1.55
+    assert got["b"]["max_ts_us"] == int((T0 + 5 * S).timestamp() * 1_000_000)
+    _roundtrip(spark, str(tmp_path), "x4_jsonl_source_scan")
+
+
+def test_v10_sq8_replays_python_reference(spark, tmp_path):
+    """Full-pipeline replay on crafted 4-dim vectors: python applies the
+    SAME quantize (x*1000 round, then per-dim symmetric int8) and ranks
+    both spaces; the Spark recall rows must match exactly. The crafted
+    set includes a near-tie the quantizer collapses, so code-space and
+    float-space top-3 genuinely differ for one query."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.similarity import v10_sq8_ann_recall
+
+    vecs = {
+        0: [1.0, 0.02, 0.0, 0.0],       # query
+        10: [1.0, 0.0, 0.0, 0.0],
+        11: [0.9995, 0.0002, 0.0, 0.0],  # near-tie with 10; collapses in int8
+        12: [0.0, 1.0, 0.0, 0.0],
+        13: [0.5, 0.5, 0.0, 0.0],
+        14: [0.0, 0.0, 1.0, 0.0],
+    }
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        }),
+        os.path.join(str(tmp_path), "embeddings.parquet"),
+    )
+
+    q = {k: [round(float(pa.scalar(x, pa.float32()).as_py()) * 1000) for x in v] for k, v in vecs.items()}
+    dims = range(4)
+    mx = [max(max(abs(q[k][d]) for k in q), 1.0) for d in dims]
+    codes = {k: [round(q[k][d] * 127 / mx[d]) for d in dims] for k in q}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    def top3(space):
+        scored = sorted(
+            ((cos(space[0], space[k]), -k) for k in space if k != 0), reverse=True
+        )
+        return {-nk for _, nk in scored[:3]}
+
+    sq3, ex3 = top3(codes), top3(q)
+    expected_hits = len(sq3 & ex3)
+    [row] = v10_sq8_ann_recall(spark, str(tmp_path)).collect()
+    assert row["query_id"] == 0 and row["n_sq"] == 3
+    assert row["n_hits"] == expected_hits
+    _roundtrip(spark, str(tmp_path), "v10_sq8_ann_recall")
