@@ -130,7 +130,7 @@ def main() -> None:
         "t17_bpe_encode", "t18_pii_scrub", "t19_gopher_flags",
         "a22_countmin_heavy_hitters", "sm7_token_budget_cut",
         "j9_interval_bucket_join", "a23_histogram_quantiles",
-        "m5_shard_manifest", "v10_sq8_ann_recall",
+        "m5_shard_manifest", "v10_sq8_ann_recall", "pipe3_dataset_card",
     }
     compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
     payload = {

@@ -220,10 +220,15 @@ def _load_all_plans() -> None:
 # recall) — all new. OUT — v2_knn_partitioned, v4_embedding_neardup,
 # v6_gemm_neardup (r4-verdict green, plans unchanged this round per
 # PLAN_MANIFEST).
+#
+# Sixth mid-r7 batch: IN — pipe3_dataset_card (per-language release
+# audit in long format), p5_partitioned_sink_audit (date-partitioned
+# parquet sink read back through a pruned scan, the K-family write
+# surface) — both new. OUT — v1_knn_brute, v5_lsh_bucketed_neardup
+# (r4-verdict green, plans unchanged this round per PLAN_MANIFEST).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
-    "d5_lsh_jaccard_dedup",
-    "v1_knn_brute", "v5_lsh_bucketed_neardup", "v8_embedding_decontam",
+    "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
     # event-time + streaming (the FULL st cohort: streaming-module source
     # hash covers every st* entry and the module changed this round)
         "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
@@ -246,6 +251,7 @@ DRIVER_WINDOW = (
     "j9_interval_bucket_join", "g2_throttle_debounce",
     "a23_histogram_quantiles", "m5_shard_manifest",
     "r3_pivot_latest_value", "x4_jsonl_source_scan", "v10_sq8_ann_recall",
+    "pipe3_dataset_card", "p5_partitioned_sink_audit",
     "dq6_referential_integrity", "w11_value_window_ops",
     "a24_decayed_counts", "x3_json_schema_audit",
     # r5 late additions (verdict r5; pipe2 kept as young canary)

@@ -429,3 +429,115 @@ def p4_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ops",
         "n_deletes",
     )
+
+
+@register(
+    "pipe3_dataset_card",
+    f"""WITH base AS (
+         SELECT lang,
+                md5(lower(trim(text))) AS fp,
+                len({_SQL_TOKENS}) AS n_tok,
+                {_SQL_QUALITY} AS quality
+         FROM documents
+       ), dup AS (
+         SELECT lang, fp, COUNT(*) AS copies FROM base GROUP BY lang, fp
+       )
+       SELECT 'n_docs' AS metric, lang AS scope, COUNT(*)::BIGINT AS value
+       FROM base GROUP BY lang
+       UNION ALL
+       SELECT 'n_tokens', lang, CAST(SUM(n_tok) AS BIGINT) FROM base GROUP BY lang
+       UNION ALL
+       SELECT 'n_dup_docs', lang, CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT)
+       FROM dup GROUP BY lang
+       UNION ALL
+       SELECT 'n_quality_pass', lang,
+              SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+       FROM base GROUP BY lang""",
+    tags=("pipeline", "audit", "dataset-card", "headline"),
+    doc="Dataset-card audit — the per-language release sheet an LLM "
+    "data drop ships with: document counts, whitespace-token totals, "
+    "documents involved in exact-duplicate groups, and quality-gate "
+    "pass counts, emitted as long-format (metric, scope, value) rows "
+    "so downstream cards append new metrics without schema changes. "
+    "One pass computes fingerprint/tokens/quality per doc (Catalyst "
+    "fuses all three into the scan), then four small aggregates reuse "
+    "it; the dup metric counts MEMBERS of multi-copy fingerprint "
+    "groups (copies>1), matching what a dedup pass would touch. All "
+    "integer outputs — hash-exact by construction",
+)
+def pipe3_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("quality"),
+    )
+    dup = base.groupBy("lang", "fp").agg(F.count(F.lit(1)).alias("copies"))
+
+    def metric(name, df):
+        return df.select(F.lit(name).alias("metric"), F.col("scope"), F.col("value"))
+
+    n_docs = base.groupBy(F.col("lang").alias("scope")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("value")
+    )
+    n_tokens = base.groupBy(F.col("lang").alias("scope")).agg(
+        F.sum("n_tok").cast("bigint").alias("value")
+    )
+    n_dup = dup.groupBy(F.col("lang").alias("scope")).agg(
+        F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0))
+        .cast("bigint")
+        .alias("value")
+    )
+    n_q = base.groupBy(F.col("lang").alias("scope")).agg(
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).cast("bigint").alias("value")
+    )
+    return (
+        metric("n_docs", n_docs)
+        .unionByName(metric("n_tokens", n_tokens))
+        .unionByName(metric("n_dup_docs", n_dup))
+        .unionByName(metric("n_quality_pass", n_q))
+    )
+
+
+_P5_DATES = ("2024-01-05", "2024-01-06")
+
+
+@register(
+    "p5_partitioned_sink_audit",
+    f"""SELECT CAST(ts AS DATE) AS event_date,
+              COUNT(*) AS n_rows,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              COUNT(DISTINCT user_id) AS n_users
+       FROM events
+       WHERE ({' OR '.join(f"CAST(ts AS DATE) = DATE '{d}'" for d in _P5_DATES)})
+       GROUP BY 1""",
+    tags=("sink", "partitioning", "layout"),
+    doc="Partitioned-sink round-trip: events are WRITTEN as a date-"
+    "partitioned parquet layout (write.partitionBy — the K-family sink "
+    "shape every time-partitioned fact table uses), then read back "
+    "with a two-date partition filter; the audit aggregate must equal "
+    "the same filter over the ORIGINAL unpartitioned parquet (the x4 "
+    "source-fidelity discipline, applied to the sink). The read plan "
+    "prunes to 2 of ~30 date directories — PartitionFilters, zero "
+    "rows from other dates ever read — asserted at plan level in "
+    "tests/test_r7_ops.py. At 100 TB this layout is what makes "
+    "time-scoped reprocessing O(days touched), not O(corpus)",
+)
+def p5_partitioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import stage_partitioned_events
+
+    path = stage_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    dates = [F.lit(d).cast("date") for d in _P5_DATES]
+    return (
+        ev.where(F.col("event_date").isin(*dates))
+        .groupBy(F.col("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -103,3 +103,40 @@ def write_with_fallback(df: DataFrame, primary, fallback) -> str:
     except Exception:  # noqa: BLE001 — mirror reference's broad fallback
         fallback(df)
         return "fallback"
+
+
+def stage_partitioned_events(spark, sf_dir: str) -> str:
+    """Materialize events as a date-PARTITIONED parquet layout under /tmp.
+
+    The p5 catalog query reads this sink back with a partition filter —
+    the write side of the §7 layout story (bucketing.py covers joins;
+    this covers the partition-pruned scan every time-partitioned fact
+    table lives by). Cached by source mtime; atomic rename publish
+    (the replay_dir_with_sentinels discipline).
+    """
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_p5_part_{key}"
+    if os.path.isdir(out_dir):
+        return out_dir
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(work)
+    )
+    try:
+        os.rename(work, out_dir)
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir

@@ -183,6 +183,8 @@ PROBES += [
     "r3_pivot_latest_value",
     "x4_jsonl_source_scan",
     "v10_sq8_ann_recall",
+    "pipe3_dataset_card",
+    "p5_partitioned_sink_audit",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -151,6 +151,9 @@ _BNLJ_ALLOWED = {
     "a23_histogram_quantiles",  # 4-row quantile-list literal crossed
                          # onto the BOUNDED bin table (post-agg), the
                          # e6 aggregated-sides pattern
+    "v10_sq8_ann_recall",  # v1/v9's bounded Q=10 query-sample broadcast
+                         # (guarded by assert_bounded_input), twice:
+                         # code-space scan + exact ground-truth pass
     "t16_unigram_rarity",  # 1-row scalar broadcast (train token total),
                          # same shape as t9's corpus-count broadcast
 }

@@ -664,3 +664,56 @@ def test_v10_sq8_replays_python_reference(spark, tmp_path):
     assert row["query_id"] == 0 and row["n_sq"] == 3
     assert row["n_hits"] == expected_hits
     _roundtrip(spark, str(tmp_path), "v10_sq8_ann_recall")
+
+
+def test_pipe3_counts_dup_members_not_groups(spark, tmp_path):
+    """Two docs share a fingerprint → n_dup_docs counts BOTH members
+    (what a dedup pass touches), a singleton counts zero; token totals
+    are per-language sums."""
+    from etl_pipeline_telecom_spark.plans.pipeline import pipe3_dataset_card
+
+    same = "the quick brown fox jumps with the dog " * 6
+    _write_docs_file(
+        str(tmp_path),
+        [(0, same.strip()), (1, same.strip()), (2, "one tiny unique doc here")],
+    )
+    got = {(r["metric"], r["scope"]): r["value"] for r in pipe3_dataset_card(spark, str(tmp_path)).collect()}
+    assert got[("n_docs", "en")] == 3
+    assert got[("n_dup_docs", "en")] == 2  # members of the copies>1 group
+    assert got[("n_tokens", "en")] == 2 * len(same.split()) + len(
+        "one tiny unique doc here".split()
+    )
+    _roundtrip(spark, str(tmp_path), "pipe3_dataset_card")
+
+
+def test_p5_sink_readback_prunes_partitions(spark, tmp_path):
+    """The read side of the partitioned sink must hit ONLY the two
+    filtered date directories (PartitionFilters in the scan, 2 of 4
+    partitions) and the audit must match a direct filter of the
+    original events."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P5_DATES,
+        p5_partitioned_sink_audit,
+    )
+
+    rows = []
+    eid = 0
+    for day, n in ((4, 3), (5, 4), (6, 2), (7, 5)):
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day, 10, 0, 0), 1, "click", 1.5))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = {str(r["event_date"]): r for r in p5_partitioned_sink_audit(spark, str(tmp_path)).collect()}
+    assert set(got) == set(_P5_DATES)
+    assert got["2024-01-05"]["n_rows"] == 4 and got["2024-01-06"]["n_rows"] == 2
+    assert got["2024-01-05"]["sum_value"] == 6.0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        p5_partitioned_sink_audit(spark, str(tmp_path)).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    _roundtrip(spark, str(tmp_path), "p5_partitioned_sink_audit")

@@ -102,13 +102,20 @@ def test_skew_probes_present_and_bounded():
 
 def test_cc_crafted_rounds_stay_flat():
     """r7+: the connected-components star alternation on the crafted
-    chain+giant-star graph must not blow up its round count as the graph
-    grows 100× — rounds are O(log n), so big may exceed small by at most
-    a couple of doublings; and the runtime gate applies like everywhere."""
+    chain+giant-star graph must grow its round count LOGARITHMICALLY as
+    the graph grows 100×. Rounds track log2(chain length) almost exactly
+    (measured 10 → 17 at 500 → 50k chain nodes; log2 says 9 → 15.6), so
+    the gate allows log2(100)≈7 extra rounds plus slack — the original
+    "+3" allowance was authored before the probe first ran and is
+    mathematically unreachable for ANY O(log n) algorithm at 100×. The
+    failure mode this guards (diameter-bound propagation) would show
+    rounds_big ≈ 50_000, not ≈ rounds_small + 7; the doubling cap below
+    catches any such blow-up with orders of magnitude to spare."""
     rec = _latest_record()
     rows = [q for q in rec["queries"] if q["query"].startswith("cc_chain_giant")]
     if not rows:
         pytest.skip("record predates the crafted CC probe (r7)")
     row = rows[0]
-    assert row["rounds_big"] <= row["rounds_small"] + 3, row
+    assert row["rounds_big"] <= row["rounds_small"] + 9, row  # log2(100)+slack
+    assert row["rounds_big"] <= 2 * row["rounds_small"], row  # not diameter-bound
     assert row["ratio"] <= MAX_RATIO, row
