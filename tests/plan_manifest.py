@@ -59,8 +59,16 @@ _NORMALIZERS = (
     # counter (x_1, x_2, ...), so a query's lambda names depend on how many
     # lambdas were built earlier in the process — i.e. on catalog size and
     # build order, not on the query. Caught in r6: adding 4 queries
-    # "drifted" 11 untouched plans via this counter alone.
-    (re.compile(r"\blambda x_\d+"), "lambda x_N"),
+    # "drifted" 11 untouched plans via this counter alone. The r6 fix only
+    # normalized variables literally NAMED x — Spark names the variable
+    # after the PYTHON lambda's parameter (y_3, m_7, acc_2, ...), so every
+    # other parameter name kept its counter suffix and re-drifted ~10
+    # untouched plans on each catalog edit all round (diagnosed late r7
+    # with an A/B build-order diff: the only delta was `lambda y_3` vs
+    # `lambda y_4`). Every occurrence carries the `lambda ` prefix
+    # (declaration and usage), so the prefix keeps the rewrite from ever
+    # touching a real column name.
+    (re.compile(r"\blambda ([A-Za-z][A-Za-z0-9]*)_\d+"), r"lambda \1_N"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
     (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
 )
