@@ -313,9 +313,13 @@ def replay_dir_with_sentinels(sf_dir: str, *, glob: str = "events.parquet") -> s
         return out_dir
     work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
     os.makedirs(work)
-    shutil.copyfile(src, os.path.join(work, "00_events.parquet"))
-
-    t = pq.read_table(src)
+    t = pq.read_table(src)  # file OR Spark-written part-file directory
+    if os.path.isdir(src):
+        # directory layout (synthesized/production tables): stage the
+        # concatenated parts as the one real-data file of the replay
+        pq.write_table(t, os.path.join(work, "00_events.parquet"))
+    else:
+        shutil.copyfile(src, os.path.join(work, "00_events.parquet"))
     schema = t.schema
     max_ts = pc.max(t["ts"]).as_py()  # datetime (ns or µs unit — arrow handles both)
     year = dt.timedelta(days=365)

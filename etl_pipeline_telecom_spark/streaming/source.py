@@ -18,9 +18,28 @@ carries a session-TZ (UTC) TIMESTAMP with the file's wall clock.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
+
+
+def _resolve_table_layout(directory: str, glob: str) -> tuple[str, str]:
+    """Support BOTH physical layouts of a parquet table.
+
+    The driver fixtures ship ``events.parquet`` as a single FILE (glob
+    matches it directly), but any Spark-written table — including the
+    scale-probe's synthesized fixtures and every production layout — is
+    a DIRECTORY of part files with that name. ``pathGlobFilter`` matches
+    file names only, so a literal glob naming a directory matched
+    nothing and the stream read died with UNABLE_TO_INFER_SCHEMA
+    (caught by the first sf1 bench run). A directory named exactly like
+    the literal glob becomes the read root with a part-file glob."""
+    if "*" not in glob and os.path.isdir(os.path.join(directory, glob)):
+        return os.path.join(directory, glob), "*.parquet"
+    return directory, glob
+
 
 def _events_ts_kind(spark: SparkSession, directory: str, glob: str) -> str:
     """'nanos_long' | 'ntz' | 'ltz' — from a footer-only batch schema probe."""
@@ -47,6 +66,7 @@ def read_events_stream(
     test harness uses that to exercise watermark advancement across
     batches exactly as a production stream would see it.
     """
+    directory, glob = _resolve_table_layout(directory, glob)
     kind = _events_ts_kind(spark, directory, glob)
     ts_type = {"nanos_long": "long", "ntz": "timestamp_ntz", "ltz": "timestamp"}[kind]
     schema = f"event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
