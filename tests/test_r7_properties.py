@@ -169,3 +169,78 @@ def test_a23_bin_contains_rank_statistic(spark, tmp_path_factory, cents):
         rank_val = srt[-(-p * n // 1000) - 1]  # value at rank ceil(p*n/1000), 1-based
         r = got[p]
         assert r["bin_lo_cents"] <= rank_val < r["bin_hi_cents"], (p, rank_val, dict(r.asDict()))
+
+
+def _reference_bpe_encode(merges, word: str) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        syms = out
+    return syms
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_t15_t17_bpe_train_and_encode_match_reference_on_random_vocab(
+    spark, tmp_path_factory, words
+):
+    """The FULL BPE pair on arbitrary tiny vocabularies over a 2-letter
+    alphabet (maximal merge collisions and overlap runs): t15's learned
+    merge table must equal the pure-python Sennrich reference exactly
+    (count, pair, rank AND selection frequency), and t17's per-doc token
+    counts must equal greedily applying those merges. Two docs split the
+    corpus so training (union) and encoding (per-doc) disagree unless
+    both are right."""
+    import re
+
+    from etl_pipeline_telecom_spark.plans.text import (
+        _BPE_MERGES,
+        _BPE_PATTERN,
+        t15_bpe_merges,
+        t17_bpe_encode,
+    )
+
+    from .test_r7_guards import _python_bpe
+    from .test_r7_ops import _write_docs_file
+
+    d = tmp_path_factory.mktemp("bpeprop")
+    half = max(1, len(words) // 2)
+    texts = [" ".join(words[:half]), " ".join(words[half:]) or words[0]]
+    _write_docs_file(str(d), list(enumerate(texts)))
+
+    freqs: dict[str, int] = {}
+    per_doc: list[list[str]] = []
+    for t in texts:
+        toks = re.findall(_BPE_PATTERN, t.lower())
+        per_doc.append(toks)
+        for tok in toks:
+            freqs[tok] = freqs.get(tok, 0) + 1
+
+    expected_merges = _python_bpe(freqs, _BPE_MERGES)
+    got_merges = sorted(
+        (r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_freq"])
+        for r in t15_bpe_merges(spark, str(d)).collect()
+    )
+    assert got_merges == sorted(expected_merges)
+
+    merges = [(a, b) for _, a, b, _ in expected_merges]
+    expected_counts = {
+        i: sum(len(_reference_bpe_encode(merges, w)) for w in toks)
+        for i, toks in enumerate(per_doc)
+        if toks
+    }
+    got_counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in t17_bpe_encode(spark, str(d)).collect()
+    }
+    assert got_counts == expected_counts
