@@ -226,6 +226,12 @@ def _load_all_plans() -> None:
 # parquet sink read back through a pruned scan, the K-family write
 # surface) — both new. OUT — v1_knn_brute, v5_lsh_bucketed_neardup
 # (r4-verdict green, plans unchanged this round per PLAN_MANIFEST).
+#
+# Round 8 rotations: IN — g2b_throttle_skewfree (new: the (user, month)
+# pre-split throttle, VERDICT r7 item 3; bit-identical to g2, same
+# oracle). t15/t17 STAY in (BPE depth parameterization, VERDICT r7
+# item 4, changes their plans). OUT — d9_mllib_minhash (graduated
+# oracle form's first verdict green in r7, plan unchanged this round).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
@@ -242,7 +248,7 @@ DRIVER_WINDOW = (
     "a21_poisson_bootstrap",
     # r7 additions — graduations, the star-alternation rewrite, BPE,
     # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
-    "t15_bpe_merges", "d9_mllib_minhash", "d8_neardup_clusters",
+    "t15_bpe_merges", "g2b_throttle_skewfree", "d8_neardup_clusters",
     "d10_contamination_check", "d16_ngram_overlap",
     # mid-r7 additions — first driver verdict needed
     "w10_rolling_stats", "e11_max_concurrency", "dq5_freshness",

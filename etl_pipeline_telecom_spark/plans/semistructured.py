@@ -20,6 +20,7 @@ Training-data pipelines live on these four shapes:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -460,9 +461,10 @@ def _throttle_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["user_id", "event_id", "kept_ts_us"])
 
 
-@register(
-    "g2_throttle_debounce",
-    f"""WITH RECURSIVE o AS (
+# shared by g2 (single-group form) and g2b (the (user, month) pre-split
+# scale form): both implement the SAME greedy recurrence, so both carry
+# the same recursive-CTE oracle
+_G2_SQL = f"""WITH RECURSIVE o AS (
          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
                 ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
@@ -477,7 +479,12 @@ def _throttle_group(pdf: pd.DataFrame) -> pd.DataFrame:
                      ELSE w.last_kept END AS last_kept
          FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
        )
-       SELECT user_id, event_id, t AS kept_ts_us FROM walk WHERE kept""",
+       SELECT user_id, event_id, t AS kept_ts_us FROM walk WHERE kept"""
+
+
+@register(
+    "g2_throttle_debounce",
+    _G2_SQL,
     tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle"),
     doc="Greedy per-user throttle/debounce (keep an event only if >= 1 "
     "day after the last KEPT event — rate-limiting, notification "
@@ -499,6 +506,144 @@ def g2_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.unix_micros("ts").alias("kept_ts_us"))
     )
     return ev.groupBy("user_id").applyInPandas(_throttle_group, schema=_G2_SCHEMA)
+
+
+# --- g2b: the (user, month) pre-split scale form of the same throttle ----
+#
+# g2's contract is "one user's full history fits in one pandas group".
+# g2b removes it exactly, with three bounded stages (the e3b two-level
+# idea, extended because the throttle's recurrence CROSSES segment
+# boundaries):
+#
+#   A. per (user, month): sort once, build greedy jump pointers
+#      (jump[i] = first event >= t[i] + GAP, one vectorized
+#      searchsorted), and a reverse pass gives carryout[i] = timestamp of
+#      the LAST kept event if the chain enters at i. Emit only the
+#      month's possible ENTRY events — every event in the first
+#      GAP-window after month start, plus the first event past it —
+#      with their carryouts. A month's kept set given carry-in s is
+#      fully determined by its entry (the first event >= s + GAP), so
+#      these summary rows are a complete transition function.
+#   B. per user, over summaries only: walk months in order threading
+#      s (last kept timestamp); each month's entry is one searchsorted
+#      into its candidate list. Data per user = months + first-window
+#      events, not total events (a 24/7-dense user at GAP = 1 day
+#      contributes ~1/30th of its rows here; recursively splittable).
+#   C. per (user, month) again, joined with its resolved entry: replay
+#      the jump chain from the entry and emit kept rows.
+#
+# Stage-A correctness of the candidate set: carry-in s is a kept
+# timestamp from an EARLIER month, so s < month_start and
+# s + GAP < month_start + GAP; the first event >= s + GAP is therefore
+# either inside the first GAP-window (all candidates) or the first event
+# past it (also a candidate, and it always qualifies since its
+# t >= month_start + GAP > s + GAP). Months whose events are all
+# suppressed emit no entry and pass s through unchanged.
+#
+# tests/test_r8_ops.py asserts g2b ≡ g2 bit-identically on the fixture
+# AND on a crafted one-user-dominates stream whose events straddle month
+# boundaries at the exact GAP edge.
+
+_G2B_SUMMARY_SCHEMA = (
+    "user_id long, month_us long, cand_t long, cand_eid long, carryout_t long"
+)
+_G2B_ENTRY_SCHEMA = "user_id long, month_us long, entry_t long, entry_eid long"
+
+
+def _g2b_month_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["kept_ts_us", "event_id"]).reset_index(drop=True)
+    t = pdf["kept_ts_us"].to_numpy(dtype="int64")
+    n = len(t)
+    month_us = int(pdf["month_us"].iloc[0])
+    jump = np.searchsorted(t, t + _G2_GAP_US, side="left")
+    carry = np.empty(n, dtype="int64")
+    for i in range(n - 1, -1, -1):  # O(n); jump[i] > i so carry[jump[i]] is final
+        carry[i] = t[i] if jump[i] >= n else carry[jump[i]]
+    k = int(np.searchsorted(t, month_us + _G2_GAP_US, side="left"))
+    m = min(k + 1, n)  # first-window events + the first one past the window
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(dtype="int64")[:m],
+            "month_us": np.full(m, month_us, dtype="int64"),
+            "cand_t": t[:m],
+            "cand_eid": pdf["event_id"].to_numpy(dtype="int64")[:m],
+            "carryout_t": carry[:m],
+        }
+    )
+
+
+def _g2b_chain_months(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["month_us", "cand_t", "cand_eid"]).reset_index(drop=True)
+    uid = int(pdf["user_id"].iloc[0])
+    out = []
+    s = None  # last kept timestamp across months
+    for month_us, grp in pdf.groupby("month_us", sort=True):
+        t = grp["cand_t"].to_numpy(dtype="int64")
+        j = 0 if s is None else int(np.searchsorted(t, s + _G2_GAP_US, side="left"))
+        if j < len(t):
+            out.append((uid, int(month_us), int(t[j]), int(grp["cand_eid"].iloc[j])))
+            s = int(grp["carryout_t"].iloc[j])
+    return pd.DataFrame(out, columns=["user_id", "month_us", "entry_t", "entry_eid"])
+
+
+def _g2b_replay(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["kept_ts_us", "event_id"]).reset_index(drop=True)
+    t = pdf["kept_ts_us"].to_numpy(dtype="int64")
+    eid = pdf["event_id"].to_numpy(dtype="int64")
+    uid = int(pdf["user_id"].iloc[0])
+    entry_t = int(pdf["entry_t"].iloc[0])
+    entry_eid = int(pdf["entry_eid"].iloc[0])
+    i = int(np.searchsorted(t, entry_t, side="left"))
+    while eid[i] != entry_eid:  # timestamp ties: advance to the exact entry event
+        i += 1
+    jump = np.searchsorted(t, t + _G2_GAP_US, side="left")
+    n = len(t)
+    out = []
+    while i < n:
+        out.append((uid, int(eid[i]), int(t[i])))
+        i = int(jump[i])
+    return pd.DataFrame(out, columns=["user_id", "event_id", "kept_ts_us"])
+
+
+@register(
+    "g2b_throttle_skewfree",
+    _G2_SQL,
+    tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle", "skew"),
+    doc="Skew-robust greedy throttle — the (user, month) pre-split with "
+    "carry-in state that g2's scale notes promise, IMPLEMENTED and "
+    "bit-identical to g2 (same recursive-CTE oracle verbatim). Phase 1 "
+    "summarizes each (user, month) into its possible entry events + "
+    "greedy carry-outs (jump-pointer chains, one vectorized "
+    "searchsorted + one O(n) reverse pass); phase 2 threads last-kept "
+    "state across months per user over SUMMARY rows only (months + "
+    "first-GAP-window events, ~1/30th of a dense user's rows at 1-day "
+    "GAP over monthly splits); phase 3 replays the chain from each "
+    "month's resolved entry. Worst-case per-task memory drops from one "
+    "user's full history to one user-month; shuffles stay on "
+    "(user, month) / user keys — no all-pairs, no driver state",
+)
+def g2b_throttle_skewfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("kept_ts_us"),
+            F.unix_micros(F.date_trunc("month", "ts")).alias("month_us"),
+        )
+    )
+    summaries = ev.groupBy("user_id", "month_us").applyInPandas(
+        _g2b_month_summary, schema=_G2B_SUMMARY_SCHEMA
+    )
+    entries = summaries.groupBy("user_id").applyInPandas(
+        _g2b_chain_months, schema=_G2B_ENTRY_SCHEMA
+    )
+    return (
+        ev.join(entries, ["user_id", "month_us"])
+        .groupBy("user_id", "month_us")
+        .applyInPandas(_g2b_replay, schema=_G2_SCHEMA)
+    )
 
 
 @register(

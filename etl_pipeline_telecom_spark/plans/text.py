@@ -759,11 +759,13 @@ def t14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_MERGES = 8  # fixed merge budget — bounds the unrolled oracle and the loop
+_BPE_MERGES = 8  # default merge budget for the REGISTERED t15/t17 entries
 
 
-def _sql_t15() -> str:
-    """t15's oracle: the SAME 8 BPE training rounds, unrolled as CTEs.
+def _sql_t15(n_merges: int = _BPE_MERGES) -> str:
+    """t15's oracle: the SAME ``n_merges`` BPE training rounds, unrolled as
+    CTEs (VERDICT r7 item 4: depth is a parameter, and the oracle chain is
+    generated for the same depth — tests pin a second, deeper N).
 
     Each round is pure window/agg SQL (pair counts → deterministic argmax
     → greedy left-to-right merge via the run-parity trick), so DuckDB
@@ -777,11 +779,11 @@ def _sql_t15() -> str:
       FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS tok
             FROM documents)
       GROUP BY tok),
-    s0 AS (
+    s0 AS MATERIALIZED (
       SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
       FROM wc, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t)"""
     ]
-    for r in range(_BPE_MERGES):
+    for r in range(n_merges):
         parts.append(f"""pc{r} AS (
       SELECT a, b, SUM(freq) AS f FROM (
         SELECT sym AS a, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
@@ -806,7 +808,7 @@ def _sql_t15() -> str:
       SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos), FALSE)
                     AS consumed
       FROM kp{r}),
-    s{r + 1} AS (
+    s{r + 1} AS MATERIALIZED (
       SELECT word, freq,
              ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
              CASE WHEN keep THEN ba || bb ELSE sym END AS sym
@@ -814,23 +816,23 @@ def _sql_t15() -> str:
     finals = " UNION ALL ".join(
         f"SELECT {r + 1} AS merge_rank, a AS merge_left, b AS merge_right, "
         f"CAST(f AS BIGINT) AS pair_freq FROM best{r}"
-        for r in range(_BPE_MERGES)
+        for r in range(n_merges)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + finals
 
 
-def _sql_t17() -> str:
+def _sql_t17(n_merges: int = _BPE_MERGES) -> str:
     """t17's oracle: t15's unrolled training CTEs, then encode the corpus
     by joining each pretoken to its FINAL symbol-sequence length."""
     # reuse the training chain verbatim: split t15's SQL at its final
     # merge-table SELECTs and graft the encode tail onto the CTE chain
-    train = _sql_t15()
+    train = _sql_t15(n_merges)
     head, _, _tail = train.partition("\n    SELECT 1 AS merge_rank")
     return (
         head
         + f""",
     ntok AS (SELECT word, COUNT(*) AS n_tok, SUM(len(sym)) AS n_chars
-             FROM s{_BPE_MERGES} GROUP BY word),
+             FROM s{n_merges} GROUP BY word),
     corpus AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS word
       FROM documents)
@@ -876,7 +878,7 @@ def t15_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_train(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> tuple[list[DataFrame], DataFrame]:
     """The t15 training loop, shared with t17's corpus encoder.
 
     Returns (per-round merge rows, the FINAL symbol sequences) — after
@@ -903,7 +905,7 @@ def _bpe_train(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
     ).localCheckpoint()
     w_word = Window.partitionBy("word").orderBy("pos")
     merges = []
-    for r in range(_BPE_MERGES):
+    for r in range(n_merges):
         pc = (
             seq.withColumn("b", F.lead("sym").over(w_word))
             .where(F.col("b").isNotNull())
@@ -1144,7 +1146,12 @@ def t18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    _merges, seq = _bpe_train(docs)
+    return _bpe_encode_corpus(docs)
+
+
+def _bpe_encode_corpus(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
+    """t17's body, depth-parameterized (paired with ``_sql_t17(n_merges)``)."""
+    _merges, seq = _bpe_train(docs, n_merges)
     ntok = seq.groupBy("word").agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.sum(F.length("sym")).alias("n_chars"),

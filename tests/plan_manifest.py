@@ -71,12 +71,86 @@ _NORMALIZERS = (
     (re.compile(r"\blambda ([A-Za-z][A-Za-z0-9]*)_\d+"), r"lambda \1_N"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
     (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
+    # RewriteDistinctAggregates assigns its Expand-branch group-ids by
+    # iterating a Scala Map keyed on expression SETS — whose hash order
+    # depends on raw exprIds, i.e. on how many expressions were allocated
+    # earlier in the JVM. Build order flips which distinct column gets
+    # gid 1 vs 2 (caught r8: moving d9 out of DRIVER_WINDOW re-ordered
+    # the manifest build and flipped d13/j9's gids). The literal is
+    # semantically a branch LABEL, so it normalizes away; the branch
+    # lists themselves are canonicalized structurally below.
+    (re.compile(r"\(gid#ID = \d+\)"), "(gid#ID = G)"),
 )
+
+# second half of the gid fix: the Expand branch list and the intermediate
+# Aggregate's grouping/output lists permute with the same Map order.
+# Both are SETS semantically (Expand branches are unioned; grouping
+# order never changes semantics), so sort them. Only lines that carry
+# gid#ID are touched — elsewhere list order is deterministic and kept
+# as a real signal.
+_EXPAND_RX = re.compile(r"Expand \[\[(.*)\]\], \[([^\[\]]*)\]")
+_AGG_RX = re.compile(r"Aggregate \[([^\[\]]*gid#ID[^\[\]]*)\], \[([^\[\]]*gid#ID[^\[\]]*)\]")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on ', ' at paren depth 0 (entries may contain count(1) etc.)."""
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0 and s[i : i + 2] == ", ":
+            parts.append(s[start:i])
+            start = i + 2
+            i += 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _canon_gid_line(line: str) -> str:
+    if "gid#ID" not in line:
+        return line
+    m = _EXPAND_RX.search(line)
+    if m:
+        # Branch entries are POSITIONAL against the output list, and the
+        # output list itself permutes with the Map order — so sort the
+        # output columns, permute every branch the same way, mask the
+        # gid label entries (their values are the arbitrary Map order),
+        # then sort the branches as a set.
+        out_cols = _split_top(m.group(2))
+        perm = sorted(range(len(out_cols)), key=lambda i: out_cols[i])
+        branches = []
+        for br in m.group(1).split("], ["):
+            vals = _split_top(br)
+            if len(vals) == len(out_cols):
+                vals = [
+                    "G" if out_cols[i] == "gid#ID" else vals[i] for i in perm
+                ]
+            branches.append(", ".join(vals))
+        line = (
+            line[: m.start(1)]
+            + "], [".join(sorted(branches))
+            + line[m.end(1) : m.start(2)]
+            + ", ".join(sorted(out_cols))
+            + line[m.end(2) :]
+        )
+    m = _AGG_RX.search(line)
+    if m:
+        g = ", ".join(sorted(_split_top(m.group(1))))
+        o = ", ".join(sorted(_split_top(m.group(2))))
+        line = f"{line[: m.start(1)]}{g}{line[m.end(1) : m.start(2)]}{o}{line[m.end(2) :]}"
+    return line
 
 
 def _normalize(plan: str) -> str:
     for rx, sub in _NORMALIZERS:
         plan = rx.sub(sub, plan)
+    if "gid#ID" in plan:
+        plan = "\n".join(_canon_gid_line(ln) for ln in plan.split("\n"))
     return plan
 
 
@@ -123,9 +197,27 @@ def compute_plan_hashes(spark, sf_dir: str = SF_DIR) -> dict[str, str]:
         if "streaming" in spec.tags:
             out[name] = st_hash
             continue
+        # Fingerprint the optimized plan WITHOUT cached-data substitution:
+        # the stock optimizedPlan() first swaps any .cache()'d subtree for
+        # its InMemoryRelation, whose dump depends on whether AQE already
+        # FINALIZED that cache (isFinalPlan=true + a physical Final/
+        # Initial dump) — i.e. on which queries happened to execute
+        # earlier in the capture run. (Caught r8: d9's hash flipped
+        # purely by moving its build position past the queries that
+        # execute the shared shingle cache; this was the REAL mechanism
+        # behind every prior round's "cache-plan embedding" drift.)
+        # Running the optimizer directly on the analyzed plan yields the
+        # same optimized tree with the cache boundary inlined — a
+        # function of the query alone, and still sensitive to every real
+        # plan change (pushdown, join strategy, helper edits).
         df = spec.fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        out[name] = _sha(_normalize(plan))
+        jqe = df._jdf.queryExecution()
+        opt = (
+            df.sparkSession._jsparkSession.sessionState()
+            .optimizer()
+            .execute(jqe.analyzed())
+        )
+        out[name] = _sha(_normalize(opt.toString()))
     return out
 
 

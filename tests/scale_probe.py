@@ -201,8 +201,14 @@ SKEW_PROBES = [
     "e8_funnel_steps",
     "e9_windowed_funnel",
     "pipe2_ingest_gate",
+    # r8 (VERDICT r7 #3): the throttle pair on the hot-user fixture —
+    # g2 holds the hot user's whole history in ONE pandas group (the
+    # documented contract it will break first); g2b's (user, month)
+    # pre-split must stay flat where g2 degrades
+    "g2_throttle_debounce",
+    "g2b_throttle_skewfree",
 ]
-PROBES += ["e3b_session_window_skewfree"]
+PROBES += ["e3b_session_window_skewfree", "g2b_throttle_skewfree"]
 
 _BAD_PLAN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 _JOIN_NODES = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") + _BAD_PLAN_NODES

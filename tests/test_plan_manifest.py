@@ -75,3 +75,37 @@ def test_never_verified_queries_are_in_window():
     never = set(catalog.specs()) - verdicted
     missing = never - set(catalog.DRIVER_WINDOW)
     assert not missing, f"queries with no verdict anywhere must be in-window: {sorted(missing)}"
+
+
+def test_gid_canonicalization_is_build_order_invariant():
+    """The two real-world variants RewriteDistinctAggregates emits for the
+    SAME query under different expression-allocation orders (captured from
+    d10 in r8 with an A/B build-order flip) must normalize identically —
+    and a genuinely different Expand (other columns) must NOT collide."""
+    from .plan_manifest import _normalize
+
+    fwd = (
+        "Aggregate [eval_doc_id#4, shingle#7, train_doc_id#9, gid#11], "
+        "[eval_doc_id#4, shingle#7, train_doc_id#9, gid#11]\n"
+        "+- Expand [[eval_doc_id#4, null, train_doc_id#9, 2], "
+        "[eval_doc_id#4, shingle#7, null, 1]], "
+        "[eval_doc_id#4, shingle#7, train_doc_id#9, gid#11]"
+    )
+    rev = (
+        "Aggregate [eval_doc_id#104, train_doc_id#109, shingle#107, gid#111], "
+        "[eval_doc_id#104, train_doc_id#109, shingle#107, gid#111]\n"
+        "+- Expand [[eval_doc_id#104, null, shingle#107, 2], "
+        "[eval_doc_id#104, train_doc_id#109, null, 1]], "
+        "[eval_doc_id#104, train_doc_id#109, shingle#107, gid#111]"
+    )
+    assert _normalize(fwd) == _normalize(rev)
+    other = fwd.replace("shingle", "tokens")
+    assert _normalize(other) != _normalize(fwd)
+
+
+def test_gid_filter_literal_normalizes():
+    from .plan_manifest import _normalize
+
+    a = "count(x#3) FILTER (WHERE (gid#11 = 2)) AS n#5"
+    b = "count(x#9) FILTER (WHERE (gid#21 = 1)) AS n#6"
+    assert _normalize(a) == _normalize(b)
