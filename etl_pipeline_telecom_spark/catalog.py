@@ -232,6 +232,16 @@ def _load_all_plans() -> None:
 # oracle). t15/t17 STAY in (BPE depth parameterization, VERDICT r7
 # item 4, changes their plans). OUT — d9_mllib_minhash (graduated
 # oracle form's first verdict green in r7, plan unchanged this round).
+#
+# Mid-round-8 additions: IN — p6_range_sharded_export (globally-sorted
+# range-sharded export with a physical-layout self-audit),
+# p7_compaction_plan (small-file compaction planning over a real
+# bucketed layout via _metadata), dq7_schema_evolution (mergeSchema
+# two-generation read audit) — all new, first driver verdict needed.
+# OUT — d10_contamination_check, d16_ngram_overlap (r7 shared-plan
+# drift cohort, verdicts green, plans now pinned under the build-order-
+# invariant r8 baseline), a21_poisson_bootstrap (green r6 AND r7,
+# unchanged).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
@@ -245,11 +255,11 @@ DRIVER_WINDOW = (
     "t13_line_dedup",
     "v9_ann_recall_eval", "dq4_distribution_drift",
     "st9_stream_drift_monitor",
-    "a21_poisson_bootstrap",
+    "dq7_schema_evolution",
     # r7 additions — graduations, the star-alternation rewrite, BPE,
     # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
     "t15_bpe_merges", "g2b_throttle_skewfree", "d8_neardup_clusters",
-    "d10_contamination_check", "d16_ngram_overlap",
+    "p6_range_sharded_export", "p7_compaction_plan",
     # mid-r7 additions — first driver verdict needed
     "w10_rolling_stats", "e11_max_concurrency", "dq5_freshness",
     "t19_gopher_flags", "t18_pii_scrub", "p4_cdc_apply",

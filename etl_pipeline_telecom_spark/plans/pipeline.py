@@ -541,3 +541,171 @@ def p5_partitioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_P6_SHARDS = 16
+
+
+def _p6_shard_audit(batches):
+    """One pass per range shard: row count, (ts, event_id) extremes, and
+    the count of SORT violations — consecutive rows where the key does
+    not strictly increase (event_id is unique, so `<=` on ties is a
+    violation). State carries across Arrow batches within the shard."""
+    import numpy as np
+    import pandas as pd
+
+    n = viol = 0
+    mn = mx = None  # (t, eid) tuples
+    last = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        t = pdf["t"].to_numpy(dtype="int64")
+        e = pdf["event_id"].to_numpy(dtype="int64")
+        n += len(t)
+        bad = (t[1:] < t[:-1]) | ((t[1:] == t[:-1]) & (e[1:] <= e[:-1]))
+        viol += int(np.count_nonzero(bad))
+        if last is not None and (t[0], e[0]) <= last:
+            viol += 1
+        first = (int(t[0]), int(e[0]))
+        last = (int(t[-1]), int(e[-1]))
+        mn = first if mn is None or first < mn else mn
+        mx = last if mx is None or last > mx else mx
+    if n:
+        yield pd.DataFrame(
+            [
+                {
+                    "n_rows": n,
+                    "n_viol": viol,
+                    "min_t": mn[0],
+                    "min_eid": mn[1],
+                    "max_t": mx[0],
+                    "max_eid": mx[1],
+                }
+            ]
+        )
+
+
+@register(
+    "p6_range_sharded_export",
+    f"""SELECT {_P6_SHARDS} AS n_shards,
+              COUNT(*) AS n_rows,
+              0 AS n_sort_violations,
+              0 AS n_range_overlaps,
+              MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+              MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+       FROM events WHERE ts IS NOT NULL""",
+    tags=("sink", "layout", "global-sort", "mapInPandas"),
+    doc="Globally-sorted sharded export + self-audit — the layout a "
+    "time-ordered training export (curriculum order, event replay, "
+    "range-prunable runs) actually ships: repartitionByRange over "
+    f"(ts, event_id) into {_P6_SHARDS} contiguous key ranges, "
+    "sortWithinPartitions inside each — Spark's scalable two-phase "
+    "global sort (sampled range boundaries, NO single-reducer sort). "
+    "One mapInPandas pass then audits the PHYSICAL layout per shard "
+    "(row count, key extremes, strict-monotonicity violations across "
+    "Arrow-batch boundaries), and a 16-row window checks shard ranges "
+    "are pairwise disjoint. Sampled boundaries make per-shard counts "
+    "run-dependent, so the emitted audit collapses to the "
+    "deterministic invariants: shard count, total rows (conservation), "
+    "ZERO sort violations, ZERO range overlaps, and the global key "
+    "extremes — which is exactly what the oracle can pin. A broken "
+    "writer (skipped sort, overlapping boundaries) fails the hash "
+    "gate; tests/test_r8_ops.py proves the negative case trips it",
+)
+def p6_range_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(F.unix_micros("ts").alias("t"), "event_id")
+    )
+    sharded = ev.repartitionByRange(_P6_SHARDS, "t", "event_id").sortWithinPartitions(
+        "t", "event_id"
+    )
+    per_shard = sharded.mapInPandas(
+        _p6_shard_audit,
+        schema="n_rows long, n_viol long, min_t long, min_eid long, max_t long, max_eid long",
+    )
+    w = Window.orderBy("min_t", "min_eid")  # 16 audit rows — driver-scale window
+    prev_max = F.lag(F.struct("max_t", "max_eid")).over(w)
+    flagged = per_shard.withColumn(
+        "overlap",
+        F.when(
+            prev_max.isNotNull()
+            & (prev_max >= F.struct(F.col("min_t"), F.col("min_eid"))),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("int").alias("n_shards"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_viol").cast("bigint").alias("n_sort_violations"),
+        F.sum("overlap").cast("bigint").alias("n_range_overlaps"),
+        F.min("min_t").alias("min_ts_us"),
+        F.max("max_t").alias("max_ts_us"),
+    )
+
+
+_P7_BUCKETS = 24
+_P7_BINS = 6
+
+
+@register(
+    "p7_compaction_plan",
+    f"""WITH b AS (
+         SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_P7_BUCKETS} AS bucket
+         FROM events),
+       c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+       t AS (SELECT CAST(CEIL(SUM(n) / {_P7_BINS}.0) AS BIGINT) AS budget FROM c),
+       r AS (
+         SELECT bucket, n, budget,
+                COALESCE(SUM(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+         FROM c, t)
+       SELECT CAST(FLOOR(cum_before / budget) AS BIGINT) AS bin_id,
+              COUNT(*) AS n_buckets,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(n) AS BIGINT) AS n_rows
+       FROM r GROUP BY 1""",
+    tags=("layout", "compaction", "metadata", "sink"),
+    doc="Small-file compaction planning over a REAL physical layout: "
+    f"events staged as {_P7_BUCKETS} md5-bucket directories (one part "
+    "file each — sources/writers.stage_bucketed_events), read back "
+    "through the parquet source's ``_metadata.file_name`` column, and "
+    "planned into target-size compaction bins (m5's fixed-boundary "
+    "binning: bin = floor(rows_before / budget), budget = total/6 "
+    "computed in-plan and broadcast). n_files comes from the ACTUAL "
+    "file listing — if the writer ever fragments a bucket into >1 file "
+    "the Spark count diverges from the oracle's one-file-per-bucket "
+    "expectation and the hash gate trips: the audit IS the invariant. "
+    "The maintenance shape every streaming-ingest table needs at "
+    "100 TB (compact small files before they kill the scan); listing "
+    "and counts stay distributed — no driver-side file walking",
+)
+def p7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import stage_bucketed_events
+
+    path = stage_bucketed_events(spark, sf_dir, _P7_BUCKETS)
+    df = spark.read.parquet(path).select(
+        "bucket", F.col("_metadata.file_name").alias("fname")
+    )
+    per_bucket = df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fname").alias("n_files"),
+    )
+    budget = per_bucket.agg(
+        F.ceil(F.sum("n") / float(_P7_BINS)).cast("bigint").alias("budget")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        per_bucket.crossJoin(F.broadcast(budget))
+        .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("bin_id", F.floor(F.col("cum_before") / F.col("budget")))
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_files").cast("bigint").alias("n_files"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

@@ -396,3 +396,54 @@ def dq6_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dq7_schema_evolution",
+    """WITH g AS (
+         SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS gen,
+                CASE WHEN event_id % 2 = 1
+                     THEN CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END
+                END AS quality_tier
+         FROM events)
+       SELECT gen,
+              COUNT(*) AS n_rows,
+              SUM(CASE WHEN quality_tier IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_null_tier,
+              SUM(CASE WHEN quality_tier = 'hi' THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+              SUM(CASE WHEN quality_tier = 'lo' THEN 1 ELSE 0 END)::BIGINT AS n_lo
+       FROM g GROUP BY gen""",
+    tags=("quality", "schema-evolution", "source"),
+    doc="Schema-evolution read audit — the additive-column migration "
+    "every long-lived feed goes through: two parquet GENERATIONS are "
+    "staged under one partitioned layout (gen=1 original columns, "
+    "gen=2 adds quality_tier — sources/writers."
+    "stage_two_generation_events), then read back through ONE "
+    "mergeSchema scan; gen is a discovered partition column. The audit "
+    "pins the evolution contract: every gen-1 row surfaces the new "
+    "column as NULL (never dropped rows, never a read error — the "
+    "failure modes of schema-on-read), gen-2 rows carry real values. "
+    "The oracle replays both generations from the ORIGINAL events "
+    "table (the p5 source-fidelity discipline), so a mergeSchema "
+    "regression — missed files, wrong null-fill, type clash — breaks "
+    "the hash. Scan-side: one distributed read + one hash agg; at "
+    "100 TB the same plan reads years of heterogeneous files without "
+    "a backfill rewrite",
+)
+def dq7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import stage_two_generation_events
+
+    path = stage_two_generation_events(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.groupBy(F.col("gen").cast("int").alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("quality_tier").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_tier"),
+        F.sum(F.when(F.col("quality_tier") == "hi", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hi"),
+        F.sum(F.when(F.col("quality_tier") == "lo", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lo"),
+    )

@@ -140,3 +140,95 @@ def stage_partitioned_events(spark, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(work, ignore_errors=True)
     return out_dir
+
+
+def stage_bucketed_events(spark, sf_dir: str, n_buckets: int = 24) -> str:
+    """Materialize events as an md5-bucketed parquet layout (one file per
+    bucket directory) under /tmp — the physical input for p7's compaction
+    planner.
+
+    Bucket = portable md5-mod of event_id (NOT Spark's murmur hash(), so
+    a DuckDB oracle can recompute membership); ``repartition(bucket)``
+    guarantees each bucket's rows land in exactly ONE task → one part
+    file per directory — the file-count invariant p7's audit reads back
+    through ``_metadata``. Cached by source mtime; atomic rename publish
+    (the stage_partitioned_events discipline).
+    """
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_buckets}".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_p7_bucket_{key}"
+    if os.path.isdir(out_dir):
+        return out_dir
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", bucket.alias("bucket"))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(work)
+    )
+    try:
+        os.rename(work, out_dir)
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir
+
+
+def stage_two_generation_events(spark, sf_dir: str) -> str:
+    """Materialize events as TWO parquet generations with an EVOLVED
+    schema under one partitioned layout (gen=1, gen=2) — dq7's fixture.
+
+    gen=1 (even event_ids) carries the original columns; gen=2 (odd
+    event_ids) adds ``quality_tier`` — the additive-column evolution
+    every long-lived feed goes through. A ``mergeSchema`` read of the
+    parent must surface the new column with NULLs for gen-1 rows.
+    Cached by source mtime; atomic rename publish.
+    """
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:dq7".encode()
+    ).hexdigest()[:10]
+    out_dir = f"/tmp/spark_graft_dq7_gen_{key}"
+    if os.path.isdir(out_dir):
+        return out_dir
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tier = F.when(F.col("value") >= 50.0, "hi").otherwise("lo")
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(os.path.join(work, "gen=1"))
+    (
+        ev.where(F.col("event_id") % 2 == 1)
+        .withColumn("quality_tier", tier)
+        .write.parquet(os.path.join(work, "gen=2"))
+    )
+    try:
+        os.rename(work, out_dir)
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir

@@ -187,6 +187,17 @@ PROBES += [
     "p5_partitioned_sink_audit",
 ]
 
+# r8 additions: the global-sort export (range shuffle + mapInPandas
+# audit — the one true total-order shape in the catalog), compaction
+# planning (staged bucketed write + _metadata listing), mergeSchema
+# two-generation read, and the skew-free throttle (its skew twin runs
+# in SKEW_PROBES)
+PROBES += [
+    "p6_range_sharded_export",
+    "p7_compaction_plan",
+    "dq7_schema_evolution",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -156,6 +156,8 @@ _BNLJ_ALLOWED = {
                          # code-space scan + exact ground-truth pass
     "t16_unigram_rarity",  # 1-row scalar broadcast (train token total),
                          # same shape as t9's corpus-count broadcast
+    "p7_compaction_plan",  # 1-row row-budget scalar crossed onto the
+                         # 24-row per-bucket count table (a16 pattern)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",

@@ -176,3 +176,112 @@ def test_bpe_depth_parameterized_oracle_green_at_depth_20(spark, tmp_path):
 
     ok, msg = compare(spark, str(tmp_path), t17_deep, _sql_t17(N))
     assert ok, f"t17@depth{N}: {msg}"
+
+
+def test_p6_zero_violations_on_real_layout_and_audit_catches_unsorted(spark, tmp_path):
+    """Positive: the range-sharded export audits clean (row conservation,
+    0 sort violations, 0 overlaps). Negative: the SAME audit pass over a
+    deliberately unsorted single partition reports violations — the
+    audit is live, not vacuously zero."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _p6_shard_audit,
+        p6_range_sharded_export,
+    )
+    from etl_pipeline_telecom_spark.sources import load_table
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    # written DESCENDING in file order
+    rows = [
+        (i, t0 + dt.timedelta(hours=100 - i), 1, "click", float(i)) for i in range(40)
+    ]
+    _write_events(tmp_path, rows)
+    out = p6_range_sharded_export(spark, str(tmp_path)).collect()[0]
+    assert out["n_rows"] == 40
+    assert out["n_sort_violations"] == 0
+    assert out["n_range_overlaps"] == 0
+    _roundtrip(spark, str(tmp_path), "p6_range_sharded_export")
+
+    ev = (
+        load_table(spark, str(tmp_path), "events")
+        .where(F.col("ts").isNotNull())
+        .select(F.unix_micros("ts").alias("t"), "event_id")
+    )
+    unsorted = ev.coalesce(1).mapInPandas(
+        _p6_shard_audit,
+        schema="n_rows long, n_viol long, min_t long, min_eid long, max_t long, max_eid long",
+    )
+    assert unsorted.collect()[0]["n_viol"] > 0
+
+
+def test_p7_buckets_stay_whole_and_files_match_buckets(spark, tmp_path):
+    """Fixed-boundary binning: every bucket appears in exactly one bin
+    (bin = floor(rows_before / budget) — a straddling bucket stays whole
+    in its start bin, the m5 rule), n_files equals n_buckets (the
+    one-file-per-bucket layout invariant read back from _metadata), and
+    rows are conserved. Expected bins hand-replayed with the same
+    portable md5 bucketing."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P7_BINS,
+        _P7_BUCKETS,
+        p7_compaction_plan,
+    )
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), i % 3, "click", float(i)) for i in range(50)]
+    _write_events(tmp_path, rows)
+
+    counts: dict[int, int] = {}
+    for i in range(50):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _P7_BUCKETS
+        counts[b] = counts.get(b, 0) + 1
+    budget = math.ceil(sum(counts.values()) / _P7_BINS)
+    expected: dict[int, list[int, int]] = {}
+    cum = 0
+    for b in sorted(counts):
+        bin_id = cum // budget
+        agg = expected.setdefault(bin_id, [0, 0])
+        agg[0] += 1
+        agg[1] += counts[b]
+        cum += counts[b]
+
+    got = {
+        r["bin_id"]: (r["n_buckets"], r["n_files"], r["n_rows"])
+        for r in p7_compaction_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == {k: (v[0], v[0], v[1]) for k, v in expected.items()}
+    _roundtrip(spark, str(tmp_path), "p7_compaction_plan")
+
+
+def test_dq7_gen1_rows_surface_new_column_as_null(spark, tmp_path):
+    """mergeSchema contract on the two-generation layout: gen-1 rows all
+    carry NULL quality_tier, gen-2 rows all carry a real value with the
+    hi/lo split the staging rule implies; no rows lost either side."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    # even ids → gen1 (3 rows); odd ids → gen2 (values 75, 25, 99 → 2 hi 1 lo)
+    rows = [
+        (0, t0, 1, "click", 10.0),
+        (1, t0, 1, "click", 75.0),
+        (2, t0, 1, "click", 20.0),
+        (3, t0, 1, "click", 25.0),
+        (4, t0, 1, "click", 30.0),
+        (5, t0, 1, "click", 99.0),
+    ]
+    _write_events(tmp_path, rows)
+    from etl_pipeline_telecom_spark.plans.quality import dq7_schema_evolution
+
+    got = {
+        r["gen"]: (r["n_rows"], r["n_null_tier"], r["n_hi"], r["n_lo"])
+        for r in dq7_schema_evolution(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 3, 0, 0), 2: (3, 0, 2, 1)}
+    _roundtrip(spark, str(tmp_path), "dq7_schema_evolution")
