@@ -242,6 +242,14 @@ def _load_all_plans() -> None:
 # drift cohort, verdicts green, plans now pinned under the build-order-
 # invariant r8 baseline), a21_poisson_bootstrap (green r6 AND r7,
 # unchanged).
+#
+# Second mid-r8 batch: IN — t20_script_mix (unicode char-class
+# profile), sm8_epoch_replication_mix (per-domain epoch upsampling),
+# dq8_split_leakage (entity-leakage split audit), v11_matryoshka_refine
+# (two-stage prefix-dim ANN refine) — all new, first driver verdict
+# needed. OUT — w10_rolling_stats, e11_max_concurrency, dq5_freshness,
+# t19_gopher_flags (first verdicts green in r7, plans unchanged this
+# round per the build-order-invariant manifest).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
@@ -260,9 +268,9 @@ DRIVER_WINDOW = (
     # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
     "t15_bpe_merges", "g2b_throttle_skewfree", "d8_neardup_clusters",
     "p6_range_sharded_export", "p7_compaction_plan",
-    # mid-r7 additions — first driver verdict needed
-    "w10_rolling_stats", "e11_max_concurrency", "dq5_freshness",
-    "t19_gopher_flags", "t18_pii_scrub", "p4_cdc_apply",
+    # mid-r8 additions — first driver verdict needed
+    "t20_script_mix", "sm8_epoch_replication_mix", "dq8_split_leakage",
+    "v11_matryoshka_refine", "t18_pii_scrub", "p4_cdc_apply",
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     "j9_interval_bucket_join", "g2_throttle_debounce",
     "a23_histogram_quantiles", "m5_shard_manifest",

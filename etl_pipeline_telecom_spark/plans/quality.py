@@ -447,3 +447,99 @@ def dq7_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_lo"),
     )
+
+
+_DQ8_EVENT_BUCKET = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+_DQ8_USER_BUCKET = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def _dq8_sql_split(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "dq8_split_leakage",
+    f"""WITH e AS (
+         SELECT user_id,
+                {_dq8_sql_split(_DQ8_EVENT_BUCKET)} AS split_event,
+                {_dq8_sql_split(_DQ8_USER_BUCKET)} AS split_user
+         FROM events),
+       u AS (
+         SELECT user_id,
+                COUNT(DISTINCT split_event) AS n_se,
+                COUNT(DISTINCT split_user) AS n_su
+         FROM e GROUP BY user_id),
+       le AS (SELECT SUM(CASE WHEN n_se > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leak FROM u),
+       lu AS (SELECT SUM(CASE WHEN n_su > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leak FROM u),
+       me AS (
+         SELECT SUM(CASE WHEN split_event = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                SUM(CASE WHEN split_event = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+                SUM(CASE WHEN split_event = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+         FROM e),
+       mu AS (
+         SELECT SUM(CASE WHEN split_user = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                SUM(CASE WHEN split_user = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+                SUM(CASE WHEN split_user = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+         FROM e)
+       SELECT 'by_event' AS split_mode, me.n_train, me.n_val, me.n_test,
+              le.n_leak AS n_leaking_users
+       FROM me, le
+       UNION ALL
+       SELECT 'by_user' AS split_mode, mu.n_train, mu.n_val, mu.n_test,
+              lu.n_leak AS n_leaking_users
+       FROM mu, lu""",
+    tags=("quality", "split", "leakage"),
+    doc="Train/test split ENTITY-leakage audit — the evaluation-validity "
+    "gate sm3's hash split needs before anyone trusts a metric: "
+    "splitting by EVENT hash (row-level, the naive choice) scatters a "
+    "user's events across train and test, so models memorize "
+    "per-entity signal and eval overstates generalization; splitting "
+    "by USER hash keeps each entity whole. Both rules run side by side "
+    "(portable md5-mod, 80/10/10) and the audit reports per-split row "
+    "masses plus the count of LEAKING users (entities seen in >1 "
+    "split) — structurally >0 for the event split, provably 0 for the "
+    "user split. Plan: one scan computes both assignments, a per-user "
+    "distinct-count aggregate finds leakers — shuffle on user_id only; "
+    "the 2-row audit unions two aggregates of the same base (Catalyst "
+    "reuses the scan)",
+)
+def dq8_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ) % 100
+
+    def split(b):
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    e = ev.select(
+        "user_id",
+        split(bucket("event_id")).alias("split_event"),
+        split(bucket("user_id")).alias("split_user"),
+    )
+
+    def audit(mode: str, col: str) -> DataFrame:
+        rows = e.agg(
+            F.sum(F.when(F.col(col) == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col(col) == "val", 1).otherwise(0)).cast("bigint").alias("n_val"),
+            F.sum(F.when(F.col(col) == "test", 1).otherwise(0)).cast("bigint").alias("n_test"),
+        )
+        leak = (
+            e.groupBy("user_id")
+            .agg(F.countDistinct(col).alias("n_splits"))
+            .agg(
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_leaking_users")
+            )
+        )
+        return rows.crossJoin(leak).select(
+            F.lit(mode).alias("split_mode"), "n_train", "n_val", "n_test", "n_leaking_users"
+        )
+
+    return audit("by_event", "split_event").unionByName(audit("by_user", "split_user"))

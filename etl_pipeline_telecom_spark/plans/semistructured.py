@@ -605,24 +605,41 @@ def _g2b_replay(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["user_id", "event_id", "kept_ts_us"])
 
 
+#: events per user before the pre-split machinery engages. Below it a
+#: user's whole history is one comfortable pandas group (100k rows ≈ a
+#: few MB) and the single-group loop is strictly cheaper — the measured
+#: constant of the 3-stage path is ~2.6× g2's on uniform data
+#: (SCALE_r8). Above it, group memory is the thing that breaks first at
+#: 100 TB, and the bounded (user, month) path takes over.
+_G2B_HOT_THRESHOLD = 1_000_000
+
+
 @register(
     "g2b_throttle_skewfree",
     _G2_SQL,
     tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle", "skew"),
     doc="Skew-robust greedy throttle — the (user, month) pre-split with "
     "carry-in state that g2's scale notes promise, IMPLEMENTED and "
-    "bit-identical to g2 (same recursive-CTE oracle verbatim). Phase 1 "
-    "summarizes each (user, month) into its possible entry events + "
-    "greedy carry-outs (jump-pointer chains, one vectorized "
-    "searchsorted + one O(n) reverse pass); phase 2 threads last-kept "
-    "state across months per user over SUMMARY rows only (months + "
-    "first-GAP-window events, ~1/30th of a dense user's rows at 1-day "
-    "GAP over monthly splits); phase 3 replays the chain from each "
-    "month's resolved entry. Worst-case per-task memory drops from one "
-    "user's full history to one user-month; shuffles stay on "
-    "(user, month) / user keys — no all-pairs, no driver state",
+    "bit-identical to g2 (same recursive-CTE oracle verbatim), with "
+    "HYBRID dispatch: an exact per-user event count routes only users "
+    f"above {_G2B_HOT_THRESHOLD:,} events through the pre-split "
+    "machinery (the hot set is bounded by corpus/threshold, so it "
+    "broadcasts); everyone else keeps g2's one-shuffle single-group "
+    "loop. Hot path: phase 1 summarizes each (user, month) into its "
+    "possible entry events + greedy carry-outs (jump-pointer chains, "
+    "one vectorized searchsorted + one O(n) reverse pass); phase 2 "
+    "threads last-kept state across months per user over SUMMARY rows "
+    "only (months + first-GAP-window events, ~1/30th of a dense "
+    "user's rows at 1-day GAP over monthly splits); phase 3 replays "
+    "the chain from each month's resolved entry. Worst-case per-task "
+    "memory drops from one user's full history to one user-month; "
+    "shuffles stay on (user, month) / user keys — no all-pairs, no "
+    "driver state. Both routes are exact, so the dispatch is "
+    "output-invisible (tests pin threshold=0 ≡ default ≡ g2)",
 )
-def g2b_throttle_skewfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g2b_throttle_skewfree(
+    spark: SparkSession, sf_dir: str, *, hot_threshold: int = _G2B_HOT_THRESHOLD
+) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
@@ -633,17 +650,31 @@ def g2b_throttle_skewfree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.date_trunc("month", "ts")).alias("month_us"),
         )
     )
-    summaries = ev.groupBy("user_id", "month_us").applyInPandas(
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > hot_threshold)
+        .select("user_id")
+    )
+    cold_out = (
+        ev.join(F.broadcast(hot), "user_id", "left_anti")
+        .drop("month_us")
+        .groupBy("user_id")
+        .applyInPandas(_throttle_group, schema=_G2_SCHEMA)
+    )
+    hot_ev = ev.join(F.broadcast(hot), "user_id", "left_semi")
+    summaries = hot_ev.groupBy("user_id", "month_us").applyInPandas(
         _g2b_month_summary, schema=_G2B_SUMMARY_SCHEMA
     )
     entries = summaries.groupBy("user_id").applyInPandas(
         _g2b_chain_months, schema=_G2B_ENTRY_SCHEMA
     )
-    return (
-        ev.join(entries, ["user_id", "month_us"])
+    hot_out = (
+        hot_ev.join(entries, ["user_id", "month_us"])
         .groupBy("user_id", "month_us")
         .applyInPandas(_g2b_replay, schema=_G2_SCHEMA)
     )
+    return cold_out.unionByName(hot_out)
 
 
 @register(
@@ -752,4 +783,61 @@ def x4_jsonl_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
         F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_ts"),
+    )
+
+
+_SM8_HASH_SRC = (
+    "CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 3 + 1"
+)
+
+
+@register(
+    "sm8_epoch_replication_mix",
+    f"""WITH d AS (
+         SELECT source, {_SM8_HASH_SRC} AS rep,
+                len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok
+         FROM documents),
+       e AS (SELECT source, rep, n_tok
+             FROM d, LATERAL (SELECT unnest(range(rep)) AS epoch) u)
+       SELECT source,
+              CAST(MAX(rep) AS BIGINT) AS rep_factor,
+              CAST(COUNT(*) / MAX(rep) AS BIGINT) AS n_docs,
+              COUNT(*) AS n_rows_replicated,
+              CAST(SUM(n_tok) / MAX(rep) AS BIGINT) AS tok_raw,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_replicated
+       FROM e GROUP BY source""",
+    tags=("sampling", "mixing", "replication"),
+    doc="Epoch-replication mixing — the Llama/Pile-style upsampling "
+    "where high-value domains repeat for multiple epochs in one "
+    "training pass: each source gets a deterministic replication "
+    "factor (portable md5-mod → 1-3 here; production binds curated "
+    "weights), documents EXPLODE into per-epoch rows "
+    "(explode(sequence(1, rep)) — rows really multiply, downstream "
+    "packing/shuffling sees the replicated stream, unlike sm5's "
+    "rate-based expected shares), and the audit reports raw vs "
+    "replicated doc/token masses per source. The aggregate divides "
+    "back by rep to prove replication is EXACT (n_rows = rep × docs). "
+    "Scan-side explode + one hash agg; replication factor is a "
+    "column, so a 100 TB run never materializes the replicas before "
+    "the shuffle that needs them",
+)
+def sm8_epoch_replication_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = (
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast("bigint") % 3 + 1
+    )
+    d = docs.select(
+        "source",
+        rep.alias("rep"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    e = d.select(
+        "source", "rep", "n_tok", F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("epoch")
+    )
+    return e.groupBy("source").agg(
+        F.max("rep").cast("bigint").alias("rep_factor"),
+        (F.count(F.lit(1)) / F.max("rep")).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows_replicated"),
+        (F.sum("n_tok") / F.max("rep")).cast("bigint").alias("tok_raw"),
+        F.sum("n_tok").cast("bigint").alias("tok_replicated"),
     )

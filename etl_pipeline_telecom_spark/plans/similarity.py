@@ -797,3 +797,93 @@ def v10_sq8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / 3, 6).alias("recall_at_3"),
         )
     )
+
+
+_V11_PREFIX = 16
+_V11_COARSE_K = 8
+_V11_FINAL_K = 3
+
+
+@register(
+    "v11_matryoshka_refine",
+    f"""WITH q AS ({_SQL_EMB}),
+        qs AS (SELECT vec_id AS query_id, qv AS qa FROM q WHERE vec_id < 10),
+        c AS (
+          SELECT qs.query_id, b.vec_id AS neighbor_id, qs.qa, b.qv,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qs.query_id
+                   ORDER BY list_dot_product(qs.qa[1:{_V11_PREFIX}],
+                                             b.qv[1:{_V11_PREFIX}]) DESC,
+                            b.vec_id) AS crn
+          FROM qs, q b WHERE b.vec_id <> qs.query_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qa, qv)
+                       / (sqrt(list_dot_product(qa, qa))
+                          * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qa, qv)
+                            / (sqrt(list_dot_product(qa, qa))
+                               * sqrt(list_dot_product(qv, qv))) DESC,
+                            neighbor_id) AS rn
+          FROM c WHERE crn <= {_V11_COARSE_K})
+        SELECT query_id, neighbor_id, cos_sim, rn
+        FROM r WHERE rn <= {_V11_FINAL_K}""",
+    tags=("similarity", "ann", "matryoshka", "two-stage"),
+    doc="Two-stage Matryoshka-style ANN refine: stage 1 scores every "
+    f"candidate on only the FIRST {_V11_PREFIX} of 64 dims (truncated-"
+    "embedding pruning — the matryoshka-representation trick: prefix "
+    "dims carry most of the signal at a quarter of the flops/bytes) "
+    f"and keeps the top-{_V11_COARSE_K} per query; stage 2 rescores "
+    "ONLY those survivors with the exact full-dim cosine and emits the "
+    f"top-{_V11_FINAL_K}. Composes with v7/v10 (prune by coarse "
+    "centroid or int8 code, refine full-precision — the standard "
+    "two-tier serving stack). Exactness: prefix dots are integer-"
+    "valued (quantized vectors), so stage-1 ranking is bit-identical "
+    "cross-engine, and the stage-2 cosine divides the same exact "
+    "operands. Query side bounded + broadcast (the v1 guard); "
+    "candidates stream partition-local, stage-2 cost is "
+    f"{_V11_COARSE_K} rows per query",
+)
+def v11_matryoshka_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
+    emb = _quantized(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    assert_bounded_input(queries, 64, "v11_matryoshka_refine query side")
+    coarse = _dot(
+        F.slice(F.col("qa"), 1, _V11_PREFIX), F.slice(F.col("qv"), 1, _V11_PREFIX)
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qa",
+            "qv",
+            coarse.alias("coarse"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("coarse"), "neighbor_id")
+    survivors = cand.withColumn("crn", F.row_number().over(w1)).where(
+        F.col("crn") <= _V11_COARSE_K
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        survivors.select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qa"), F.col("qv")).alias("cos_raw"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.row_number().over(w2).alias("rn"),
+        )
+        .where(F.col("rn") <= _V11_FINAL_K)
+    )

@@ -1176,3 +1176,80 @@ def _bpe_encode_corpus(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFram
             .alias("chars_per_token_ppm"),
         )
     )
+
+
+# script/char-class regexes, one per engine dialect (same classes):
+# Java regex uses \uXXXX escapes, RE2 (DuckDB) uses \x{XXXX}
+_T20_CLASSES_SPARK = {
+    "latin": r"[A-Za-z]",
+    "digit": r"[0-9]",
+    "space": r"\s",
+    "cjk": "[一-鿿]",
+}
+_T20_CLASSES_SQL = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "space": r"\s",
+    "cjk": r"[\x{4e00}-\x{9fff}]",
+}
+
+
+@register(
+    "t20_script_mix",
+    f"""WITH d AS (
+         SELECT lang, len(text) AS n_chars,
+                {', '.join(f"len(regexp_extract_all(text, '{rx}')) AS n_{k}"
+                           for k, rx in _T20_CLASSES_SQL.items())}
+         FROM documents)
+       SELECT lang,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_latin) AS BIGINT) AS n_latin,
+              CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+              CAST(SUM(n_space) AS BIGINT) AS n_space,
+              CAST(SUM(n_cjk) AS BIGINT) AS n_cjk,
+              CAST(SUM(n_chars - n_latin - n_digit - n_space - n_cjk) AS BIGINT)
+                  AS n_other,
+              SUM(CASE WHEN n_latin > 0 AND n_cjk > 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_mixed_script
+       FROM d GROUP BY lang""",
+    tags=("text", "script", "quality"),
+    doc="Script-mix audit — the unicode-class profile a multilingual "
+    "corpus intake runs before language-ID can be trusted: per-language "
+    "rollup of character-class counts (latin letters, digits, "
+    "whitespace, CJK ideographs, other) plus the count of MIXED-script "
+    "documents (latin + CJK in one doc — the mojibake/spam/embedded-"
+    "markup tripwire; t3's marker voting is blind to it). Counts come "
+    "from regexp_extract_all lengths — JVM-side regex, no Python — with "
+    "the same character classes expressed in each engine's dialect "
+    "(Java \\uXXXX vs RE2 \\x{XXXX}); 'other' is derived by "
+    "subtraction so the five classes always partition the text exactly. "
+    "Scan + one hash agg on lang; crafted unicode rows pinned in "
+    "tests/test_r8_ops.py (the fixture corpus is ASCII)",
+)
+def t20_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        k: F.size(F.regexp_extract_all("text", F.lit(rx), 0))
+        for k, rx in _T20_CLASSES_SPARK.items()
+    }
+    d = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_latin").cast("bigint").alias("n_latin"),
+        F.sum("n_digit").cast("bigint").alias("n_digit"),
+        F.sum("n_space").cast("bigint").alias("n_space"),
+        F.sum("n_cjk").cast("bigint").alias("n_cjk"),
+        F.sum(
+            F.col("n_chars") - F.col("n_latin") - F.col("n_digit")
+            - F.col("n_space") - F.col("n_cjk")
+        )
+        .cast("bigint")
+        .alias("n_other"),
+        F.sum(F.when((F.col("n_latin") > 0) & (F.col("n_cjk") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mixed_script"),
+    )

@@ -198,6 +198,16 @@ PROBES += [
     "dq7_schema_evolution",
 ]
 
+# second r8 batch: script-class regex scan, row-multiplying epoch
+# explode, double split-assignment + per-user leak agg, and the
+# two-stage prefix-dim ANN (bounded broadcast query side)
+PROBES += [
+    "t20_script_mix",
+    "sm8_epoch_replication_mix",
+    "dq8_split_leakage",
+    "v11_matryoshka_refine",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -158,6 +158,10 @@ _BNLJ_ALLOWED = {
                          # same shape as t9's corpus-count broadcast
     "p7_compaction_plan",  # 1-row row-budget scalar crossed onto the
                          # 24-row per-bucket count table (a16 pattern)
+    "v11_matryoshka_refine",  # v1's bounded Q=10 query-sample broadcast
+                         # (assert_bounded_input-guarded)
+    "dq8_split_leakage",  # two 1-row aggregates crossed per audit mode
+                         # (row masses × leaker count), both post-agg
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",

@@ -45,8 +45,12 @@ def test_g2b_equals_g2_bit_identically_on_fixture(spark, sf_dir):
     )
 
     a = _collect_sorted(g2_throttle_debounce(spark, sf_dir))
+    # default threshold → every user takes the single-group route;
+    # threshold=0 → every user takes the (user, month) pre-split route.
+    # The dispatch must be output-invisible either way.
     b = _collect_sorted(g2b_throttle_skewfree(spark, sf_dir))
-    assert a == b and len(a) > 0
+    c = _collect_sorted(g2b_throttle_skewfree(spark, sf_dir, hot_threshold=0))
+    assert a == b == c and len(a) > 0
 
 
 def test_g2b_crafted_month_straddle_and_suppressed_month(spark, tmp_path):
@@ -84,13 +88,23 @@ def test_g2b_crafted_month_straddle_and_suppressed_month(spark, tmp_path):
     ]
     _write_events(tmp_path, rows)
     kept = sorted(
-        r["event_id"] for r in g2b_throttle_skewfree(spark, str(tmp_path)).collect()
+        r["event_id"]
+        for r in g2b_throttle_skewfree(spark, str(tmp_path), hot_threshold=0).collect()
     )
     assert kept == [1, 3, 6, 7, 8, 10, 11]
     assert _collect_sorted(g2_throttle_debounce(spark, str(tmp_path))) == (
-        _collect_sorted(g2b_throttle_skewfree(spark, str(tmp_path)))
+        _collect_sorted(g2b_throttle_skewfree(spark, str(tmp_path), hot_threshold=0))
     )
+    # oracle round-trip on BOTH dispatch routes
     _roundtrip(spark, str(tmp_path), "g2b_throttle_skewfree")
+    spec = catalog.REGISTRY["g2b_throttle_skewfree"]
+    ok, msg = compare(
+        spark,
+        str(tmp_path),
+        lambda s, d: g2b_throttle_skewfree(s, d, hot_threshold=0),
+        spec.sql,
+    )
+    assert ok, f"g2b hot-path oracle: {msg}"
 
 
 @settings(max_examples=8, deadline=None)
@@ -129,7 +143,10 @@ def test_g2b_equals_sequential_reference(spark, tmp_path_factory, events):
             if last is None or t_us >= last + GAP_US:
                 expected.add(eid)
                 last = t_us
-    got = {r["event_id"] for r in g2b_throttle_skewfree(spark, str(d)).collect()}
+    got = {
+        r["event_id"]
+        for r in g2b_throttle_skewfree(spark, str(d), hot_threshold=0).collect()
+    }
     assert got == expected
 
 
@@ -285,3 +302,181 @@ def test_dq7_gen1_rows_surface_new_column_as_null(spark, tmp_path):
     }
     assert got == {1: (3, 3, 0, 0), 2: (3, 0, 2, 1)}
     _roundtrip(spark, str(tmp_path), "dq7_schema_evolution")
+
+
+def test_t20_classes_partition_text_and_flag_mixed_script(spark, tmp_path):
+    """Hand-counted char classes on crafted unicode rows: latin+CJK doc
+    flags as mixed; pure-CJK and pure-ascii docs don't; the five classes
+    partition every doc exactly (other = total - rest)."""
+    from etl_pipeline_telecom_spark.plans.text import t20_script_mix
+
+    from .test_r7_ops import _write_docs_file
+
+    texts = [
+        "hello 世界 42",      # 5 latin, 2 digit, 2 space, 2 cjk, 0 other → mixed
+        "漢字文化圏",          # 5 cjk
+        "plain ascii only",  # 14 latin, 2 space
+        "¿dónde? —",         # no cjk; ó/¿/— are 'other': 4 latin+, check below
+    ]
+    _write_docs_file(str(tmp_path), list(enumerate(texts)))
+    row = t20_script_mix(spark, str(tmp_path)).collect()[0]
+    # doc 0: latin=5 digit=2 space=2 cjk=2 other=0
+    # doc 1: cjk=5
+    # doc 2: latin=14 space=2
+    # doc 3: "¿dónde? —" → latin d,n,d,e = 4... 'ó' is other; chars:
+    #   ¿ d ó n d e ?   — = 9 chars: latin 4 (d,n,d,e), space 1, other 4
+    assert (row["n_latin"], row["n_digit"], row["n_space"], row["n_cjk"]) == (
+        23, 2, 5, 7,
+    )
+    assert row["n_other"] == 4
+    assert row["n_mixed_script"] == 1
+    assert row["n_docs"] == 4
+    _roundtrip(spark, str(tmp_path), "t20_script_mix")
+
+
+def test_sm8_replication_is_exact_per_source(spark, tmp_path):
+    """n_rows_replicated must equal rep × n_docs and tok_replicated
+    rep × tok_raw, with rep derived from the portable md5 rule —
+    replayed in python per source."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.semistructured import (
+        sm8_epoch_replication_mix,
+    )
+
+    rows = [
+        (0, "one two three", "alpha"),
+        (1, "four five", "alpha"),
+        (2, "six", "beta"),
+        (3, "seven eight nine ten", "gamma"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    def rep(src: str) -> int:
+        return int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % 3 + 1
+
+    toks = {"alpha": 5, "beta": 1, "gamma": 4}
+    docs = {"alpha": 2, "beta": 1, "gamma": 1}
+    got = {
+        r["source"]: (
+            r["rep_factor"], r["n_docs"], r["n_rows_replicated"],
+            r["tok_raw"], r["tok_replicated"],
+        )
+        for r in sm8_epoch_replication_mix(spark, str(tmp_path)).collect()
+    }
+    expected = {
+        s: (rep(s), docs[s], rep(s) * docs[s], toks[s], rep(s) * toks[s])
+        for s in docs
+    }
+    assert got == expected
+    _roundtrip(spark, str(tmp_path), "sm8_epoch_replication_mix")
+
+
+def test_dq8_event_split_leaks_user_split_does_not(spark, tmp_path):
+    """A user with many events is all-but-guaranteed to straddle splits
+    under the event-hash rule and CANNOT under the user-hash rule;
+    expected values replayed exactly with the portable md5 buckets."""
+    import datetime as dt
+    import hashlib
+
+    from etl_pipeline_telecom_spark.plans.quality import dq8_split_leakage
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), i % 4, "click", 1.0) for i in range(60)]
+    _write_events(tmp_path, rows)
+
+    def bucket(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+
+    def split(b) -> str:
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    by_user_of = {}
+    masses = {"by_event": {"train": 0, "val": 0, "test": 0},
+              "by_user": {"train": 0, "val": 0, "test": 0}}
+    for i in range(60):
+        se, su = split(bucket(i)), split(bucket(i % 4))
+        masses["by_event"][se] += 1
+        masses["by_user"][su] += 1
+        by_user_of.setdefault(i % 4, set()).add(se)
+    n_leak_event = sum(1 for s in by_user_of.values() if len(s) > 1)
+    got = {
+        r["split_mode"]: (r["n_train"], r["n_val"], r["n_test"], r["n_leaking_users"])
+        for r in dq8_split_leakage(spark, str(tmp_path)).collect()
+    }
+    m = masses["by_event"]
+    assert got["by_event"] == (m["train"], m["val"], m["test"], n_leak_event)
+    assert n_leak_event > 0  # the crafted case actually exercises leakage
+    m = masses["by_user"]
+    assert got["by_user"] == (m["train"], m["val"], m["test"], 0)
+    _roundtrip(spark, str(tmp_path), "dq8_split_leakage")
+
+
+def _write_embeddings(d, vecs: dict[int, list[float]], label: int = 0) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+                ),
+                "label": pa.array([label] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+def test_v11_prefix_prune_keeps_and_misses_by_design(spark, tmp_path):
+    """Crafted 64-dim vectors around query 0 (= e0 on the prefix dims):
+    nine decoys score high on the PREFIX but low on the full vector; one
+    'hidden gem' matches the query perfectly on dims 16-63 but is
+    orthogonal on the prefix — stage 1 (top-8 coarse) must PRUNE it, and
+    the survivors re-rank by exact full cosine. That asymmetry (decoy
+    kept and re-ranked, gem missed) is precisely the matryoshka
+    trade-off the operator implements."""
+    from etl_pipeline_telecom_spark.plans.similarity import v11_matryoshka_refine
+
+    def vec(prefix_val, tail_val, hot=0):
+        v = [0.0] * 64
+        v[hot] = prefix_val
+        for i in range(16, 64):
+            v[i] = tail_val
+        return v
+
+    vecs = {0: vec(1.0, 0.0)}  # the query: e_hot, empty tail
+    # 9 decoys: strong on the query's prefix dim, noisy tails of
+    # DIFFERENT magnitude so full-cosine re-ranking reorders them
+    for i in range(1, 10):
+        vecs[100 + i] = vec(1.0, 0.01 * i)
+    # the hidden gem: zero on the prefix, identical tail — unreachable
+    # through a 16-dim coarse score
+    vecs[500] = vec(0.0, 1.0)
+    _write_embeddings(tmp_path, vecs)
+
+    out = v11_matryoshka_refine(spark, str(tmp_path)).collect()
+    mine = sorted(
+        ((r["rn"], r["neighbor_id"]) for r in out if r["query_id"] == 0)
+    )
+    got_ids = [nid for _, nid in mine]
+    assert 500 not in got_ids, "prefix pruning should miss the prefix-orthogonal gem"
+    # exact full cosine prefers the SMALLEST tail noise among the decoys
+    assert got_ids == [101, 102, 103]
+    _roundtrip(spark, str(tmp_path), "v11_matryoshka_refine")
