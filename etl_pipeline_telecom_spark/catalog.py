@@ -250,6 +250,12 @@ def _load_all_plans() -> None:
 # needed. OUT — w10_rolling_stats, e11_max_concurrency, dq5_freshness,
 # t19_gopher_flags (first verdicts green in r7, plans unchanged this
 # round per the build-order-invariant manifest).
+#
+# Third mid-r8 batch: IN — st11_stream_throttle (new: g2's streaming
+# twin with a PROVABLY-exact state TTL; the streaming-module source
+# hash changed, so the full st cohort re-verdicts — st1-st10 were
+# already in). OUT — m5_shard_manifest (first verdict green r7, plan
+# unchanged this round).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
@@ -273,7 +279,7 @@ DRIVER_WINDOW = (
     "v11_matryoshka_refine", "t18_pii_scrub", "p4_cdc_apply",
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     "j9_interval_bucket_join", "g2_throttle_debounce",
-    "a23_histogram_quantiles", "m5_shard_manifest",
+    "a23_histogram_quantiles", "st11_stream_throttle",
     "r3_pivot_latest_value", "x4_jsonl_source_scan", "v10_sq8_ann_recall",
     "pipe3_dataset_card", "p5_partitioned_sink_audit",
     "dq6_referential_integrity", "w11_value_window_ops",

@@ -352,3 +352,40 @@ def st10_stream_cdc_apply(spark, sf_dir):
     stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
     out, _ = run_available_now(cdc_apply_with_state(stream))
     return out.where(F.col("user_id") >= 0)
+
+
+def _g2_sql() -> str:
+    # local import: plans.semistructured registers after this module in
+    # _load_all_plans, but module-level code here runs at import of THIS
+    # module inside that same loader, so import lazily at register time
+    from .semistructured import _G2_SQL
+
+    return _G2_SQL
+
+
+@register(
+    "st11_stream_throttle",
+    _g2_sql(),
+    tags=("streaming", "stateful", "throttle"),
+    doc="Streaming greedy throttle — g2's per-user debounce maintained "
+    "in the state store (applyInPandasWithState): kept events emit AT "
+    "DECISION TIME (append mode), state is one long per user (last "
+    "kept timestamp), and eviction is EXACT rather than a TTL knob — "
+    "once the watermark passes last_kept + GAP, any future on-time "
+    "event is kept regardless of the stored value, so the event-time "
+    "timeout deletes provably dead state (the same gap-reset argument "
+    "behind g2b's segment independence). State is bounded by users "
+    "active within one GAP window, not users ever seen. The sentinel "
+    "replay (st3 discipline) fires those timeouts after all real "
+    "events, and the emitted set equals batch g2 EXACTLY — its "
+    "recursive-CTE oracle carries over verbatim",
+)
+def st11_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import replay_dir_with_sentinels, run_available_now
+    from ..streaming.stateful import throttle_with_state
+
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    out, _ = run_available_now(throttle_with_state(stream))
+    return out.where(F.col("user_id") >= 0)

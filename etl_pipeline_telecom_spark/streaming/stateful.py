@@ -311,3 +311,68 @@ def cdc_apply_with_state(events: DataFrame, *, watermark: str = "10 minutes") ->
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming throttle (st11): the stateful twin of plans/semistructured.g2 —
+# the same greedy per-user debounce (keep an event iff >= GAP after the
+# last KEPT one), maintained incrementally in the state store. State is
+# ONE long per user (the last kept timestamp), and its eviction is EXACT,
+# not heuristic: once the event-time watermark passes last_kept + GAP,
+# every future on-time event satisfies ts >= last_kept + GAP regardless of
+# the stored value — the state is semantically dead and the event-time
+# timeout removes it. (Same argument that makes g2b's gap-split segments
+# independent.) So state size is bounded by users ACTIVE within one GAP
+# window, not by all users ever seen — the TTL every production
+# rate-limiter needs, here with a proof instead of a knob.
+
+THROTTLE_GAP_US = 86_400 * 1_000_000  # 1 day; sync with plans/semistructured._G2_GAP_US
+THROTTLE_OUTPUT_SCHEMA = "user_id long, event_id long, kept_ts_us long"
+THROTTLE_STATE_SCHEMA = "last_kept_us long"
+
+
+def _throttle_stream_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()  # watermark >= last_kept + GAP: provably dead state
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
+    last = state.get[0] if state.exists else None
+    kept: list[dict] = []
+    for ts_us, eid in zip(batch["ts_us"], batch["event_id"]):
+        ts_us = int(ts_us)
+        if last is None or ts_us >= last + THROTTLE_GAP_US:
+            kept.append(
+                {"user_id": user_id, "event_id": int(eid), "kept_ts_us": ts_us}
+            )
+            last = ts_us
+    state.update((int(last),))
+    state.setTimeoutTimestamp(
+        max((last + THROTTLE_GAP_US) // 1000, state.getCurrentWatermarkMs() + 1)
+    )
+    if kept:
+        yield pd.DataFrame(kept)
+
+
+def throttle_with_state(events: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """events(ts timestamp, user_id, event_id, ...) → KEPT events.
+
+    Kept rows emit immediately (append mode) — the throttle DECIDES at
+    arrival time; the watermark only drives state eviction. Exactness vs
+    the batch recurrence requires event-time-ordered arrival per user
+    (the bounded-replay harness guarantees it; a production deployment
+    relies on the same in-order delivery contract as any streaming
+    greedy recurrence).
+    """
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _throttle_stream_group,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -556,3 +556,51 @@ def test_stateful_sessionize_on_rocksdb_state_store(spark, sf_dir):
         f"RocksDB-backed sessions diverge from batch: "
         f"only-stream={sorted(got - batch)[:3]} only-batch={sorted(batch - got)[:3]}"
     )
+
+
+def test_st11_stream_throttle_equals_batch_and_evicts_dead_state(spark, sf_dir):
+    """The streaming throttle emits EXACTLY the batch g2 kept set on the
+    sentinel replay, and its event-time timeout actually deletes state
+    (the exact-TTL argument: watermark past last_kept + GAP makes the
+    stored timestamp semantically dead)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.semistructured import g2_throttle_debounce
+    from etl_pipeline_telecom_spark.streaming import read_events_stream
+    from etl_pipeline_telecom_spark.streaming.jobs import replay_dir_with_sentinels
+    from etl_pipeline_telecom_spark.streaming.stateful import throttle_with_state
+
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+        q = (
+            throttle_with_state(stream)
+            .writeStream.format("memory")
+            .queryName("st11_throttle")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
+        progresses = list(q.recentProgress)
+        got = _rows(spark.table("st11_throttle").where(F.col("user_id") >= 0))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+    batch = _rows(g2_throttle_debounce(spark, sf_dir))
+    assert got == batch, (
+        f"stream kept set diverges from batch: only-stream="
+        f"{sorted(got - batch)[:3]} only-batch={sorted(batch - got)[:3]}"
+    )
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "timeouts never evicted dead throttle state"
