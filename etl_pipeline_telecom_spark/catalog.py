@@ -256,6 +256,15 @@ def _load_all_plans() -> None:
 # hash changed, so the full st cohort re-verdicts — st1-st10 were
 # already in). OUT — m5_shard_manifest (first verdict green r7, plan
 # unchanged this round).
+#
+# Fourth mid-r8 batch: IN — j10_bloom_pruned_join (runtime-filter
+# join: d13's distributed bloom prunes the fact scan before the
+# shuffle; plain join is the oracle), d17_semantic_dedup (embedding
+# near-dup clusters via star-alternation CC over v5's pairs, d8's
+# recursive-CTE oracle pattern) — both new. d13 stays in (the shared
+# bloom probe was extracted into bloom_might_contain_udf). OUT —
+# r3_pivot_latest_value, x4_jsonl_source_scan (first verdicts green in
+# r7, plans unchanged this round).
 DRIVER_WINDOW = (
     # dedup + similarity flagships
     "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
@@ -280,7 +289,7 @@ DRIVER_WINDOW = (
     "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
     "j9_interval_bucket_join", "g2_throttle_debounce",
     "a23_histogram_quantiles", "st11_stream_throttle",
-    "r3_pivot_latest_value", "x4_jsonl_source_scan", "v10_sq8_ann_recall",
+    "j10_bloom_pruned_join", "d17_semantic_dedup", "v10_sq8_ann_recall",
     "pipe3_dataset_card", "p5_partitioned_sink_audit",
     "dq6_referential_integrity", "w11_value_window_ops",
     "a24_decayed_counts", "x3_json_schema_audit",

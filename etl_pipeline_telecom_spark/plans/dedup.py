@@ -874,18 +874,12 @@ def eval_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.where(F.col("doc_id") % 5 == 0).select(F.xxhash64("shingle").alias("h"))
 
 
-def bloom_pruned_contamination(spark: SparkSession, sf_dir: str, bloom: bytes) -> DataFrame:
-    """The probe half of d13, parameterized by the sketch bytes: st7's
-    stream-maintained bloom and d13's eager build share this plan
-    verbatim, so 'maintained sketch ≡ rebuilt sketch' implies result
-    equality by construction."""
-    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
-    ev = ds.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "shingle"
-    )
-    tr = ds.where(F.col("doc_id") % 5 != 0).select(
-        F.col("doc_id").alias("train_doc_id"), "shingle"
-    )
+def bloom_might_contain_udf(spark: SparkSession, bloom: bytes):
+    """Arrow-vectorized membership probe against a broadcast bitset bloom
+    (the sketch bytes from :func:`_build_bloom`). Shared by d13's
+    contamination probe, st7's streamed refresh, and j10's bloom-pruned
+    fact join — one probe implementation, every consumer exact because
+    an equi-join (or exact compare) always follows the prune."""
     bloom_bc = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf("boolean")
@@ -899,6 +893,23 @@ def bloom_pruned_contamination(spark: SparkSession, sf_dir: str, bloom: bytes) -
             bit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
             ok &= bit.astype(bool)
         return pd.Series(ok)
+
+    return might_contain
+
+
+def bloom_pruned_contamination(spark: SparkSession, sf_dir: str, bloom: bytes) -> DataFrame:
+    """The probe half of d13, parameterized by the sketch bytes: st7's
+    stream-maintained bloom and d13's eager build share this plan
+    verbatim, so 'maintained sketch ≡ rebuilt sketch' implies result
+    equality by construction."""
+    ds = doc_shingles(spark, sf_dir).where(F.col("doc_id") < _DUP_OFFSET)
+    ev = ds.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = ds.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    might_contain = bloom_might_contain_udf(spark, bloom)
 
     tr_pruned = (
         tr.withColumn("h", F.xxhash64("shingle"))

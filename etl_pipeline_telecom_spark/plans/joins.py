@@ -402,3 +402,66 @@ def j9_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pt_id").alias("n_points_covered"),
         F.countDistinct("iv_id").alias("n_intervals_hit"),
     )
+
+
+_J10_PRIORITY = "1-URGENT"
+_J10_CUTOFF = "1996-01-01"
+
+
+@register(
+    "j10_bloom_pruned_join",
+    f"""WITH sel AS (
+         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+         FROM orders
+         WHERE o_orderpriority = '{_J10_PRIORITY}'
+           AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '{_J10_CUTOFF}')
+       SELECT order_date,
+              COUNT(*) AS n_items,
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+                  / 10000 AS revenue
+       FROM sel s JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+       GROUP BY order_date""",
+    tags=("join", "bloom", "runtime-filter"),
+    doc="Bloom-pruned selective fact join — the runtime-filter shape "
+    "(Spark's own runtime bloom pruning, written out declaratively "
+    "since bloom_filter_agg isn't in PySpark 4.1's registry): the "
+    "SELECTIVE dimension side (urgent pre-1996 orders, ~7% of keys) "
+    "builds d13's distributed 1 MB bitset bloom over its join keys; "
+    "the fact scan probes the broadcast sketch and drops ~93% of "
+    "lineitem rows BEFORE the shuffle — the exchange then carries only "
+    "probable matches. False positives cost shuffled rows, never "
+    "correctness: the equi-join that follows is exact, which is why "
+    "the oracle is simply the PLAIN join — the bloom must be "
+    "semantically invisible. At 100 TB this is the difference between "
+    "shuffling the whole fact table and shuffling the selectivity "
+    "fraction; the sketch stays 1 MB regardless of fact size",
+)
+def j10_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _build_bloom, bloom_might_contain_udf
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sel = orders.where(
+        (F.col("o_orderpriority") == _J10_PRIORITY)
+        & (F.col("o_orderdate") < F.lit(_J10_CUTOFF).cast("timestamp"))
+    ).select("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+    bloom = _build_bloom(sel.select(F.xxhash64("o_orderkey").alias("h")))
+    might_contain = bloom_might_contain_udf(spark, bloom)
+    pruned = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumn("h", F.xxhash64("l_orderkey"))
+        .where(might_contain("h"))
+        .drop("h")
+    )
+    rev_units = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
+        .groupBy("order_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_units).cast("double") / 10_000).alias("revenue"),
+        )
+    )

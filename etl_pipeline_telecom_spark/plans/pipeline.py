@@ -26,6 +26,7 @@ from ..catalog import REGISTRY, register
 from ..functions.text import quality_score
 from ..sources import load_table
 from .dedup import _DUP_OFFSET, d5_lsh_jaccard_dedup
+from .similarity import v5_lsh_bucketed_neardup
 from .text import _SQL_STOP_LIST, _SQL_TOKENS
 
 # d5's full oracle SQL (registered before this module imports) — d8's oracle
@@ -708,4 +709,58 @@ def p7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("n_files").cast("bigint").alias("n_files"),
         F.sum("n").cast("bigint").alias("n_rows"),
+    )
+
+
+# v5's full oracle SQL — d17 clusters exactly the near-dup pairs v5
+# emits, the d8-over-d5 pattern applied to the EMBEDDING near-dup graph.
+# v5 MUST be imported at module top (not just looked up in REGISTRY):
+# python workers re-import this module to unpickle p6's mapInPandas
+# function, and without the import the registry is empty there (caught
+# by the r8 full sweep — p6 died with a worker-side KeyError).
+_SQL_V5_PAIRS = REGISTRY["v5_lsh_bucketed_neardup"].sql
+
+
+@register(
+    "d17_semantic_dedup",
+    f"""WITH RECURSIVE
+        pairs AS (SELECT vec_a, vec_b FROM ({_SQL_V5_PAIRS})),
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                  UNION
+                  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        comp AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY src)
+        SELECT rep AS canonical_vec_id,
+               COUNT(*) AS n_members,
+               COUNT(*) - 1 AS n_removed,
+               CAST(MAX(vec_id) AS BIGINT) AS max_member_id
+        FROM comp GROUP BY rep""",
+    tags=("dedup", "semantic", "clustering", "similarity"),
+    doc="SEMANTIC dedup keep-list — the embedding-space endgame d8 "
+    "performs for text: v5's hyperplane-LSH near-dup pairs (cosine "
+    ">= 0.4 within sign buckets) become clusters via the alternating "
+    "large-star/small-star connected components (O(log n) rounds), and "
+    "each cluster keeps its minimum vec_id as canonical — the removal "
+    "manifest (canonical, member count, how many rows a dedup pass "
+    "drops) a curation pipeline consumes. Pairs with transitive "
+    "near-duplicity collapse into ONE cluster even when the endpoints "
+    "themselves aren't pairwise similar — exactly why pair output "
+    "alone (v4-v6) can't drive deletion. Oracle: the same pair SQL fed "
+    "through a recursive label-reachability CTE (d8's pattern) — "
+    "min-reachable-label ≡ component minimum. Scale: LSH bounds the "
+    "pair generation, star-alternation bounds the rounds; no stage "
+    "ever touches all-pairs",
+)
+def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = v5_lsh_bucketed_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("rep").alias("canonical_vec_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
+        F.max("doc_id").cast("bigint").alias("max_member_id"),
     )

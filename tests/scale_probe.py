@@ -208,6 +208,14 @@ PROBES += [
     "v11_matryoshka_refine",
 ]
 
+# third r8 batch: the bloom-pruned fact join (prune before shuffle —
+# the whole point shows at scale) and semantic-dedup clustering
+# (LSH pairs → star-alternation CC → keep manifest)
+PROBES += [
+    "j10_bloom_pruned_join",
+    "d17_semantic_dedup",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -480,3 +480,135 @@ def test_v11_prefix_prune_keeps_and_misses_by_design(spark, tmp_path):
     # exact full cosine prefers the SMALLEST tail noise among the decoys
     assert got_ids == [101, 102, 103]
     _roundtrip(spark, str(tmp_path), "v11_matryoshka_refine")
+
+
+def _write_orders_lineitem(d, orders_rows, lineitem_rows) -> None:
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders_rows], pa.int64()),
+                "o_custkey": pa.array([1] * len(orders_rows), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders_rows), pa.string()),
+                "o_totalprice": pa.array([0.0] * len(orders_rows), pa.float64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in orders_rows],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array([r[2] for r in orders_rows], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem_rows], pa.int64()),
+                "l_extendedprice": pa.array([r[1] for r in lineitem_rows], pa.float64()),
+                "l_discount": pa.array([r[2] for r in lineitem_rows], pa.float64()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+
+
+def test_j10_bloom_is_invisible_and_actually_prunes(spark, tmp_path):
+    """Crafted orders: two urgent pre-cutoff (selected), one urgent
+    post-cutoff and one low-priority (not selected). The bloom prune
+    must keep EXACTLY the matching lineitem rows (3 selected keys in an
+    8M-bit sketch → FP odds are nil), and the final aggregate equals the
+    plain-join oracle — the bloom is semantically invisible."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.dedup import (
+        _build_bloom,
+        bloom_might_contain_udf,
+    )
+    from etl_pipeline_telecom_spark.plans.joins import j10_bloom_pruned_join
+    from etl_pipeline_telecom_spark.sources import load_table
+
+    orders = [
+        (1, "1995-01-10", "1-URGENT"),
+        (2, "1995-02-20", "1-URGENT"),
+        (3, "1997-05-05", "1-URGENT"),   # post-cutoff → excluded
+        (4, "1995-01-15", "5-LOW"),      # wrong priority → excluded
+    ]
+    lineitem = [
+        (1, 100.0, 0.10),
+        (1, 50.0, 0.00),
+        (2, 200.0, 0.25),
+        (3, 999.0, 0.00),
+        (4, 999.0, 0.00),
+    ]
+    _write_orders_lineitem(tmp_path, orders, lineitem)
+    got = {
+        str(r["order_date"]): (r["n_items"], r["revenue"])
+        for r in j10_bloom_pruned_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "1995-01-10": (2, 100.0 * 0.90 + 50.0),
+        "1995-02-20": (1, 200.0 * 0.75),
+    }
+    # the prune really drops the non-selected keys before the join
+    sel_keys = load_table(spark, str(tmp_path), "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    bloom = _build_bloom(sel_keys.select(F.xxhash64("o_orderkey").alias("h")))
+    probe = bloom_might_contain_udf(spark, bloom)
+    pruned_n = (
+        load_table(spark, str(tmp_path), "lineitem")
+        .where(probe(F.xxhash64("l_orderkey")))
+        .count()
+    )
+    assert pruned_n == 3  # rows of keys 1 and 2 only
+    _roundtrip(spark, str(tmp_path), "j10_bloom_pruned_join")
+
+
+def test_d17_transitive_near_dups_collapse_into_one_cluster(spark, tmp_path):
+    """A~B and B~C above the 0.4 cosine threshold while A~C is NEGATIVE:
+    the cluster must still be {A, B, C} (transitive collapse — the thing
+    pair output alone cannot express), canonical = min id. Vectors are
+    built in a 2-dim plane whose two dims carry IDENTICAL sign columns
+    across all 8 LSH hyperplanes, so all three land in one bucket:
+    at 0°, 60° and 120°, every plane dot keeps one consistent sign
+    (|0.866·p_j| > |0.5·p_i|). A fourth orthogonal vector shares no
+    qualifying pair and must not appear."""
+    from etl_pipeline_telecom_spark.plans.pipeline import d17_semantic_dedup
+    from etl_pipeline_telecom_spark.plans.similarity import _HYPERPLANES
+
+    pair = next(
+        (i, j)
+        for i in range(64)
+        for j in range(i + 1, 64)
+        if all(p[i] == p[j] for p in _HYPERPLANES)
+    )
+    i, j = pair
+
+    def vec(ci: float, cj: float, extra_dim: int | None = None) -> list[float]:
+        v = [0.0] * 64
+        v[i], v[j] = ci, cj
+        if extra_dim is not None:
+            v = [0.0] * 64
+            v[extra_dim] = 1.0
+        return v
+
+    k_other = next(k for k in range(64) if k not in (i, j))
+    vecs = {
+        20: vec(1.0, 0.0),        # A (0°)
+        21: vec(0.5, 0.866),      # B (60°): cos(A,B) ≈ 0.5
+        22: vec(-0.5, 0.866),     # C (120°): cos(B,C) ≈ 0.5, cos(A,C) ≈ -0.5
+        23: vec(0, 0, extra_dim=k_other),  # unrelated direction
+    }
+    _write_embeddings(tmp_path, vecs)
+    rows = d17_semantic_dedup(spark, str(tmp_path)).collect()
+    got = {
+        r["canonical_vec_id"]: (r["n_members"], r["n_removed"], r["max_member_id"])
+        for r in rows
+    }
+    assert got == {20: (3, 2, 22)}
+    _roundtrip(spark, str(tmp_path), "d17_semantic_dedup")
