@@ -612,3 +612,94 @@ def test_d17_transitive_near_dups_collapse_into_one_cluster(spark, tmp_path):
     }
     assert got == {20: (3, 2, 22)}
     _roundtrip(spark, str(tmp_path), "d17_semantic_dedup")
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),  # 4 meaningful dims
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=3,
+        max_size=14,
+        unique=True,
+    )
+)
+def test_v11_two_stage_matches_python_replay(spark, tmp_path_factory, coords):
+    """Arbitrary vector sets: v11's two-stage result equals a pure-python
+    stage-wise replay (prefix-dot top-8 with (score desc, id) tie-break,
+    then exact full cosine top-3) — the pruning, tie-breaks, and rounding
+    all reproduced independently."""
+    import math
+
+    from etl_pipeline_telecom_spark.plans.similarity import (
+        _V11_COARSE_K,
+        _V11_FINAL_K,
+        _V11_PREFIX,
+        v11_matryoshka_refine,
+    )
+
+    d = tmp_path_factory.mktemp("v11prop")
+    # vec 0 is the only query (vec_id < 10); others are candidates.
+    # dims 0,1 live in the prefix; dims 30,31 beyond it.
+    vecs = {}
+    for idx, (a, b, c, e) in enumerate(coords):
+        v = [0.0] * 64
+        v[0], v[1], v[30], v[31] = float(a), float(b), float(c), float(e)
+        if not any(v):
+            v[5] = 1.0  # zero vector would make cosine undefined
+        vecs[0 if idx == 0 else 100 + idx] = v
+    _write_embeddings(d, vecs)
+
+    q = [round(x * 1000) for x in vecs[0]]
+    cands = {k: [round(x * 1000) for x in v] for k, v in vecs.items() if k != 0}
+    coarse = sorted(
+        cands,
+        key=lambda k: (-sum(q[i] * cands[k][i] for i in range(_V11_PREFIX)), k),
+    )[:_V11_COARSE_K]
+
+    def cos(k):
+        dot = sum(q[i] * cands[k][i] for i in range(64))
+        nq = math.sqrt(sum(x * x for x in q))
+        nk = math.sqrt(sum(x * x for x in cands[k]))
+        return dot / (nq * nk)
+
+    final = sorted(coarse, key=lambda k: (-cos(k), k))[:_V11_FINAL_K]
+    expected = {(0, k, r + 1) for r, k in enumerate(final)}
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in v11_matryoshka_refine(spark, str(d)).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10 * 86_400),  # offset seconds
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_p6_export_audits_clean_on_arbitrary_event_sets(spark, tmp_path_factory, offs):
+    """Any event set: the range-sharded export must audit to zero sort
+    violations and zero range overlaps with exact row conservation —
+    the layout invariants hold regardless of key distribution."""
+    from etl_pipeline_telecom_spark.plans.pipeline import p6_range_sharded_export
+
+    d = tmp_path_factory.mktemp("p6prop")
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=off), 1, "click", 0.0)
+        for i, off in enumerate(offs)
+    ]
+    _write_events(d, rows)
+    out = p6_range_sharded_export(spark, str(d)).collect()[0]
+    assert out["n_rows"] == len(offs)
+    assert out["n_sort_violations"] == 0
+    assert out["n_range_overlaps"] == 0
