@@ -257,6 +257,11 @@ def _load_all_plans() -> None:
 # already in). OUT — m5_shard_manifest (first verdict green r7, plan
 # unchanged this round).
 #
+# Fifth mid-r8 batch: IN — t21_bpe_batched_merges (batched BPE
+# training: top-K conflict-free merges per round — the real-32k cost
+# model, closing the r7 verdict's last standing nit concretely). OUT —
+# pipe3_dataset_card (first verdict green r7, plan unchanged).
+#
 # Fourth mid-r8 batch: IN — j10_bloom_pruned_join (runtime-filter
 # join: d13's distributed bloom prunes the fact scan before the
 # shuffle; plain join is the oracle), d17_semantic_dedup (embedding
@@ -290,7 +295,7 @@ DRIVER_WINDOW = (
     "j9_interval_bucket_join", "g2_throttle_debounce",
     "a23_histogram_quantiles", "st11_stream_throttle",
     "j10_bloom_pruned_join", "d17_semantic_dedup", "v10_sq8_ann_recall",
-    "pipe3_dataset_card", "p5_partitioned_sink_audit",
+    "t21_bpe_batched_merges", "p5_partitioned_sink_audit",
     "dq6_referential_integrity", "w11_value_window_ops",
     "a24_decayed_counts", "x3_json_schema_audit",
     # r5 late additions (verdict r5; pipe2 kept as young canary)

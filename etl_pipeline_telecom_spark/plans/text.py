@@ -1253,3 +1253,204 @@ def t20_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_mixed_script"),
     )
+
+
+# --- t21: BATCHED BPE training — the real-32k-vocabulary cost model -------
+#
+# t15 proves the exact Sennrich loop (one merge per distributed round);
+# its honest weakness is round count: 32k merges = 32k driver-dispatched
+# jobs (~250ms each measured, NOTES_r8). t21 is the production answer:
+# each round takes the TOP-K pair candidates and applies every candidate
+# that is symbol-disjoint from all HIGHER-RANKED candidates — a
+# deterministic, order-free prefix rule (rank 1 is always kept, so every
+# round makes progress; a candidate sharing a symbol with any
+# higher-ranked candidate waits for the next round's recount). Disjoint
+# merges can apply SIMULTANEOUSLY because two matches of different
+# symbol-disjoint pairs can never be adjacent in a symbol sequence
+# (adjacency would force a shared symbol), so the t15 run-parity trick
+# carries over per pair unchanged. Rounds collapse from vocab to
+# ~vocab/K_effective. The trade vs t15: merge ranks within a round are
+# assigned from the SAME pair-count snapshot (classic batched-BPE
+# approximation); t15 remains the reference-exact form.
+
+_T21_ROUNDS = 4
+_T21_K = 8
+
+
+def _sql_t21(n_rounds: int = _T21_ROUNDS, k: int = _T21_K) -> str:
+    """t21's oracle: the same batched rounds unrolled as CTEs — top-K
+    ranking, the prefix conflict filter as a NOT EXISTS self-join, and
+    the simultaneous merge via the shared run-parity machinery."""
+    parts = [
+        f"""wc AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    b0 AS MATERIALIZED (
+      SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+      FROM wc, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t)"""
+    ]
+    for r in range(n_rounds):
+        parts.append(f"""qc{r} AS (
+      SELECT a, b, SUM(freq) AS f FROM (
+        SELECT sym AS a, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
+        FROM b{r})
+      WHERE b IS NOT NULL GROUP BY a, b),
+    tk{r} AS (
+      SELECT a, b, f, rk FROM (
+        SELECT a, b, f, ROW_NUMBER() OVER (ORDER BY f DESC, a, b) AS rk
+        FROM qc{r})
+      WHERE rk <= {k}),
+    kp{r}_sel AS MATERIALIZED (
+      SELECT t.a, t.b, t.f, t.rk FROM tk{r} t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM tk{r} h
+        WHERE h.rk < t.rk
+          AND (h.a = t.a OR h.a = t.b OR h.b = t.a OR h.b = t.b))),
+    mk{r} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, sel.a AS ba, sel.b AS bb,
+             sel.a IS NOT NULL AS m
+      FROM (SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM b{r}) s
+      LEFT JOIN kp{r}_sel sel ON s.sym = sel.a AND s.nxt = sel.b),
+    rn{r} AS (
+      SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM mk{r}),
+    pa{r} AS (
+      SELECT *, m AND (rn - MIN(rn) OVER (PARTITION BY word, m, pos - rn)) % 2 = 0
+                    AS keep
+      FROM rn{r}),
+    dc{r} AS (
+      SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos), FALSE)
+                    AS consumed
+      FROM pa{r}),
+    b{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN keep THEN ba || bb ELSE sym END AS sym
+      FROM dc{r} WHERE NOT consumed)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, CAST(rk AS BIGINT) AS cand_rank, "
+        f"a AS merge_left, b AS merge_right, CAST(f AS BIGINT) AS pair_freq "
+        f"FROM kp{r}_sel"
+        for r in range(n_rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+def _bpe_train_batched(
+    docs: DataFrame, n_rounds: int = _T21_ROUNDS, k: int = _T21_K
+) -> list[DataFrame]:
+    """The t21 loop: per-round merge tables (round, cand_rank, pair, freq)."""
+    wc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = wc.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "sym"),
+    ).localCheckpoint()
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges: list[DataFrame] = []
+    for r in range(n_rounds):
+        pc = (
+            seq.withColumn("b", F.lead("sym").over(w_word))
+            .where(F.col("b").isNotNull())
+            .groupBy(F.col("sym").alias("a"), "b")
+            .agg(F.sum("freq").alias("f"))
+        )
+        topk = (
+            pc.orderBy(F.desc("f"), "a", "b")
+            .limit(k)
+            .withColumn(
+                "rk", F.row_number().over(Window.orderBy(F.desc("f"), "a", "b"))
+            )
+        )
+        t, h = topk.alias("t"), topk.alias("h")
+        conflict = (F.col("h.rk") < F.col("t.rk")) & (
+            (F.col("h.a") == F.col("t.a"))
+            | (F.col("h.a") == F.col("t.b"))
+            | (F.col("h.b") == F.col("t.a"))
+            | (F.col("h.b") == F.col("t.b"))
+        )
+        sel = (
+            t.join(h, conflict, "left_anti")
+            .select(
+                F.col("a").alias("ba"), F.col("b").alias("bb"), "f", "rk"
+            )
+            .localCheckpoint()  # ≤ k rows, read twice (merge + output)
+        )
+        merges.append(
+            sel.select(
+                F.lit(r + 1).alias("round"),
+                F.col("rk").cast("bigint").alias("cand_rank"),
+                F.col("ba").alias("merge_left"),
+                F.col("bb").alias("merge_right"),
+                F.col("f").cast("bigint").alias("pair_freq"),
+            )
+        )
+        dr = (
+            seq.withColumn("nxt", F.lead("sym").over(w_word))
+            .join(
+                F.broadcast(sel.select("ba", "bb")),
+                (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
+                "left",
+            )
+            .withColumn("m", F.col("ba").isNotNull())
+            .withColumn("rn", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w_word))
+            .withColumn("grp", F.col("pos") - F.col("rn"))
+            .withColumn(
+                "minrn", F.min("rn").over(Window.partitionBy("word", "m", "grp"))
+            )
+            .withColumn("keep", F.col("m") & (((F.col("rn") - F.col("minrn")) % 2) == 0))
+            .withColumn("consumed", F.coalesce(F.lag("keep").over(w_word), F.lit(False)))
+        )
+        seq = (
+            dr.where(~F.col("consumed"))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.when(F.col("keep"), F.concat("ba", "bb")).otherwise(F.col("sym")).alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    return merges
+
+
+@register(
+    "t21_bpe_batched_merges",
+    _sql_t21(),
+    tags=("text", "tokenize", "bpe", "iterative", "batched"),
+    doc="BATCHED BPE training — the production-scale form of t15's loop "
+    f"(VERDICT r7 nit: 32k sequential rounds don't fly): each round "
+    f"ranks the top-{_T21_K} pair candidates from ONE count snapshot "
+    "and applies every candidate that is symbol-disjoint from all "
+    "higher-ranked candidates (deterministic prefix rule; rank 1 always "
+    "applies, so progress is guaranteed — no livelock). Symbol-disjoint "
+    "merges apply simultaneously because their matches can never be "
+    "adjacent (adjacency forces a shared symbol), so the run-parity "
+    "merge machinery carries over per pair unchanged. Rounds collapse "
+    f"from vocabulary-size to ~vocab/{_T21_K}: the driver-dispatch cost "
+    "model that makes 32k merges feasible (NOTES_r8 measured "
+    "~250ms/round dispatch). Emits (round, cand_rank, pair, freq); the "
+    "oracle unrolls identical rounds — same ranking, same NOT-EXISTS "
+    "conflict filter, same simultaneous merge",
+)
+def t21_bpe_batched_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_train_batched(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -214,6 +214,9 @@ PROBES += [
 PROBES += [
     "j10_bloom_pruned_join",
     "d17_semantic_dedup",
+    # batched BPE: same vocab-bounded loop shape as t15/t17, fewer
+    # rounds per merge — probed for the round-dispatch cost curve
+    "t21_bpe_batched_merges",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -703,3 +703,111 @@ def test_p6_export_audits_clean_on_arbitrary_event_sets(spark, tmp_path_factory,
     assert out["n_rows"] == len(offs)
     assert out["n_sort_violations"] == 0
     assert out["n_range_overlaps"] == 0
+
+
+def _python_bpe_batched(word_freqs: dict[str, int], n_rounds: int, k: int):
+    """Reference replay of t21's batched semantics: per round, top-k
+    candidates from one count snapshot (freq DESC, pair lexicographic),
+    keep candidates symbol-disjoint from ALL higher-ranked candidates,
+    apply the kept set in one left-to-right pass (equivalent to the
+    per-pair run-parity because matches of disjoint pairs are never
+    adjacent)."""
+    seqs = {w: list(w) for w in word_freqs}
+    out = []
+    for r in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        kept = []
+        for i, ((a, b), f) in enumerate(cands):
+            higher = {s for (ha, hb), _ in cands[:i] for s in (ha, hb)}
+            if a not in higher and b not in higher:
+                kept.append((i + 1, a, b, f))
+        out += [(r, rk, a, b, f) for rk, a, b, f in kept]
+        pairs = {(a, b) for _, a, b, _ in kept}
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in pairs:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_t21_batched_bpe_matches_reference_on_random_vocab(
+    spark, tmp_path_factory, words
+):
+    """Arbitrary tiny vocabularies over a 3-letter alphabet (maximal
+    symbol sharing → the conflict filter fires constantly): t21's merge
+    table must equal the pure-python batched reference exactly —
+    round, candidate rank, pair, and snapshot frequency."""
+    import re
+
+    from etl_pipeline_telecom_spark.plans.text import (
+        _BPE_PATTERN,
+        _T21_K,
+        _T21_ROUNDS,
+        t21_bpe_batched_merges,
+    )
+
+    from .test_r7_ops import _write_docs_file
+
+    d = tmp_path_factory.mktemp("t21prop")
+    text = " ".join(words)
+    _write_docs_file(str(d), [(0, text)])
+
+    freqs: dict[str, int] = {}
+    for tok in re.findall(_BPE_PATTERN, text.lower()):
+        freqs[tok] = freqs.get(tok, 0) + 1
+
+    expected = sorted(_python_bpe_batched(freqs, _T21_ROUNDS, _T21_K))
+    got = sorted(
+        (r["round"], r["cand_rank"], r["merge_left"], r["merge_right"], r["pair_freq"])
+        for r in t21_bpe_batched_merges(spark, str(d)).collect()
+    )
+    assert got == expected
+
+
+def test_t21_conflict_filter_defers_and_batches(spark, tmp_path):
+    """Hand-verified trace on a crafted corpus. Pretokens keep their
+    leading space (GPT-2 pattern), so ' ' is a symbol every
+    space-prefixed pair shares — the conflict filter consequently
+    admits only (a,b) in round 1 and DEFERS every space pair; the
+    deferred (' ', 'ab') wins round 2 over the merged alphabet; and
+    round 4 applies TWO disjoint pairs at once ((' b','c') and
+    (' ','x')) — the batching payoff. Snapshot counts per round are
+    hand-checked: e.g. round 1 sees (a,b)=6 from ' ab'×5 + 'ab'×1."""
+    from etl_pipeline_telecom_spark.plans.text import t21_bpe_batched_merges
+
+    from .test_r7_ops import _write_docs_file
+
+    text = " ".join(["ab"] * 6 + ["bc"] * 5 + ["xy"] * 4)
+    _write_docs_file(str(tmp_path), [(0, text)])
+    rows = sorted(
+        (r["round"], r["cand_rank"], r["merge_left"], r["merge_right"], r["pair_freq"])
+        for r in t21_bpe_batched_merges(spark, str(tmp_path)).collect()
+    )
+    assert rows == [
+        (1, 1, "a", "b", 6),      # interior pair; all space pairs deferred
+        (2, 1, " ", "ab", 5),     # deferred space pair wins next round
+        (3, 1, " ", "b", 5),
+        (4, 1, " b", "c", 5),     # two DISJOINT pairs apply together
+        (4, 2, " ", "x", 4),
+    ]
+    _roundtrip(spark, str(tmp_path), "t21_bpe_batched_merges")
