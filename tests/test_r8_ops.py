@@ -811,3 +811,44 @@ def test_t21_conflict_filter_defers_and_batches(spark, tmp_path):
         (4, 2, " ", "x", 4),
     ]
     _roundtrip(spark, str(tmp_path), "t21_bpe_batched_merges")
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab1 .世界é\t", min_size=1, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_t20_counts_match_python_replay_on_random_unicode(
+    spark, tmp_path_factory, texts
+):
+    """Random strings over a mixed alphabet (latin, digit, space, tab,
+    CJK, accented, punctuation): every class count and the mixed-script
+    flag must equal an independent python replay — and the five classes
+    must partition each text exactly."""
+    from etl_pipeline_telecom_spark.plans.text import t20_script_mix
+
+    from .test_r7_ops import _write_docs_file
+
+    d = tmp_path_factory.mktemp("t20prop")
+    _write_docs_file(str(d), list(enumerate(texts)))
+
+    def classes(t: str):
+        lat = sum(1 for c in t if "a" <= c.lower() <= "z" and c.isascii())
+        dig = sum(1 for c in t if c.isascii() and c.isdigit())
+        spc = sum(1 for c in t if c in " \t\n\r\f\v")
+        cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        oth = len(t) - lat - dig - spc - cjk
+        return lat, dig, spc, cjk, oth
+
+    per = [classes(t) for t in texts]
+    exp = tuple(sum(x) for x in zip(*per))
+    n_mixed = sum(1 for lat, _d, _s, cjk, _o in per if lat > 0 and cjk > 0)
+
+    row = t20_script_mix(spark, str(d)).collect()[0]
+    got = (row["n_latin"], row["n_digit"], row["n_space"], row["n_cjk"], row["n_other"])
+    assert got == exp
+    assert row["n_mixed_script"] == n_mixed
+    assert row["n_docs"] == len(texts)
