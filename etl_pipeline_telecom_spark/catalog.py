@@ -257,6 +257,11 @@ def _load_all_plans() -> None:
 # already in). OUT — m5_shard_manifest (first verdict green r7, plan
 # unchanged this round).
 #
+# Sixth mid-r8 batch: IN — s5_bag_setops (INTERSECT ALL / EXCEPT ALL
+# bag semantics — the multiplicity-sensitive variants the distinct
+# forms collapse). OUT — dq6_referential_integrity (first verdict green
+# r7, plan unchanged).
+#
 # Fifth mid-r8 batch: IN — t21_bpe_batched_merges (batched BPE
 # training: top-K conflict-free merges per round — the real-32k cost
 # model, closing the r7 verdict's last standing nit concretely). OUT —
@@ -296,7 +301,7 @@ DRIVER_WINDOW = (
     "a23_histogram_quantiles", "st11_stream_throttle",
     "j10_bloom_pruned_join", "d17_semantic_dedup", "v10_sq8_ann_recall",
     "t21_bpe_batched_merges", "p5_partitioned_sink_audit",
-    "dq6_referential_integrity", "w11_value_window_ops",
+    "s5_bag_setops", "w11_value_window_ops",
     "a24_decayed_counts", "x3_json_schema_audit",
     # r5 late additions (verdict r5; pipe2 kept as young canary)
     # round-3 queries + the round-4 build/probe split (build MUST precede

@@ -217,6 +217,8 @@ PROBES += [
     # batched BPE: same vocab-bounded loop shape as t15/t17, fewer
     # rounds per merge — probed for the round-dispatch cost curve
     "t21_bpe_batched_merges",
+    # bag set ops: two count-compare aggregate shuffles on the key
+    "s5_bag_setops",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -852,3 +852,45 @@ def test_t20_counts_match_python_replay_on_random_unicode(
     assert got == exp
     assert row["n_mixed_script"] == n_mixed
     assert row["n_docs"] == len(texts)
+
+
+def test_s5_bag_multiplicities_are_min_and_saturating_difference(spark, tmp_path):
+    """Crafted duplicate counts: key 1 appears F×3 / O×1 → intersect 1,
+    except 2; key 2 F×2 / O×5 → intersect 2, except absent (saturates at
+    0); key 3 F-only ×2 → except 2; key 4 O-only → appears nowhere."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.setops import s5_bag_setops
+
+    custkeys = [1] * 3 + [2] * 2 + [3] * 2 + [1] * 1 + [2] * 5 + [4] * 1
+    statuses = ["F"] * 7 + ["O"] * 7
+    n = len(custkeys)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array(custkeys, pa.int64()),
+                "o_orderstatus": pa.array(statuses, pa.string()),
+                "o_totalprice": pa.array([0.0] * n, pa.float64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {
+        (r["op"], r["o_custkey"]): r["cnt"]
+        for r in s5_bag_setops(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("intersect_all", 1): 1,
+        ("intersect_all", 2): 2,
+        ("except_all", 1): 2,
+        ("except_all", 3): 2,
+    }
+    _roundtrip(spark, str(tmp_path), "s5_bag_setops")
