@@ -87,7 +87,19 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
 
-    cold = {name: timed(name) for name in names}
+    # plan-metric channel (VERDICT r8 item 1): shuffle bytes/records, rows
+    # read, executor CPU per query — a drift-immune regression signal wall
+    # time can't give. Captured on the COLD pass (fresh-session semantics;
+    # includes any cache-build work a warm run would skip).
+    from etl_pipeline_telecom_spark.metrics import StageMetricsTracker
+
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()  # drain warm-up stages
+    cold = {}
+    metrics = {}
+    for name in names:
+        cold[name] = timed(name)
+        metrics[name] = tracker.delta()
     samples: dict[str, list[float]] = {name: [] for name in names}
     # interleaved rounds (not per-query bursts) so one load spike spreads
     # across queries instead of poisoning one query's whole sample
@@ -142,6 +154,7 @@ def main() -> None:
         "queries": warm,
         "queries_std": std,
         "queries_cold": cold,
+        "queries_metrics": metrics,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full payload (with stddev + cold) to a side file — the driver keeps
@@ -157,6 +170,12 @@ def main() -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(f"full payload -> {out_path}", file=sys.stderr)
     compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "queries", "sf")}
+    # two aggregate plan-metric fields in the DRIVER artifact itself (the
+    # per-query breakdown lives in the committed side file): total shuffle
+    # write and total rows read across the set — if these match the prior
+    # round, a wall-time move is host drift by construction.
+    compact["shuffle_mb"] = round(sum(m["shuffle_write_bytes"] for m in metrics.values()) / 1e6, 1)
+    compact["rows_read_m"] = round(sum(m["rows_read"] for m in metrics.values()) / 1e6, 2)
     # per-query stddev IN the driver artifact (VERDICT r6 item 9), as an
     # integer-millisecond array aligned with the "queries" key order —
     # repeating the 50 query-name keys would overflow the driver's

@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..catalog import register
 from ..functions.text import hash32, shingles, tokens
@@ -1101,5 +1102,118 @@ def d16_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "overlap_frac"
             ),
             (F.col("n_shared") >= F.lit(0.8) * F.col("n_shingles")).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d18: exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr dedup family)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8  # token width of the duplication unit (Lee et al. use 50 BPE
+# tokens at corpus scale; 8 keeps the fixture corpus' natural cross-doc
+# repeats visible while the re-inserted docs exercise long-span merging)
+
+
+def substring_occurrences(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, sh): every k-token shingle occurrence WITH its 1-based
+    token position — unlike :func:`shingled_from_docs`, positions and
+    within-doc repeats are kept (a substring duplicated inside one doc is
+    still a duplicate). Arrow-batched python for the same two reasons as
+    ``corpus_shingled``: higher-order-function shingling re-evaluates per
+    element, and the tokenizer must pin Java/DuckDB's ASCII ``\\s``."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            doc_ids, poss, shs = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                tk = ws.split(txt.strip().lower())
+                for i in range(len(tk) - k + 1):
+                    doc_ids.append(doc_id)
+                    poss.append(i + 1)
+                    shs.append(" ".join(tk[i : i + k]))
+            yield pd.DataFrame({"doc_id": doc_ids, "pos": poss, "sh": shs})
+
+    return docs.mapInPandas(batches, schema="doc_id long, pos long, sh string")
+
+
+@register(
+    "d18_substring_dedup",
+    f"""WITH corpus AS MATERIALIZED ({_SQL_CORPUS}),
+        occ AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(tk[i:i+{_SUBSTR_K - 1}], ' ') AS sh
+          FROM (SELECT doc_id, {_SQL_TOKENS} AS tk FROM corpus),
+               UNNEST(range(1, len(tk) - {_SUBSTR_K - 2})) AS t(i)),
+        dup AS (SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) >= 2),
+        docc AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (sh)),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN MAX(pos + {_SUBSTR_K - 1}) OVER w IS NULL
+                        OR pos > MAX(pos + {_SUBSTR_K - 1}) OVER w + 1
+                      THEN 1 ELSE 0 END AS flag
+          FROM docc
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        grp AS (
+          SELECT doc_id, pos,
+                 SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl)
+        SELECT doc_id, MIN(pos) AS span_start,
+               MAX(pos) + {_SUBSTR_K - 1} AS span_end,
+               MAX(pos) + {_SUBSTR_K - 1} - MIN(pos) + 1 AS span_tokens,
+               COUNT(*) AS n_dup_shingles
+        FROM grp GROUP BY doc_id, island""",
+    tags=("dedup", "substring", "headline"),
+    doc="Exact substring dedup (Lee et al. 2022 ExactSubstr), scale-safe "
+    "form: instead of a corpus-wide suffix array, every k-token shingle "
+    "occurrence keeps its position, occurrences whose shingle appears ≥2 "
+    "times corpus-wide are 'duplicated', and per doc the duplicated "
+    "coverage intervals [pos, pos+k-1] merge into MAXIMAL duplicated "
+    "token spans (gaps-and-islands: cummax of interval end, new island "
+    "when a position clears it by >1). Output = one row per maximal span "
+    "with its token extent — the unit a curation pipeline cuts or drops. "
+    "Plan: one Arrow-batched shingler (narrow), ONE shuffle on the "
+    "shingle key (map-side-combined groupBy for the ≥2 filter + an AQE "
+    "skew-splittable join back), then one doc_id-partitioned sort serving "
+    "both windows AND the final (doc_id, island) aggregate (hash "
+    "partitioning on doc_id satisfies the superset clustering — no "
+    "second shuffle). At 100 TB the shingle string becomes a 128-bit "
+    "fingerprint (collision-free in practice) so the shuffle carries 16 "
+    "bytes/occurrence, and the per-doc window state is one cummax — "
+    "memory O(1) per stream, no per-doc materialization.",
+)
+def d18_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SUBSTR_K
+    occ = substring_occurrences(corpus_with_dups(spark, sf_dir), k).cache()
+    dup = occ.groupBy("sh").count().where(F.col("count") >= 2).select("sh")
+    docc = occ.join(dup, "sh").select("doc_id", "pos")
+    w_prev = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docc.withColumn(
+            "flag",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("flag").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_shingles",
         )
     )

@@ -29,9 +29,11 @@ def main() -> int:
     from etl_pipeline_telecom_spark import catalog
     from etl_pipeline_telecom_spark.session import get_spark
 
+    from etl_pipeline_telecom_spark.metrics import StageMetricsTracker
+
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    out = args[1] if len(args) > 1 else "BENCH_full_r8.json"
+    out = args[1] if len(args) > 1 else "BENCH_full_r9.json"
     spark = get_spark("bench-full")
     # warm python workers once (mapInPandas spin-up is ~1-2s for 32 workers)
     spark.range(spark.sparkContext.defaultParallelism).repartition(
@@ -39,16 +41,28 @@ def main() -> int:
     ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    metrics: dict[str, dict[str, int]] = {}
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()  # drain warm-up stages
     t_start = time.perf_counter()
     for name, spec in catalog.specs().items():
         spec.fn(spark, sf_dir).count()  # cold
+        # plan-metric channel (VERDICT r8 item 1): captured on the cold
+        # run — bytes/records are plan+data functions, immune to host
+        # drift; the round-over-round diff keys on these, not wall
+        metrics[name] = tracker.delta()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"{name:32s} {best:7.3f}s", flush=True)
+        m = metrics[name]
+        print(
+            f"{name:32s} {best:7.3f}s  sw={m['shuffle_write_bytes']/1e6:8.2f}MB "
+            f"rows_read={m['rows_read']:>10d} cpu={m['executor_cpu_ms']/1e3:7.2f}s",
+            flush=True,
+        )
     payload = {
         "metric": "full_catalog_warm_min2_per_query",
         "sf_dir": sf_dir,
@@ -56,6 +70,7 @@ def main() -> int:
         "total_warm_sec": round(sum(timings.values()), 3),
         "wall_sec": round(time.perf_counter() - t_start, 3),
         "queries": timings,
+        "metrics": metrics,
     }
     with open(os.path.join(REPO, out), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

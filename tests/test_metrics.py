@@ -1,0 +1,114 @@
+"""StageMetricsTracker + bench_diff classifier (VERDICT r8 item 1)."""
+
+from __future__ import annotations
+
+import json
+
+from etl_pipeline_telecom_spark.metrics import StageMetricsTracker, metric_channels
+
+from tests.bench_diff import diff
+
+
+def test_tracker_attributes_serial_queries(spark):
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()  # drain whatever earlier tests ran
+
+    n = 100_000
+    spark.range(n).selectExpr("id % 7 as k").groupBy("k").count().count()
+    m1 = tracker.delta()
+    # the scan read exactly n rows and the groupBy shuffled exactly
+    # 7 partial rows per map task — both deterministic plan facts
+    assert m1["rows_read"] == n
+    assert m1["shuffle_write_bytes"] > 0
+    assert m1["shuffle_write_records"] == m1["shuffle_read_records"] > 0
+    assert m1["executor_cpu_ms"] >= 0
+
+    # second identical query gets its OWN delta, same record channels
+    spark.range(n).selectExpr("id % 7 as k").groupBy("k").count().count()
+    m2 = tracker.delta()
+    assert m2["rows_read"] == n
+    assert m2["shuffle_write_records"] == m1["shuffle_write_records"]
+
+    # no work → all-zero delta (nothing double-counted)
+    m3 = tracker.delta()
+    assert all(v == 0 for v in m3.values())
+
+
+def test_tracker_sees_broadcast_thread_jobs(spark):
+    """Broadcast exchanges submit jobs from a separate driver thread —
+    the snapshot-delta design must still attribute their scan."""
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()
+    big = spark.range(50_000).selectExpr("id as k", "id * 2 as v")
+    small = spark.range(64).selectExpr("id as k", "id as w")
+    from pyspark.sql.functions import broadcast
+
+    big.join(broadcast(small), "k").count()
+    m = tracker.delta()
+    # 50k probe rows + 64 build rows, all attributed to this delta
+    assert m["rows_read"] == 50_064
+
+
+def test_metric_channels_stable():
+    assert metric_channels() == (
+        "input_bytes",
+        "rows_read",
+        "output_bytes",
+        "rows_written",
+        "shuffle_read_bytes",
+        "shuffle_read_records",
+        "shuffle_write_bytes",
+        "shuffle_write_records",
+        "executor_run_ms",
+        "executor_cpu_ms",
+    )
+
+
+def _artifact(tmp_path, name, queries, metrics=None):
+    p = tmp_path / name
+    payload = {"queries": queries}
+    if metrics is not None:
+        payload["metrics"] = metrics
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def test_bench_diff_classifies(tmp_path):
+    base_m = {
+        "rows_read": 1000, "rows_written": 0,
+        "shuffle_read_records": 50, "shuffle_write_records": 50,
+        "input_bytes": 10_000_000, "output_bytes": 0,
+        "shuffle_read_bytes": 5_000_000, "shuffle_write_bytes": 5_000_000,
+        "executor_run_ms": 100, "executor_cpu_ms": 90,
+    }
+    drifted = dict(base_m)  # identical channels, wall moved → host drift
+    regressed = dict(base_m, shuffle_write_records=500, shuffle_read_records=500)
+    wobble = dict(base_m, shuffle_write_bytes=5_030_000)  # <2% bytes → noise
+
+    prev = _artifact(
+        tmp_path, "prev.json",
+        {"q_drift": 1.0, "q_regress": 1.0, "q_wobble": 1.0, "q_same": 1.0},
+        {"q_drift": base_m, "q_regress": base_m, "q_wobble": base_m, "q_same": base_m},
+    )
+    cur = _artifact(
+        tmp_path, "cur.json",
+        {"q_drift": 1.5, "q_regress": 1.5, "q_wobble": 1.0, "q_same": 1.02, "q_new": 0.5},
+        {"q_drift": drifted, "q_regress": regressed, "q_wobble": wobble,
+         "q_same": base_m, "q_new": base_m},
+    )
+    d = diff(prev, cur)
+    assert d["added"] == ["q_new"]
+    assert list(d["metric_moved"]) == ["q_regress"]
+    assert "shuffle_write_records 50→500" in d["metric_moved"]["q_regress"]["channels"]
+    assert list(d["wall_only_moved"]) == ["q_drift"]
+    assert "host drift" in d["wall_only_moved"]["q_drift"]["verdict"]
+    assert "q_wobble" not in d["metric_moved"] and "q_wobble" not in d["wall_only_moved"]
+    assert "q_same" not in d["wall_only_moved"]
+
+
+def test_bench_diff_no_prev_metrics(tmp_path):
+    prev = _artifact(tmp_path, "p.json", {"q": 1.0})
+    cur = _artifact(tmp_path, "c.json", {"q": 2.0}, {"q": {"rows_read": 1}})
+    d = diff(prev, cur)
+    assert not d["prev_has_metrics"]
+    assert "PLAN_MANIFEST" in d["wall_only_moved"]["q"]["verdict"]

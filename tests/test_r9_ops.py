@@ -1,0 +1,114 @@
+"""Crafted-data pins for the round-9 operators.
+
+Same discipline as test_r7/r8_ops: hand-computed expectations on tiny
+crafted fixtures, plus the DuckDB oracle round-trip where the operator
+has one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_telecom_spark import catalog
+
+from .oracle_harness import compare
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+catalog._load_all_plans()
+
+
+def _roundtrip(spark, d: str, name: str) -> None:
+    spec = catalog.REGISTRY[name]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# d18: exact substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _spans(docs_df, k=8):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from etl_pipeline_telecom_spark.plans.dedup import substring_occurrences
+
+    occ = substring_occurrences(docs_df, k)
+    dup = occ.groupBy("sh").count().where(F.col("count") >= 2).select("sh")
+    docc = occ.join(dup, "sh").select("doc_id", "pos")
+    w_prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    w_run = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    out = (
+        docc.withColumn(
+            "flag", F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("flag").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect())
+
+
+def test_d18_shared_60_token_span_distinct_flanks(spark):
+    """Two docs share a 60-token run with unique flanks on both sides —
+    the canonical ExactSubstr case. Expected: each doc reports EXACTLY
+    one span covering tokens of the shared run and nothing else."""
+    shared = " ".join(f"s{i}" for i in range(60))
+    doc_a = "alpha beta gamma " + shared + " delta epsilon"  # shared at tokens 4..63
+    doc_b = "one two three four five " + shared + " six"     # shared at tokens 6..65
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    # k=8: duplicated shingles are exactly those fully inside the shared
+    # run → positions 4..56 in doc_a (span 4..63), 6..58 in doc_b
+    assert _spans(docs, k=8) == [(1, 4, 63), (2, 6, 65)]
+
+
+def test_d18_within_doc_repeat_counts_as_duplicate(spark):
+    """A substring repeated INSIDE one doc is a duplicate too (Lee et al.
+    semantics: >1 occurrence corpus-wide, not >1 doc)."""
+    run = " ".join(f"r{i}" for i in range(8))
+    doc = "x1 x2 " + run + " y1 y2 y3 y4 y5 y6 y7 y8 " + run + " z1"
+    docs = spark.createDataFrame([(7, doc)], "doc_id long, text string")
+    # tokens: x1 x2 (2) r0..r7 = 3..10, y1..y8 = 11..18, r0..r7 = 19..26, z1
+    assert _spans(docs, k=8) == [(7, 3, 10), (7, 19, 26)]
+
+
+def test_d18_overlapping_coverage_merges_to_one_span(spark):
+    """Two duplicated shingles whose coverage intervals overlap but whose
+    positions are not adjacent must merge into ONE maximal span."""
+    a = " ".join(f"a{i}" for i in range(8))   # dup shingle A
+    b = " ".join(f"b{i}" for i in range(8))   # dup shingle B
+    # doc 1: A, then 3 unique tokens, then B → coverage [1,8] and [12,19]:
+    # gap of 3 uncovered tokens → TWO spans
+    doc1 = a + " u1 u2 u3 " + b
+    # doc 2: A immediately followed by B → coverage [1,8]+[9,16] adjacent
+    # → ONE span (the shingles straddling the A|B seam are unique, so
+    # coverage — not position adjacency — is what merges)
+    doc2 = a + " " + b
+    # docs 3/4 re-state A and B with unique flanks so both are duplicated
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, "f1 " + a + " f2"), (4, "g1 " + b + " g2")],
+        "doc_id long, text string",
+    )
+    got = _spans(docs, k=8)
+    assert (1, 1, 8) in got and (1, 12, 19) in got
+    assert (2, 1, 16) in got
+    assert (3, 2, 9) in got and (4, 2, 9) in got
+
+
+def test_d18_no_duplicates_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"p{i}" for i in range(20))), (2, " ".join(f"q{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    assert _spans(docs, k=8) == []
+
+
+def test_d18_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "d18_substring_dedup")
