@@ -271,3 +271,74 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return _spread(media.select("doc_id", "payload")).mapInPandas(
         _frame_sample_batches, schema=FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Library-free 24bpp BMP pixel codec + perceptual hash primitives (m6)
+# ---------------------------------------------------------------------------
+
+
+def bmp_from_gray(gray: list[int], width: int, height: int) -> bytes:
+    """Encode a row-major top-down grayscale grid as a spec-valid 24bpp BMP
+    (BITMAPINFOHEADER, bottom-up pixel array, rows padded to 4 bytes,
+    r=g=b=v). The inverse of :func:`bmp_gray_grid` — together they give the
+    engine a REAL image round-trip with zero codec dependencies."""
+    import struct
+
+    assert len(gray) == width * height
+    pad = (-(width * 3)) % 4
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for c in range(width):
+            v = gray[r * width + c] & 0xFF
+            row += bytes((v, v, v))  # little-endian BGR, all equal
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def bmp_gray_grid(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL pixel decode of a 24bpp uncompressed BMP: returns
+    (width, height, row-major TOP-DOWN grayscale grid) with
+    gray = (r + 2·g + b) // 4 (integer luma — exact, oracle-replayable).
+    Handles bottom-up (positive height) and top-down (negative height)
+    storage and 4-byte row padding. Raises on non-BMP/compressed/≠24bpp —
+    this is the decode seam a cv2-backed variant would widen."""
+    p = bytes(payload)
+    if p[:2] != b"BM" or len(p) < 54:
+        raise NotImplementedError("not a BMP payload")
+    data_off = int.from_bytes(p[10:14], "little")
+    width = int.from_bytes(p[18:22], "little", signed=True)
+    raw_h = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    compression = int.from_bytes(p[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or raw_h == 0:
+        raise NotImplementedError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    height = abs(raw_h)
+    stride = (width * 3 + 3) & ~3
+    gray: list[int] = [0] * (width * height)
+    for stored_r in range(height):
+        # positive height → rows stored bottom-up; negative → top-down
+        img_r = (height - 1 - stored_r) if raw_h > 0 else stored_r
+        base = data_off + stored_r * stride
+        for c in range(width):
+            b_, g_, r_ = p[base + 3 * c : base + 3 * c + 3]
+            gray[img_r * width + c] = (r_ + 2 * g_ + b_) // 4
+    return width, height, gray
+
+
+def dhash_bits(gray: list[int], width: int, height: int) -> list[int]:
+    """Difference hash (dHash): bit (r, c) = 1 iff gray[r][c+1] > gray[r][c]
+    — (height × (width-1)) bits, row-major. The standard perceptual
+    near-dup hash: stable under re-encoding and small pixel perturbation,
+    because only the ORDER of adjacent intensities matters."""
+    return [
+        1 if gray[r * width + c + 1] > gray[r * width + c] else 0
+        for r in range(height)
+        for c in range(width - 1)
+    ]

@@ -220,3 +220,194 @@ def m5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m6: perceptual media near-dup (dHash + Hamming-banded LSH)
+# ---------------------------------------------------------------------------
+
+_M6_W, _M6_H = 9, 8          # dHash canonical grid → 8×8 = 64 difference bits
+_M6_TWEAK_CELLS = (40, 50, 60, 70)  # bit-tweaked copies: cells in grid rows
+# 4..7 only, so dHash bits < 32 (bands 0 and 1) are untouched — copy/original
+# band collision is GUARANTEED, not probabilistic
+_M6_HAMMING_MAX = 10
+
+
+def _m6_gray(base: int, tweaked: bool) -> list[int]:
+    """Deterministic 9×8 gray grid per base doc: md5-expanded bytes, so the
+    DuckDB oracle derives the same grid analytically (md5 is common to
+    both engines). Tweaked copies XOR a handful of pixels — a stand-in
+    for re-encode noise that perturbs intensities without reordering
+    most adjacent-pixel comparisons."""
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(f"{base}:{k}".encode()).digest() for k in range(5)
+    )[: _M6_W * _M6_H]
+    g = list(raw)
+    if tweaked:
+        for i in _M6_TWEAK_CELLS:
+            g[i] ^= 64
+    return g
+
+
+def media_gray_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g: array<int> 72 grays) — synthesize a REAL 24bpp BMP per
+    doc (copies at +offset for doc_id % 10 == 0, pixel-tweaked), then
+    round-trip it through the library-free pixel DECODER. Any encoder or
+    decoder bug (stride padding, bottom-up rows, luma arithmetic) changes
+    the grays and turns the oracle red — the container round-trip is
+    inside the verified path, not beside it."""
+    import pandas as pd
+
+    from ..functions.multimodal import bmp_from_gray, bmp_gray_grid
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = ids.select("doc_id", F.col("doc_id").alias("base"), F.lit(False).alias("tweaked")).unionByName(
+        ids.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.col("doc_id").alias("base"),
+            F.lit(True).alias("tweaked"),
+        )
+    )
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            grays = []
+            for base, tweaked in zip(pdf["base"], pdf["tweaked"]):
+                payload = bmp_from_gray(_m6_gray(int(base), bool(tweaked)), _M6_W, _M6_H)
+                w, h, g = bmp_gray_grid(payload)
+                assert (w, h) == (_M6_W, _M6_H)
+                grays.append(g)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "g": grays})
+
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    return corpus.mapInPandas(batches, schema="doc_id long, g array<int>")
+
+
+_M6_SQL_GRAY = (
+    "list_transform(range(0, 72), i -> "
+    "CASE WHEN tw = 1 AND i IN (40, 50, 60, 70) "
+    "THEN xor(CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT), 64) "
+    "ELSE CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT) END)"
+)
+_M6_SQL_BITS = (
+    "list_transform(range(0, 64), j -> CASE WHEN "
+    "g[(j // 8) * 9 + (j % 8) + 2] > g[(j // 8) * 9 + (j % 8) + 1] "
+    "THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "m6_perceptual_neardup",
+    f"""WITH ids AS (
+          SELECT doc_id, doc_id AS base, 0 AS tw FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        grid AS MATERIALIZED (
+          SELECT doc_id, {_M6_SQL_GRAY} AS g
+          FROM (SELECT doc_id, tw,
+                       md5(base || ':0') || md5(base || ':1') || md5(base || ':2')
+                       || md5(base || ':3') || md5(base || ':4') AS hx
+                FROM ids)),
+        perdoc AS MATERIALIZED (
+          SELECT doc_id, {_M6_SQL_BITS} AS bits
+          FROM grid),
+        bands AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, 4), b -> {{'band': b,
+                   'key': CAST(list_sum(list_transform(range(0, 16),
+                          j -> bits[b * 16 + j + 1] * (1 << j))) AS BIGINT)}}),
+                        recursive := true)
+          FROM perdoc),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(0, 64),
+                    j -> CASE WHEN x.bits[j + 1] <> y.bits[j + 1]
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM cand
+        JOIN perdoc x ON x.doc_id = cand.doc_a
+        JOIN perdoc y ON y.doc_id = cand.doc_b
+        WHERE list_sum(list_transform(range(0, 64),
+              j -> CASE WHEN x.bits[j + 1] <> y.bits[j + 1]
+                   THEN 1 ELSE 0 END)) <= {_M6_HAMMING_MAX}""",
+    tags=("multimodal", "dedup", "perceptual", "headline"),
+    doc="Perceptual media near-dup: m4 is byte-exact, but real media dedup "
+    "must catch RE-ENCODED copies. Pipeline: real 24bpp BMP pixel decode "
+    "(library-free, the encode→decode round-trip runs inside the "
+    "operator), 64-bit dHash (adjacent-intensity comparisons — invariant "
+    "to small pixel perturbation), Hamming-banded LSH blocking (4 bands "
+    "× 16 bits; near-dups within radius r collide in ≥1 band whenever "
+    "r < 4 by pigeonhole), exact Hamming verify ≤ 10 on candidates only. "
+    "Tweaked copies perturb only grid rows 4-7, so bands 0/1 are "
+    "untouched — copy recall is deterministic, while unrelated docs hit "
+    "a band with p≈2⁻¹⁶ each and are killed by the verify. Plan shape = "
+    "d6's SimHash banding: decode is a narrow Arrow stage, ONE shuffle "
+    "on the (band, key) bucket, verification joins touch candidates "
+    "only — never all pairs. At 100 TB: same shape with a pHash/cv2 "
+    "decode plugged into the same seam, band width tuned to corpus size.",
+)
+def m6_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grids = media_gray_grids(spark, sf_dir)
+    perdoc = grids.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(
+                F.element_at("g", ((j / 8).cast("int") * 9 + j % 8 + 2).cast("int"))
+                > F.element_at("g", ((j / 8).cast("int") * 9 + j % 8 + 1).cast("int")),
+                1,
+            ).otherwise(0),
+        ).alias("bits"),
+    ).cache()
+    bands = perdoc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    # Horner form of sum(bit[j] << j): fold j = 15 → 0 with
+                    # acc*2 + bit (F.shiftleft needs a literal shift width)
+                    F.aggregate(
+                        F.sequence(F.lit(15), F.lit(0), F.lit(-1)),
+                        F.lit(0),
+                        lambda acc, jj: acc * 2
+                        + F.element_at(F.col("bits"), (b * 16 + jj + 1).cast("int")),
+                    )
+                    .cast("bigint")
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = perdoc.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"))
+    y = perdoc.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"))
+    ham = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda p, q: F.when(p != q, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= _M6_HAMMING_MAX)
+    )

@@ -112,3 +112,93 @@ def test_d18_no_duplicates_empty(spark):
 
 def test_d18_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "d18_substring_dedup")
+
+
+# ---------------------------------------------------------------------------
+# m6: perceptual media near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_codec_roundtrip_padding_and_topdown():
+    """Width 7 → stride pads 21→24: the decoder must skip pad bytes.
+    Negative height = top-down storage; both orders must decode to the
+    same top-down grid."""
+    import struct
+
+    from etl_pipeline_telecom_spark.functions.multimodal import (
+        bmp_from_gray,
+        bmp_gray_grid,
+    )
+
+    gray = [(i * 53 + 7) % 256 for i in range(7 * 4)]
+    p = bmp_from_gray(gray, 7, 4)
+    assert bmp_gray_grid(p) == (7, 4, gray)
+
+    # rewrite as top-down: negate height, reverse row blocks
+    stride = (7 * 3 + 3) & ~3
+    off = 14 + 40
+    rows = [p[off + r * stride : off + (r + 1) * stride] for r in range(4)]
+    topdown = bytearray(p[:off] + b"".join(reversed(rows)))
+    topdown[22:26] = struct.pack("<i", -4)
+    assert bmp_gray_grid(bytes(topdown)) == (7, 4, gray)
+
+
+def test_bmp_decoder_rejects_unsupported():
+    from etl_pipeline_telecom_spark.functions.multimodal import bmp_gray_grid
+
+    with pytest.raises(NotImplementedError):
+        bmp_gray_grid(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # not BMP
+    from etl_pipeline_telecom_spark.functions.multimodal import bmp_from_gray
+
+    p = bytearray(bmp_from_gray([0] * 4, 2, 2))
+    p[28:30] = (8).to_bytes(2, "little")  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        bmp_gray_grid(bytes(p))
+
+
+def test_dhash_invariant_to_uniform_brightness():
+    """dHash depends only on adjacent-intensity ORDER: adding a constant
+    to every pixel must not change a single bit."""
+    from etl_pipeline_telecom_spark.functions.multimodal import dhash_bits
+
+    g = [(i * 37 + 11) % 200 for i in range(72)]
+    brighter = [v + 55 for v in g]
+    assert dhash_bits(g, 9, 8) == dhash_bits(brighter, 9, 8)
+
+
+def test_m6_tweak_bounds():
+    """The copy tweak touches only grid rows 4-7 → dHash bits <32 are
+    IDENTICAL (bands 0/1 collide deterministically), and total hamming
+    stays ≤ 8 (≤2 comparisons per tweaked cell)."""
+    from etl_pipeline_telecom_spark.functions.multimodal import dhash_bits
+    from etl_pipeline_telecom_spark.plans.multimodal import _m6_gray
+
+    for base in range(0, 400, 7):
+        a = dhash_bits(_m6_gray(base, False), 9, 8)
+        b = dhash_bits(_m6_gray(base, True), 9, 8)
+        assert a[:32] == b[:32]
+        assert sum(x != y for x, y in zip(a, b)) <= 8
+
+
+def test_m6_copies_collide_distinct_do_not(spark, sf_dir):
+    """Every re-inserted tweaked copy must pair with its original; no
+    pair of DISTINCT originals may survive the Hamming verify."""
+    from etl_pipeline_telecom_spark import catalog
+
+    rows = catalog.REGISTRY["m6_perceptual_neardup"].fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    from etl_pipeline_telecom_spark.sources import load_table
+
+    originals = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expected = {(d, d + 10_000_000) for d in originals if d % 10 == 0}
+    assert expected <= pairs, f"missed copies: {expected - pairs}"
+    extras = pairs - expected
+    assert not any(a < 10_000_000 and b < 10_000_000 for a, b in extras), extras
+    assert all(r.hamming <= 10 for r in rows)
+
+
+def test_m6_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "m6_perceptual_neardup")
