@@ -589,7 +589,7 @@ def _p6_shard_audit(batches):
 
 @register(
     "p6_range_sharded_export",
-    f"""SELECT {_P6_SHARDS} AS n_shards,
+    f"""SELECT LEAST({_P6_SHARDS}, COUNT(*)) AS n_shards,
               COUNT(*) AS n_rows,
               0 AS n_sort_violations,
               0 AS n_range_overlaps,
@@ -608,7 +608,11 @@ def _p6_shard_audit(batches):
     "Arrow-batch boundaries), and a 16-row window checks shard ranges "
     "are pairwise disjoint. Sampled boundaries make per-shard counts "
     "run-dependent, so the emitted audit collapses to the "
-    "deterministic invariants: shard count, total rows (conservation), "
+    "deterministic invariants: shard count = LEAST(16, n_rows) — with "
+    "unique (ts, event_id) keys and small inputs fully sampled, the "
+    "RangePartitioner provably creates one shard per distinct key up "
+    "to the target (probed 2..100; the hypothesis test asserts it) — "
+    "total rows (conservation), "
     "ZERO sort violations, ZERO range overlaps, and the global key "
     "extremes — which is exactly what the oracle can pin. A broken "
     "writer (skipped sort, overlapping boundaries) fails the hash "
@@ -763,4 +767,140 @@ def d17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removed"),
         F.max("doc_id").cast("bigint").alias("max_member_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p8: multi-column layout clustering (Z-order) vs 1-D range sharding
+# ---------------------------------------------------------------------------
+
+_P8_SQL_EV = """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"""
+_P8_SQL_Z16 = (
+    "list_sum(list_transform(range(0, 8), i -> "
+    "((bx >> i) & 1) * (1 << (2*i)) + ((by >> i) & 1) * (1 << (2*i + 1))))"
+)
+
+
+def _p8_per_file_audit(spark: SparkSession, sf_dir: str, layout: str) -> DataFrame:
+    """Per-FILE extents of a staged layout, read back through the parquet
+    source's ``_metadata.file_name`` — the audit sees what a min/max-
+    pruning scanner would see, not what the planner intended. ``n_parts``
+    pins the one-file-per-directory invariant (p7 discipline: a
+    fragmenting writer changes the count and trips the hash gate)."""
+    from ..sources.writers import stage_zorder_events
+
+    path = stage_zorder_events(spark, sf_dir, layout=layout)
+    df = spark.read.parquet(path).select(
+        "t", "user_id", "zfile", F.col("_metadata.file_name").alias("fname")
+    )
+    return df.groupBy("zfile").agg(
+        F.countDistinct("fname").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("t").alias("fmin_t"),
+        F.max("t").alias("fmax_t"),
+        F.min("user_id").alias("fmin_u"),
+        F.max("user_id").alias("fmax_u"),
+    ).withColumn("layout", F.lit(layout))
+
+
+@register(
+    "p8_zorder_layout",
+    f"""WITH ev AS MATERIALIZED ({_P8_SQL_EV}),
+        ext AS (SELECT MIN(t) AS min_t, MAX(t) AS max_t,
+                       MIN(user_id) AS min_u, MAX(user_id) AS max_u FROM ev),
+        b AS MATERIALIZED (
+          SELECT t, user_id,
+                 CAST((t - min_t) * 256 // (max_t - min_t + 1) AS INT) AS bx,
+                 CAST((user_id - min_u) * 256 // (max_u - min_u + 1) AS INT) AS by
+          FROM ev, ext),
+        assigned AS MATERIALIZED (
+          SELECT 'zorder' AS layout, ({_P8_SQL_Z16}) >> 12 AS zfile, t, user_id FROM b
+          UNION ALL
+          SELECT 'linear', bx >> 4, t, user_id FROM b),
+        f AS MATERIALIZED (
+          SELECT layout, zfile, COUNT(*) AS n_rows,
+                 MIN(t) AS fmin_t, MAX(t) AS fmax_t,
+                 MIN(user_id) AS fmin_u, MAX(user_id) AS fmax_u
+          FROM assigned GROUP BY layout, zfile),
+        box AS (SELECT min_t + (max_t - min_t) * 2 // 5 AS lo_t,
+                       min_t + (max_t - min_t) * 3 // 5 AS hi_t,
+                       min_u + (max_u - min_u) * 2 // 5 AS lo_u,
+                       min_u + (max_u - min_u) * 3 // 5 AS hi_u
+                FROM ext),
+        preds(predicate, use_t, use_u) AS (
+          VALUES ('t_box', 1, 0), ('u_box', 0, 1), ('both', 1, 1))
+        SELECT layout, predicate,
+               COUNT(*) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN (use_t = 1 AND (fmax_t < lo_t OR fmin_t > hi_t))
+                          OR (use_u = 1 AND (fmax_u < lo_u OR fmin_u > hi_u))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_files,
+               CAST(SUM(CASE WHEN (use_t = 1 AND (fmax_t < lo_t OR fmin_t > hi_t))
+                          OR (use_u = 1 AND (fmax_u < lo_u OR fmin_u > hi_u))
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows_total
+        FROM f, box, preds
+        GROUP BY layout, predicate""",
+    tags=("layout", "zorder", "metadata", "pruning"),
+    doc="Multi-column layout clustering: the same events staged under a "
+    "Z-ORDER layout (16 files = top-4 bits of the Morton value over the "
+    "256-bin (ts, user_id) grid → a 4×4 tiling of both dims) and under "
+    "p6-style 1-D time sharding, then a per-file min/max audit (read "
+    "back through `_metadata.file_name`, i.e. what a pruning scanner "
+    "sees) grades FILE-SKIPPING for three canonical predicates: the "
+    "central 20% range of t, of user_id, and their conjunction. "
+    "Expected physics, which the oracle pins: the linear layout prunes "
+    "t-predicates harder (its whole key budget backs one dim) but ZERO "
+    "files for u-only predicates; Z-order prunes BOTH dims at ~50-75%, "
+    "which wins any mixed workload — the reason Delta/Iceberg OPTIMIZE "
+    "ZORDER exists. Everything is integer-exact (bigint div binning, "
+    "bit-interleave as a codegen'd Column expression) so DuckDB "
+    "reassigns rows analytically; the physical 1:1 file-per-directory "
+    "invariant rides in n_parts. Scale: staging is one repartition on "
+    "the file key (the real table-maintenance write), audits are "
+    "map-side min/max per file — no row ever leaves its scan partition.",
+)
+def p8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audit = _p8_per_file_audit(spark, sf_dir, "zorder").unionByName(
+        _p8_per_file_audit(spark, sf_dir, "linear")
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.unix_micros("ts").alias("t"), "user_id")
+    )
+    box = ev.agg(
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+    ).select(
+        F.expr("min_t + (max_t - min_t) * 2 div 5").alias("lo_t"),
+        F.expr("min_t + (max_t - min_t) * 3 div 5").alias("hi_t"),
+        F.expr("min_u + (max_u - min_u) * 2 div 5").alias("lo_u"),
+        F.expr("min_u + (max_u - min_u) * 3 div 5").alias("hi_u"),
+    )
+    preds = spark.createDataFrame(
+        [("t_box", 1, 0), ("u_box", 0, 1), ("both", 1, 1)],
+        "predicate string, use_t int, use_u int",
+    )
+    skip = (
+        (F.col("use_t") == 1)
+        & ((F.col("fmax_t") < F.col("lo_t")) | (F.col("fmin_t") > F.col("hi_t")))
+    ) | (
+        (F.col("use_u") == 1)
+        & ((F.col("fmax_u") < F.col("lo_u")) | (F.col("fmin_u") > F.col("hi_u")))
+    )
+    return (
+        audit.crossJoin(F.broadcast(box))
+        .crossJoin(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            F.sum(F.when(skip, 1).otherwise(0)).alias("n_skipped_files"),
+            F.sum(F.when(skip, F.col("n_rows")).otherwise(0)).alias("n_rows_skipped"),
+            F.sum("n_rows").alias("n_rows_total"),
+        )
     )

@@ -23,6 +23,47 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _stage_key(src: str, tag: str) -> str:
+    """Cache key for a staged layout derived from ``src``.
+
+    Keyed on (abspath, size, mtime_ns, tag): an in-place rewrite that
+    lands within coarse-mtime granularity still changes size or mtime_ns
+    in practice, so a stale staged layout is not silently reused (the
+    plain-getmtime key could be fooled by a same-second rewrite).
+    """
+    import hashlib
+
+    st = os.stat(src)
+    return hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{tag}".encode()
+    ).hexdigest()[:10]
+
+
+def _sweep_stale_stage_work(family_prefix: str, *, max_age_sec: float = 3600.0) -> None:
+    """Remove orphan ``<family>*.stage-*`` work dirs left by a crashed
+    staging run (any cache key — old keys orphan their work too). Only
+    sweeps dirs older than ``max_age_sec`` so a CONCURRENT stager's live
+    work dir is never pulled out from under it (the pid+monotonic suffix
+    makes names unique per attempt)."""
+    import time
+
+    for work in glob.glob(f"{family_prefix}*.stage-*"):
+        try:
+            if time.time() - os.path.getmtime(work) > max_age_sec:
+                shutil.rmtree(work, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _publish_stage(work: str, out_dir: str) -> str:
+    """Atomic rename publish; loser of a concurrent race cleans up."""
+    try:
+        os.rename(work, out_dir)
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir
+
+
 def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     writer = df.write.mode(mode)
     if partition_by:
@@ -111,12 +152,9 @@ def stage_partitioned_events(spark, sf_dir: str) -> str:
     The p5 catalog query reads this sink back with a partition filter —
     the write side of the §7 layout story (bucketing.py covers joins;
     this covers the partition-pruned scan every time-partitioned fact
-    table lives by). Cached by source mtime; atomic rename publish
-    (the replay_dir_with_sentinels discipline).
+    table lives by). Cached by source (size, mtime_ns); atomic rename
+    publish (the replay_dir_with_sentinels discipline).
     """
-    import hashlib
-    import os
-    import shutil
     import time
 
     from pyspark.sql import functions as F
@@ -124,8 +162,8 @@ def stage_partitioned_events(spark, sf_dir: str) -> str:
     from .readers import load_table
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
-    out_dir = f"/tmp/spark_graft_p5_part_{key}"
+    out_dir = f"/tmp/spark_graft_p5_part_{_stage_key(src, 'p5')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_p5_part_")
     if os.path.isdir(out_dir):
         return out_dir
     work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
@@ -135,11 +173,7 @@ def stage_partitioned_events(spark, sf_dir: str) -> str:
         .write.partitionBy("event_date")
         .parquet(work)
     )
-    try:
-        os.rename(work, out_dir)
-    except OSError:
-        shutil.rmtree(work, ignore_errors=True)
-    return out_dir
+    return _publish_stage(work, out_dir)
 
 
 def stage_bucketed_events(spark, sf_dir: str, n_buckets: int = 24) -> str:
@@ -151,12 +185,9 @@ def stage_bucketed_events(spark, sf_dir: str, n_buckets: int = 24) -> str:
     a DuckDB oracle can recompute membership); ``repartition(bucket)``
     guarantees each bucket's rows land in exactly ONE task → one part
     file per directory — the file-count invariant p7's audit reads back
-    through ``_metadata``. Cached by source mtime; atomic rename publish
-    (the stage_partitioned_events discipline).
+    through ``_metadata``. Cached by source (size, mtime_ns); atomic
+    rename publish (the stage_partitioned_events discipline).
     """
-    import hashlib
-    import os
-    import shutil
     import time
 
     from pyspark.sql import functions as F
@@ -164,10 +195,8 @@ def stage_bucketed_events(spark, sf_dir: str, n_buckets: int = 24) -> str:
     from .readers import load_table
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_buckets}".encode()
-    ).hexdigest()[:10]
-    out_dir = f"/tmp/spark_graft_p7_bucket_{key}"
+    out_dir = f"/tmp/spark_graft_p7_bucket_{_stage_key(src, f'p7:{n_buckets}')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_p7_bucket_")
     if os.path.isdir(out_dir):
         return out_dir
     bucket = (
@@ -183,11 +212,7 @@ def stage_bucketed_events(spark, sf_dir: str, n_buckets: int = 24) -> str:
         .write.partitionBy("bucket")
         .parquet(work)
     )
-    try:
-        os.rename(work, out_dir)
-    except OSError:
-        shutil.rmtree(work, ignore_errors=True)
-    return out_dir
+    return _publish_stage(work, out_dir)
 
 
 def stage_two_generation_events(spark, sf_dir: str) -> str:
@@ -198,11 +223,8 @@ def stage_two_generation_events(spark, sf_dir: str) -> str:
     event_ids) adds ``quality_tier`` — the additive-column evolution
     every long-lived feed goes through. A ``mergeSchema`` read of the
     parent must surface the new column with NULLs for gen-1 rows.
-    Cached by source mtime; atomic rename publish.
+    Cached by source (size, mtime_ns); atomic rename publish.
     """
-    import hashlib
-    import os
-    import shutil
     import time
 
     from pyspark.sql import functions as F
@@ -210,10 +232,8 @@ def stage_two_generation_events(spark, sf_dir: str) -> str:
     from .readers import load_table
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:dq7".encode()
-    ).hexdigest()[:10]
-    out_dir = f"/tmp/spark_graft_dq7_gen_{key}"
+    out_dir = f"/tmp/spark_graft_dq7_gen_{_stage_key(src, 'dq7')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_dq7_gen_")
     if os.path.isdir(out_dir):
         return out_dir
     ev = load_table(spark, sf_dir, "events").select(
@@ -227,8 +247,77 @@ def stage_two_generation_events(spark, sf_dir: str) -> str:
         .withColumn("quality_tier", tier)
         .write.parquet(os.path.join(work, "gen=2"))
     )
-    try:
-        os.rename(work, out_dir)
-    except OSError:
-        shutil.rmtree(work, ignore_errors=True)
-    return out_dir
+    return _publish_stage(work, out_dir)
+
+
+def zorder_value(bx, by, bits: int = 8):
+    """Morton/Z-value of two ``bits``-wide integer columns: interleave
+    x into even and y into odd bit positions. Pure Column expression
+    (literal shift widths), so it codegens — no UDF."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def stage_zorder_events(spark, sf_dir: str, *, layout: str) -> str:
+    """Materialize events under one of two 16-file physical layouts — the
+    p8 clustering comparison fixture:
+
+    - ``zorder``: file = top 4 bits of the 16-bit Z-value over the
+      256-bin (ts, user_id) grid → a 4×4 quadrant tiling of BOTH dims.
+    - ``linear``: file = top 4 bits of the ts bin alone → 16 contiguous
+      time slices (what p6-style 1-D range sharding produces).
+
+    Bin edges come from the global min/max computed IN-PLAN (broadcast
+    one-row agg — no driver collect) with pure integer arithmetic, so a
+    DuckDB oracle reassigns every row to its file analytically.
+    ``repartition(file)`` keeps each file directory to ONE part file —
+    the 1:1 invariant p8's ``_metadata`` audit verifies (p7 discipline).
+    Cached by source (size, mtime_ns); atomic rename publish.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    assert layout in ("zorder", "linear")
+    src = os.path.join(sf_dir, "events.parquet")
+    out_dir = f"/tmp/spark_graft_p8_{layout}_{_stage_key(src, f'p8:{layout}')}"
+    _sweep_stale_stage_work(f"/tmp/spark_graft_p8_{layout}_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", F.unix_micros("ts").alias("t"), "user_id")
+    )
+    extent = ev.agg(
+        F.min("t").alias("min_t"),
+        F.max("t").alias("max_t"),
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+    )
+    # integer-exact binning (bigint `div`, not double `/`): a double
+    # quotient is only exact below 2^53 — micros since epoch × 256 is not
+    bx = F.expr("CAST((t - min_t) * 256 div (max_t - min_t + 1) AS INT)")
+    by = F.expr("CAST((user_id - min_u) * 256 div (max_u - min_u + 1) AS INT)")
+    binned = ev.crossJoin(F.broadcast(extent))
+    if layout == "zorder":
+        fcol = F.shiftright(zorder_value(bx, by, 8), 12)
+    else:
+        fcol = F.shiftright(bx, 4)
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    (
+        binned.select("event_id", "t", "user_id", fcol.cast("int").alias("zfile"))
+        .repartition("zfile")
+        .write.partitionBy("zfile")
+        .parquet(work)
+    )
+    return _publish_stage(work, out_dir)

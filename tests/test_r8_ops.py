@@ -701,6 +701,10 @@ def test_p6_export_audits_clean_on_arbitrary_event_sets(spark, tmp_path_factory,
     _write_events(d, rows)
     out = p6_range_sharded_export(spark, str(d)).collect()[0]
     assert out["n_rows"] == len(offs)
+    # shard-count law (ADVICE r8): unique keys + fully-sampled input →
+    # exactly one shard per distinct key up to the 16 target, so the
+    # oracle's LEAST(16, n) pin is asserted here, not skipped
+    assert out["n_shards"] == min(16, len(offs))
     assert out["n_sort_violations"] == 0
     assert out["n_range_overlaps"] == 0
 

@@ -202,3 +202,98 @@ def test_m6_copies_collide_distinct_do_not(spark, sf_dir):
 
 def test_m6_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "m6_perceptual_neardup")
+
+
+# ---------------------------------------------------------------------------
+# p8: Z-order layout clustering + staging-cache hardening
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_value_interleave(spark):
+    """Morton pins: x fills even bits, y odd bits."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame(
+        [(0xFF, 0x00), (0x00, 0xFF), (0xFF, 0xFF), (0b1010, 0b0101)],
+        "x int, y int",
+    )
+    got = [
+        r.z
+        for r in df.select(
+            zorder_value(F.col("x"), F.col("y"), 8).alias("z")
+        ).collect()
+    ]
+    # (0b1010, 0b0101): x bits 1,3 → z bits 2,6; y bits 0,2 → z bits 1,5
+    assert got == [0x5555, 0xAAAA, 0xFFFF, (1 << 2) + (1 << 6) + (1 << 1) + (1 << 5)]
+
+
+def test_p8_zorder_prunes_both_dims_linear_blind_to_u(spark, sf_dir):
+    """The layout physics the operator exists to demonstrate: the 1-D
+    time layout skips ZERO files for a user-only predicate; Z-order
+    skips on both dims; n_parts pins one physical file per directory."""
+    from etl_pipeline_telecom_spark import catalog
+
+    rows = {
+        (r.layout, r.predicate): r
+        for r in catalog.REGISTRY["p8_zorder_layout"].fn(spark, sf_dir).collect()
+    }
+    assert rows[("linear", "u_box")].n_skipped_files == 0
+    assert rows[("zorder", "u_box")].n_skipped_files > 0
+    assert rows[("zorder", "t_box")].n_skipped_files > 0
+    # 1-D spends its whole key budget on t → prunes t-boxes at least as
+    # hard as the split-budget z layout
+    assert (
+        rows[("linear", "t_box")].n_skipped_files
+        >= rows[("zorder", "t_box")].n_skipped_files
+    )
+    for r in rows.values():
+        assert r.n_parts == r.n_files  # one part file per directory
+        assert r.n_rows_total == rows[("linear", "t_box")].n_rows_total
+
+
+def test_p8_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "p8_zorder_layout")
+
+
+def test_stage_key_tracks_content(tmp_path):
+    """ADVICE r8: the staging cache key must change when the source is
+    rewritten in place — even within mtime-second granularity."""
+    import os
+
+    from etl_pipeline_telecom_spark.sources.writers import _stage_key
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"aaaa")
+    k1 = _stage_key(str(src), "t")
+    st = os.stat(src)
+    src.write_bytes(b"bbbbbb")  # different size
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))  # freeze mtime
+    k2 = _stage_key(str(src), "t")
+    assert k1 != k2
+    # same size, same coarse mtime second, different mtime_ns
+    src.write_bytes(b"cccccc")
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert _stage_key(str(src), "t") != k2
+    assert _stage_key(str(src), "other-tag") != _stage_key(str(src), "t")
+
+
+def test_stale_stage_work_sweep(tmp_path):
+    """Orphan *.stage-* work dirs are reaped once old; fresh ones (a
+    live concurrent stager) are left alone."""
+    import os
+    import time
+
+    from etl_pipeline_telecom_spark.sources.writers import _sweep_stale_stage_work
+
+    fam = str(tmp_path / "spark_graft_p8_zorder_")
+    stale = f"{fam}abc.stage-1-1"
+    fresh = f"{fam}abc.stage-2-2"
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    _sweep_stale_stage_work(fam)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
