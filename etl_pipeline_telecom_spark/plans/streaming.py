@@ -389,3 +389,44 @@ def st11_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
     out, _ = run_available_now(throttle_with_state(stream))
     return out.where(F.col("user_id") >= 0)
+
+
+@register(
+    "st12_stream_stream_outer_join",
+    """SELECT c.event_id AS click_id, e.event_id AS error_id,
+              c.user_id,
+              epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+              epoch_us(CAST(e.ts AS TIMESTAMP)) AS error_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ON e.user_id = c.user_id
+        AND CAST(e.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        AND CAST(e.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL '5 minutes'
+       WHERE c.user_id >= 0""",
+    tags=("streaming", "stream-stream-join", "outer"),
+    doc="Watermarked stream-stream LEFT OUTER join — st4's state-heavy "
+    "sibling: unmatched clicks emit null-padded only after the watermark "
+    "proves no matching error can still arrive (eviction timing IS the "
+    "semantics, which is why the outer form needs the st3 sentinel "
+    "replay: two far-future sentinel files, one per micro-batch, drive "
+    "the watermark past every real click so ALL pending state drains "
+    "and the emitted set equals the batch LEFT JOIN exactly). Sentinel "
+    "rows (user_id < 0) are filtered from the output; watermarks sit "
+    "BEFORE the event_type filters so sentinels of any type advance "
+    "both sides. tests/test_r9_ops.py additionally pins the TIMING: "
+    "null-padded rows appear only in micro-batches after the sentinel "
+    "advances the watermark, and join-state rows are actually removed "
+    "(numRowsRemoved > 0).",
+)
+def st12_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import read_events_stream
+    from ..streaming.jobs import (
+        replay_dir_with_sentinels,
+        run_available_now,
+        stream_stream_click_error_left_join,
+    )
+
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    out, _ = run_available_now(stream_stream_click_error_left_join(stream))
+    return out.where(F.col("user_id") >= 0)

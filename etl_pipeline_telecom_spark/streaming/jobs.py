@@ -439,3 +439,56 @@ def maintain_contamination_bloom(
     q.awaitTermination(300)
     with open(state_path, "rb") as fh:
         return fh.read()
+
+
+def stream_stream_click_error_left_join(
+    events: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, paired with same-user
+    errors in the preceding ``window`` — or with NULLs once no match can
+    arrive.
+
+    The outer variant is the state-HEAVY one: an unmatched click cannot
+    emit when it is seen (a matching error may still come), so it sits in
+    the state store until the watermark passes ``click.ts + window`` (the
+    latest event time a matching error could carry) and only THEN emits
+    null-padded — correctness depends on eviction timing, not just on
+    matching. Both watermarks therefore go on the RAW event stream,
+    BEFORE the event_type filters: the bounded-replay sentinels (user_id
+    < 0, arbitrary type) must advance both sides' watermarks or the last
+    unmatched clicks would hang in state forever — exactly the st3
+    sentinel discipline, applied to join state instead of session state.
+
+    Inner-join results stream out as matches arrive (same as
+    :func:`stream_stream_click_error_join`); the join condition bounds
+    event-time distance on both sides, so state stays finite on an
+    unbounded stream.
+    """
+    wm = events.withWatermark("ts", watermark)
+    c = wm.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    e = wm.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("c_ts"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {window}")),
+        "leftOuter",
+    )
+    return joined.select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("e_ts").alias("error_us"),
+    )

@@ -297,3 +297,56 @@ def test_stale_stage_work_sweep(tmp_path):
     _sweep_stale_stage_work(fam)
     assert not os.path.isdir(stale)
     assert os.path.isdir(fresh)
+
+
+# ---------------------------------------------------------------------------
+# st12: stream-stream LEFT OUTER join
+# ---------------------------------------------------------------------------
+
+
+def test_st12_null_rows_emit_only_after_watermark(spark, sf_dir):
+    """The outer join's semantics ARE its eviction timing: matched rows
+    stream out in the first (real-data) micro-batch; null-padded rows may
+    appear only in LATER batches, after a sentinel advanced the watermark
+    — and the join state must actually shrink (numRowsRemoved > 0)."""
+    from etl_pipeline_telecom_spark.streaming import read_events_stream
+    from etl_pipeline_telecom_spark.streaming.jobs import (
+        replay_dir_with_sentinels,
+        stream_stream_click_error_left_join,
+    )
+
+    replay = replay_dir_with_sentinels(sf_dir, glob="events.parquet")
+    stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
+    joined = stream_stream_click_error_left_join(stream)
+
+    per_batch: dict[int, list] = {}
+
+    def sink(batch_df, batch_id):
+        per_batch[batch_id] = batch_df.where("user_id >= 0").collect()
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = joined.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        progresses = list(q.recentProgress)
+    finally:
+        if q.isActive:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    assert len(per_batch) >= 3  # real data + two sentinel batches
+    nulls = {bid for bid, rows in per_batch.items() for r in rows if r.error_id is None}
+    matched = {bid for bid, rows in per_batch.items() for r in rows if r.error_id is not None}
+    assert nulls and min(nulls) >= 1, f"null rows leaked into batch {min(nulls, default=-1)}"
+    assert 0 in matched  # inner matches stream immediately
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "watermark never evicted join state"
+
+
+def test_st12_equals_batch_left_join(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "st12_stream_stream_outer_join")
