@@ -408,25 +408,10 @@ _SQL_V7_TOPK = f"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
         WHERE rn <= 3"""
 
 
-@register(
-    "v7_ivf_probe",
-    f"""WITH {_SQL_V7_CTES}
-        {_SQL_V7_TOPK}""",
-    tags=("similarity", "knn", "ivf", "headline"),
-    doc="Full IVF search: k-means-style centroids (one deterministic "
-    "Lloyd's step: per-label mean, rounded to integer components so every "
-    "distance is an exact integer-valued double — bit-deterministic "
-    "cross-engine), each vector assigned to its nearest centroid, and "
-    "each query probing its nprobe=2 nearest cells — the real IVF recall/ "
-    "cost dial, replacing v2's label-as-cluster crutch. Plan: centroids "
-    "are one hash agg over the exploded corpus (k·d rows out), then a "
-    "k-row broadcast against vectors for assignment (bounded nested-loop "
-    "like d6's bit table — k is the IVF parameter, never data-sized), one "
-    "equi-join probe→cell, and a per-query top-k window. At 100 TB the "
-    "assignment broadcast stays k·d floats and the probe join shuffles "
-    "only 2·|Q| rows against the cell-partitioned corpus",
-)
-def v7_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF candidate set shared by v7 and v12: centroids (one Lloyd's
+    step), vector→cell assignment, nprobe=2 query probes, candidates =
+    probed cells' members. Columns: (query_id, qa, qn, vec_id, qv, nrm)."""
     emb = _with_norm(_quantized(spark, sf_dir))
     exploded = emb.select("label", F.posexplode("qv").alias("dim", "val"))
     cent = (
@@ -459,7 +444,29 @@ def v7_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
         )
     )
-    cand = probes.join(assign, "cid").where(F.col("vec_id") != F.col("query_id"))
+    return probes.join(assign, "cid").where(F.col("vec_id") != F.col("query_id"))
+
+
+@register(
+    "v7_ivf_probe",
+    f"""WITH {_SQL_V7_CTES}
+        {_SQL_V7_TOPK}""",
+    tags=("similarity", "knn", "ivf", "headline"),
+    doc="Full IVF search: k-means-style centroids (one deterministic "
+    "Lloyd's step: per-label mean, rounded to integer components so every "
+    "distance is an exact integer-valued double — bit-deterministic "
+    "cross-engine), each vector assigned to its nearest centroid, and "
+    "each query probing its nprobe=2 nearest cells — the real IVF recall/ "
+    "cost dial, replacing v2's label-as-cluster crutch. Plan: centroids "
+    "are one hash agg over the exploded corpus (k·d rows out), then a "
+    "k-row broadcast against vectors for assignment (bounded nested-loop "
+    "like d6's bit table — k is the IVF parameter, never data-sized), one "
+    "equi-join probe→cell, and a per-query top-k window. At 100 TB the "
+    "assignment broadcast stays k·d floats and the probe join shuffles "
+    "only 2·|Q| rows against the cell-partitioned corpus",
+)
+def v7_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _ivf_candidates(spark, sf_dir)
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -706,6 +713,31 @@ _SQL_V10 = f"""WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
     GROUP BY s.query_id"""
 
 
+def _sq8_coded(emb: DataFrame) -> DataFrame:
+    """SQ8 codes for a (vec_id, qv) frame: per-dimension symmetric scale
+    (code = round(x·127/max_abs_d) — the FAISS SQ8 recipe), plus the code
+    norm. Shared by v10 (flat code search) and v12 (IVF-composed)."""
+    mx = (
+        emb.select(F.posexplode("qv").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.greatest(F.max(F.abs(F.col("x"))), F.lit(1.0)).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mxarr")
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id",
+            "qv",
+            F.zip_with("qv", "mxarr", lambda x, m: F.round(x * 127 / m)).alias("cv"),
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+
+
 @register(
     "v10_sq8_ann_recall",
     _SQL_V10,
@@ -728,27 +760,7 @@ _SQL_V10 = f"""WITH q AS (SELECT vec_id, {_SQL_QVEC} AS qv FROM embeddings),
 def v10_sq8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..guards import assert_bounded_input
 
-    emb = _quantized(spark, sf_dir)
-    # per-dimension symmetric scale, assembled into one ordered array
-    mx = (
-        emb.select(F.posexplode("qv").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.greatest(F.max(F.abs(F.col("x"))), F.lit(1.0)).alias("m"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("mxarr")
-        )
-    )
-    coded = (
-        emb.crossJoin(F.broadcast(mx))
-        .select(
-            "vec_id",
-            "qv",
-            F.zip_with("qv", "mxarr", lambda x, m: F.round(x * 127 / m)).alias("cv"),
-        )
-        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-    )
+    coded = _sq8_coded(_quantized(spark, sf_dir))
     queries = coded.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("cv").alias("qc"),
@@ -886,4 +898,153 @@ def v11_matryoshka_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w2).alias("rn"),
         )
         .where(F.col("rn") <= _V11_FINAL_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# v12: IVF × SQ8 composition — coarse-prune with centroids, shortlist with
+# int8 codes, rerank full-precision (how production ANN actually serves)
+# ---------------------------------------------------------------------------
+
+_V12_SHORTLIST = 8
+
+_SQL_V12 = f"""WITH {_SQL_V7_CTES},
+    ex AS (
+      SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS pos FROM q),
+    mxr AS (
+      SELECT pos, GREATEST(MAX(ABS(x)), 1.0) AS m FROM ex GROUP BY pos),
+    codes AS (
+      SELECT e.vec_id, list(round(e.x * 127 / m.m) ORDER BY e.pos) AS cv
+      FROM ex e JOIN mxr m USING (pos) GROUP BY e.vec_id),
+    coarse AS (
+      SELECT query_id, neighbor_id, qa, qv FROM (
+        SELECT c.query_id, c.neighbor_id, c.qa, c.qv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY list_dot_product(ca.cv, cb.cv)
+                          / (sqrt(list_dot_product(ca.cv, ca.cv))
+                             * sqrt(list_dot_product(cb.cv, cb.cv))) DESC,
+                          c.neighbor_id) AS rn
+        FROM cand c
+        JOIN codes ca ON ca.vec_id = c.query_id
+        JOIN codes cb ON cb.vec_id = c.neighbor_id)
+      WHERE rn <= {_V12_SHORTLIST}),
+    reranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_SQL_V7_COS} DESC, neighbor_id) AS rn
+        FROM coarse) WHERE rn <= 3),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+        FROM q a, q b
+        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+      WHERE rn <= 3)
+    SELECT r.query_id, COUNT(*) AS n_ann,
+           COUNT(e.neighbor_id) AS n_hits,
+           ROUND(CAST(COUNT(e.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+    FROM reranked r LEFT JOIN exact e
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY r.query_id"""
+
+
+@register(
+    "v12_ivf_sq8_recall",
+    _SQL_V12,
+    tags=("similarity", "knn", "ivf", "quantization", "evaluation"),
+    doc="IVF × SQ8 COMPOSED — the two levers v7 (pruning) and v10 "
+    "(memory) deliver separately, serving together the way a production "
+    "ANN index does: nprobe=2 centroid probing bounds the candidate "
+    "set, int8 code cosine (exact integer dots) shortlists top-8 per "
+    f"query within the probed cells, and only the {_V12_SHORTLIST}-row "
+    "shortlist is reranked at full precision for the final top-3 — "
+    "graded against the exact brute-force top-3 with v9's recall@3 "
+    "harness. Cross-engine exactness end-to-end: integer centroid "
+    "distances, integer code dots, and a full-precision rerank whose "
+    "operands are the same ×1000-quantized integers both engines hold. "
+    "Scale story: the corpus is stored ONCE as int8 codes partitioned "
+    "by cell (25% of float footprint); a query touches nprobe cells, "
+    "scans them with int8 GEMM, and fetches full vectors for only the "
+    "shortlist — rerank I/O is k rows, not cell-sized. tests/"
+    "test_r9_ops.py pins that the rerank actually reorders a crafted "
+    "code-vs-exact inversion and reports recall side-by-side with v9.",
+)
+def v12_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
+    cand = _ivf_candidates(spark, sf_dir)
+    codes = _sq8_coded(_quantized(spark, sf_dir)).select("vec_id", "cv", "cn")
+    qcodes = codes.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cv").alias("qc"),
+        F.col("cn").alias("qcn"),
+    )
+    assert_bounded_input(qcodes, 64, "v12_ivf_sq8_recall query side")
+    w_code = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_code"), F.col("neighbor_id")
+    )
+    coarse = (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "qa", "qn", "qv", "nrm"
+        )
+        .join(F.broadcast(qcodes), "query_id")
+        .join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "cv", "cn"),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cos_code", _dot(F.col("qc"), F.col("cv")) / (F.col("qcn") * F.col("cn"))
+        )
+        .withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") <= _V12_SHORTLIST)
+    )
+    reranked = _rerank_exact(coarse)
+    exact_emb = _with_norm(_quantized(spark, sf_dir))
+    equeries = exact_emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nrm").alias("qn")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    exact = (
+        exact_emb.crossJoin(F.broadcast(equeries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        reranked.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ann"), F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_ann",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 3, 6).alias("recall_at_3"),
+        )
+    )
+
+
+def _rerank_exact(coarse: DataFrame, *, k: int = 3) -> DataFrame:
+    """Full-precision rerank of a code-shortlisted candidate frame
+    (query_id, neighbor_id, qa, qn, qv, nrm) → exact top-k per query.
+    Isolated so tests can feed a crafted code-vs-exact ORDER INVERSION
+    and prove the rerank corrects it."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        coarse.select(
+            "query_id",
+            "neighbor_id",
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
     )

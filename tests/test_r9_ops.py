@@ -350,3 +350,51 @@ def test_st12_null_rows_emit_only_after_watermark(spark, sf_dir):
 
 def test_st12_equals_batch_left_join(spark, sf_dir):
     _roundtrip(spark, sf_dir, "st12_stream_stream_outer_join")
+
+
+# ---------------------------------------------------------------------------
+# v12: IVF × SQ8 composition
+# ---------------------------------------------------------------------------
+
+
+def test_v12_rerank_corrects_code_order_inversion(spark):
+    """Feed the rerank stage a shortlist whose code-space order was WRONG:
+    the full-precision pass must output the exact-cosine order."""
+    from etl_pipeline_telecom_spark.plans.similarity import _rerank_exact
+
+    # query qa = [1000, 0]; neighbor 1 exact-cos 0.9959, neighbor 2 0.9982
+    # — pretend code space ranked them (1, 2); exact rerank must flip
+    qa, qn = [1000.0, 0.0], 1000.0
+    n1, n1n = [996.0, 90.0], (996.0**2 + 90.0**2) ** 0.5
+    n2, n2n = [998.0, 60.0], (998.0**2 + 60.0**2) ** 0.5
+    coarse = spark.createDataFrame(
+        [(0, 1, qa, qn, n1, n1n), (0, 2, qa, qn, n2, n2n)],
+        "query_id long, neighbor_id long, qa array<double>, qn double, "
+        "qv array<double>, nrm double",
+    )
+    got = [
+        (r.query_id, r.neighbor_id)
+        for r in _rerank_exact(coarse, k=1).collect()
+    ]
+    assert got == [(0, 2)]  # exact winner, not code-order winner
+
+
+def test_v12_recall_vs_v7_reported(spark, sf_dir):
+    """The composed pipeline reranks a code-shortlist of v7's own
+    candidate set: per-query its recall can differ from v7's by at most
+    what the shortlist dropped; globally both must stay well above the
+    random-baseline floor, and v12 must return exactly 3 rows/query."""
+    from etl_pipeline_telecom_spark import catalog
+
+    v9 = {r.query_id: r.recall_at_3 for r in catalog.REGISTRY["v9_ann_recall_eval"].fn(spark, sf_dir).collect()}
+    v12 = {r.query_id: r.recall_at_3 for r in catalog.REGISTRY["v12_ivf_sq8_recall"].fn(spark, sf_dir).collect()}
+    assert set(v12) == set(v9) and len(v12) == 10
+    avg9 = sum(v9.values()) / len(v9)
+    avg12 = sum(v12.values()) / len(v12)
+    # the int8 shortlist may drop at most a bounded slice of v7's recall
+    assert avg12 >= avg9 - 0.34, (avg9, avg12)
+    print(f"recall@3: v7/v9 {avg9:.3f} vs v12 composed {avg12:.3f}")
+
+
+def test_v12_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "v12_ivf_sq8_recall")
