@@ -1454,3 +1454,236 @@ def t21_bpe_batched_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# t22: unigram-LM (SentencePiece-style) tokenizer — one exact EM iteration
+# ---------------------------------------------------------------------------
+
+_T22_MAXP = 4   # max piece length (SentencePiece seeds from bounded substrings)
+_T22_MAXW = 12  # word-length cap: bounds the lattice (≤ tetranacci(12) ≈ 2.2k
+# segmentations per word), applied identically in the oracle
+_T22_VOCABS = (40, 120)  # two vocabulary sizes (multi-char pieces; all single
+# characters are force-included — SentencePiece's character-coverage rule,
+# which also guarantees every word has ≥1 segmentation)
+
+
+def _t22_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) — the vocabulary-bounded object every tokenizer-training
+    stage runs on (t15's discipline: the corpus-sized work is ONE tokenize +
+    groupBy; everything after operates on distinct words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where((F.length("word") >= 1) & (F.length("word") <= _T22_MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _t22_vocab(spark: SparkSession, sf_dir: str, v: int) -> DataFrame:
+    """All single characters + the top-``v`` multi-char pieces by
+    freq-weighted occurrence count (ties → lexicographic)."""
+    spans = t22_span_occurrences(_t22_words(spark, sf_dir))
+    chars = spans.where(F.length("piece") == 1).select("piece").distinct()
+    multi = (
+        spans.where(F.length("piece") >= 2)
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("score"))
+        .orderBy(F.desc("score"), "piece")
+        .limit(v)
+        .select("piece")
+    )
+    return chars.unionByName(multi).distinct()
+
+
+def t22_span_occurrences(words: DataFrame) -> DataFrame:
+    """(word, freq, piece) — exact substring occurrences (one row per
+    (word, start, length)), generated positionally so no clamped-tail
+    duplicates appear."""
+    spans_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda i: F.transform(
+                # lengths 1..min(MAXP, len - i)
+                F.sequence(F.lit(1), F.least(F.lit(_T22_MAXP), F.length("word") - i)),
+                lambda l: F.col("word").substr(i + 1, l),
+            ),
+        )
+    )
+    return words.select("word", "freq", F.explode(spans_arr).alias("piece"))
+
+
+def _t22_lattice_counts(word: str, vocab: frozenset, maxp: int) -> tuple[int, dict]:
+    """Integer lattice DP under a UNIFORM piece model: fwd/bwd path counts,
+    and per-piece path-weighted occurrence counts
+    n_with(piece) = Σ_{(i,j): word[i:j]=piece} fwd(i)·bwd(j) — exactly the
+    numerator of the EM E-step posterior when all pieces are equally
+    likely. All integers → bit-identical in any engine."""
+    L = len(word)
+    fwd = [0] * (L + 1)
+    fwd[0] = 1
+    for j in range(1, L + 1):
+        for i in range(max(0, j - maxp), j):
+            if word[i:j] in vocab:
+                fwd[j] += fwd[i]
+    bwd = [0] * (L + 1)
+    bwd[L] = 1
+    for i in range(L - 1, -1, -1):
+        for j in range(i + 1, min(L, i + maxp) + 1):
+            if word[i:j] in vocab:
+                bwd[i] += bwd[j]
+    nwith: dict = {}
+    for i in range(L):
+        for j in range(i + 1, min(L, i + maxp) + 1):
+            p = word[i:j]
+            if p in vocab and fwd[i] and bwd[j]:
+                nwith[p] = nwith.get(p, 0) + fwd[i] * bwd[j]
+    return fwd[L], nwith
+
+
+def t22_estep(words: DataFrame, vocab_pieces: frozenset) -> DataFrame:
+    """E-step over the distributed word table: per (word, piece) the
+    integer path counts (n_with, n_paths). The vocabulary rides into the
+    Arrow tasks as a closure (bounded: V + charset rows — the centroid/
+    bloom discipline for small broadcast state)."""
+    import pandas as pd
+
+    maxp = _T22_MAXP
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            words_o, pieces_o, nw_o, np_o = [], [], [], []
+            for word in pdf["word"]:
+                n_paths, nwith = _t22_lattice_counts(word, vocab_pieces, maxp)
+                for piece, nw in sorted(nwith.items()):
+                    words_o.append(word)
+                    pieces_o.append(piece)
+                    nw_o.append(nw)
+                    np_o.append(n_paths)
+            yield pd.DataFrame(
+                {"word": words_o, "piece": pieces_o, "n_with": nw_o, "n_paths": np_o}
+            )
+
+    return words.select("word").mapInPandas(
+        batches, schema="word string, piece string, n_with long, n_paths long"
+    )
+
+
+def t22_mstep(estep: DataFrame, words: DataFrame) -> DataFrame:
+    """M-step, integer-exact: posterior_micro = (n_with·10⁶) div n_paths
+    (integer division — identical in Spark and DuckDB), score_micro(piece)
+    = Σ_w freq_w · posterior_micro, prob = one double division on exact
+    bigint operands."""
+    scored = (
+        estep.join(words, "word")
+        .select("piece", F.expr("freq * ((n_with * 1000000) div n_paths)").alias("c"))
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "piece",
+        "score_micro",
+        F.round(
+            F.col("score_micro").cast("double")
+            / F.sum("score_micro").over(w).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+def _t22_sql_one(v: int) -> str:
+    """Oracle for one vocabulary size: the same E/M arithmetic, with the
+    lattice counts obtained by ENUMERATING segmentations in a recursive
+    CTE (path multiplicity ≡ fwd·bwd products — feasible because the
+    word-length cap bounds paths)."""
+    return f"""
+        multi{v} AS (SELECT piece FROM (
+            SELECT piece, SUM(freq) AS score FROM spans WHERE len(piece) >= 2
+            GROUP BY piece)
+          ORDER BY score DESC, piece LIMIT {v}),
+        vocab{v} AS (SELECT piece FROM chars UNION SELECT piece FROM multi{v}),
+        edges{v} AS MATERIALIZED (
+          SELECT s.word, s.i, s.i + len(s.piece) AS j, s.piece
+          FROM spans s JOIN vocab{v} USING (piece)),
+        rec{v} AS (
+          SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+          UNION ALL
+          SELECT r.word, e.j, list_append(r.pieces, e.piece)
+          FROM rec{v} r JOIN edges{v} e ON e.word = r.word AND e.i = r.pos),
+        fullp{v} AS MATERIALIZED (
+          SELECT r.word, r.pieces FROM rec{v} r JOIN words w USING (word)
+          WHERE r.pos = len(w.word)),
+        tot{v} AS (SELECT word, COUNT(*) AS n_paths FROM fullp{v} GROUP BY word),
+        nwith{v} AS (SELECT word, piece, COUNT(*) AS n_with
+                     FROM (SELECT word, unnest(pieces) AS piece FROM fullp{v})
+                     GROUP BY word, piece),
+        mstep{v} AS (
+          SELECT piece,
+                 CAST(SUM(freq * ((n_with * 1000000) // n_paths)) AS BIGINT)
+                     AS score_micro
+          FROM nwith{v} JOIN tot{v} USING (word) JOIN words USING (word)
+          GROUP BY piece)"""
+
+
+_T22_SQL = f"""WITH RECURSIVE
+        words AS MATERIALIZED (
+          SELECT word, COUNT(*) AS freq
+          FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+          WHERE len(word) BETWEEN 1 AND {_T22_MAXW} GROUP BY word),
+        spans AS MATERIALIZED (
+          SELECT w.word, w.freq, CAST(t1.i AS INT) AS i,
+                 substr(w.word, CAST(t1.i AS INT) + 1, CAST(t2.l AS INT)) AS piece
+          FROM words w,
+               UNNEST(range(0, len(w.word))) AS t1(i),
+               UNNEST(range(1, {_T22_MAXP} + 1)) AS t2(l)
+          WHERE t1.i + t2.l <= len(w.word)),
+        chars AS (SELECT DISTINCT piece FROM spans WHERE len(piece) = 1),
+        {_t22_sql_one(_T22_VOCABS[0])},
+        {_t22_sql_one(_T22_VOCABS[1])}
+        SELECT vocab_size, piece, score_micro,
+               ROUND(CAST(score_micro AS DOUBLE)
+                     / CAST(SUM(score_micro) OVER (PARTITION BY vocab_size) AS DOUBLE),
+                     6) AS prob
+        FROM (
+          SELECT {_T22_VOCABS[0]} AS vocab_size, * FROM mstep{_T22_VOCABS[0]}
+          UNION ALL
+          SELECT {_T22_VOCABS[1]}, * FROM mstep{_T22_VOCABS[1]})"""
+
+
+@register(
+    "t22_unigram_em",
+    _T22_SQL,
+    tags=("text", "tokenizer", "unigram", "em"),
+    doc="Unigram-LM (SentencePiece-style) tokenizer training step — the "
+    "other production tokenizer family next to BPE (t15/t21): seed "
+    "vocabulary = all single characters (character-coverage rule) + the "
+    "top-V freq-weighted substrings (V = 40 and 120, both emitted), then "
+    "ONE exact EM iteration from the uniform init: E-step = per-(word, "
+    "piece) lattice posteriors as INTEGER path counts (fwd·bwd products "
+    "— under a uniform piece model the posterior is a path-count ratio, "
+    "no floats anywhere), M-step = renormalized expected counts with "
+    "micro-scaled integer division, one final double division on exact "
+    "bigint operands. Oracle: DuckDB re-derives the lattice by "
+    "enumerating segmentations in a recursive CTE (path multiplicity ≡ "
+    "fwd·bwd), feasible because the 12-char word cap bounds paths at "
+    "~2.2k/word; a hypothesis test checks the DP against a pure-python "
+    "enumerator on random words. Scale: the corpus-sized stage is ONE "
+    "tokenize+groupBy (t15's discipline); the lattice runs per DISTINCT "
+    "word with the (V + charset)-row vocabulary carried into Arrow "
+    "tasks; subsequent EM iterations reuse the same plan with the "
+    "updated piece table.",
+)
+def t22_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _t22_words(spark, sf_dir)
+    out = None
+    for v in _T22_VOCABS:
+        vocab = frozenset(
+            r.piece for r in _t22_vocab(spark, sf_dir, v).collect()
+        )  # bounded collect: V + |charset| rows (centroid/bloom discipline)
+        m = t22_mstep(t22_estep(words, vocab), words).withColumn(
+            "vocab_size", F.lit(v)
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.select("vocab_size", "piece", "score_micro", "prob")

@@ -398,3 +398,102 @@ def test_v12_recall_vs_v7_reported(spark, sf_dir):
 
 def test_v12_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "v12_ivf_sq8_recall")
+
+
+# ---------------------------------------------------------------------------
+# t22: unigram-LM EM step
+# ---------------------------------------------------------------------------
+
+
+def _enumerate_segmentations(word: str, vocab: frozenset, maxp: int) -> list[tuple]:
+    """Brute-force reference: every segmentation of ``word`` into vocab
+    pieces of length ≤ maxp."""
+    if word == "":
+        return [()]
+    segs = []
+    for l in range(1, min(maxp, len(word)) + 1):
+        head = word[:l]
+        if head in vocab:
+            segs.extend((head,) + rest for rest in _enumerate_segmentations(word[l:], vocab, maxp))
+    return segs
+
+
+def test_t22_lattice_counts_vs_enumeration_crafted():
+    """'abab' with vocab {a, b, ab, ba} (maxp 2): 5 segmentations —
+    a|b|a|b, ab|a|b, a|ba|b, a|b|ab, ab|ab."""
+    from etl_pipeline_telecom_spark.plans.text import _t22_lattice_counts
+
+    vocab = frozenset({"a", "b", "ab", "ba"})
+    n_paths, nwith = _t22_lattice_counts("abab", vocab, 2)
+    assert n_paths == 5
+    # occurrences with multiplicity across the 5 paths (a|b|a|b, a|b|ab,
+    # a|ba|b, ab|a|b, ab|ab): a: 2+1+1+1 = 5, b: 2+1+1+1 = 5,
+    # ab: 1+1+2 = 4, ba: 1
+    assert nwith == {"a": 5, "b": 5, "ab": 4, "ba": 1}
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=10),
+    st.sets(st.text(alphabet="abc", min_size=2, max_size=4), max_size=8),
+)
+def test_t22_lattice_dp_equals_enumeration(word, extra_pieces):
+    """The fwd·bwd integer DP must equal brute-force path enumeration for
+    any word and any vocabulary that includes the single characters."""
+    import collections
+
+    from etl_pipeline_telecom_spark.plans.text import _T22_MAXP, _t22_lattice_counts
+
+    vocab = frozenset(set("abc") | extra_pieces)
+    n_paths, nwith = _t22_lattice_counts(word, vocab, _T22_MAXP)
+    segs = _enumerate_segmentations(word, vocab, _T22_MAXP)
+    assert n_paths == len(segs)
+    expected = collections.Counter(p for s in segs for p in s)
+    assert nwith == dict(expected)
+
+
+def test_t22_char_coverage_guarantees_paths(spark, sf_dir):
+    """Every word must have ≥1 segmentation (single chars force-included),
+    and posteriors are well-formed: 0 < n_with ≤ n_paths·occurrences."""
+    from etl_pipeline_telecom_spark.plans.text import (
+        _t22_vocab,
+        _t22_words,
+        t22_estep,
+    )
+
+    words = _t22_words(spark, sf_dir)
+    vocab = frozenset(r.piece for r in _t22_vocab(spark, sf_dir, 40).collect())
+    est = t22_estep(words, vocab)
+    rows = est.collect()
+    assert rows
+    n_paths_by_word = {}
+    for r in rows:
+        assert r.n_with >= 1 and r.n_paths >= 1
+        n_paths_by_word.setdefault(r.word, r.n_paths)
+    # every distinct word produced a lattice
+    assert len(n_paths_by_word) == words.count()
+    # single-char pieces of any word decompose it fully: the all-chars
+    # path exists, so every char piece has n_with >= 1 via that path
+    for r in rows:
+        if len(r.piece) == 1:
+            assert r.n_with >= 1
+
+
+def test_t22_probs_renormalize(spark, sf_dir):
+    from etl_pipeline_telecom_spark import catalog
+
+    rows = catalog.REGISTRY["t22_unigram_em"].fn(spark, sf_dir).collect()
+    for v in (40, 120):
+        probs = [r.prob for r in rows if r.vocab_size == v]
+        assert probs and abs(sum(probs) - 1.0) < 1e-3
+    # the larger vocabulary is a superset of pieces
+    p40 = {r.piece for r in rows if r.vocab_size == 40}
+    p120 = {r.piece for r in rows if r.vocab_size == 120}
+    assert p40 <= p120
+
+
+def test_t22_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "t22_unigram_em")
