@@ -328,7 +328,7 @@ def cdc_apply_with_state(events: DataFrame, *, watermark: str = "10 minutes") ->
 
 THROTTLE_GAP_US = 86_400 * 1_000_000  # 1 day; sync with plans/semistructured._G2_GAP_US
 THROTTLE_OUTPUT_SCHEMA = "user_id long, event_id long, kept_ts_us long"
-THROTTLE_STATE_SCHEMA = "last_kept_us long"
+THROTTLE_STATE_SCHEMA = "last_kept_us long, max_seen_us long"
 
 
 def _throttle_stream_group(
@@ -339,7 +339,23 @@ def _throttle_stream_group(
         state.remove()  # watermark >= last_kept + GAP: provably dead state
         return
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
-    last = state.get[0] if state.exists else None
+    last, max_seen = (state.get[0], state.get[1]) if state.exists else (None, None)
+    # RUNTIME GUARD on the in-order delivery contract (ADVICE r8): the
+    # greedy recurrence is exact only if each user's events arrive
+    # event-time-ordered ACROSS micro-batches. Spark's watermark filter
+    # drops rows older than the watermark before they reach this function,
+    # but a row inside the watermark slack can still arrive after a later
+    # row was decided — append mode cannot retract that decision, so fail
+    # LOUDLY instead of emitting silently-wrong keeps.
+    if max_seen is not None and int(batch["ts_us"].iloc[0]) < max_seen:
+        raise ValueError(
+            f"st11 in-order contract violated for user {user_id}: event at "
+            f"{int(batch['ts_us'].iloc[0])}us arrived after a batch that ended "
+            f"at {max_seen}us; an append-mode greedy throttle cannot retract "
+            "earlier keep decisions. Deliver per-user event-time-ordered "
+            "input (the replay harness does), or sessionize upstream."
+        )
+    max_seen = max(int(batch["ts_us"].iloc[-1]), max_seen or 0)
     kept: list[dict] = []
     for ts_us, eid in zip(batch["ts_us"], batch["event_id"]):
         ts_us = int(ts_us)
@@ -348,7 +364,7 @@ def _throttle_stream_group(
                 {"user_id": user_id, "event_id": int(eid), "kept_ts_us": ts_us}
             )
             last = ts_us
-    state.update((int(last),))
+    state.update((int(last), int(max_seen)))
     state.setTimeoutTimestamp(
         max((last + THROTTLE_GAP_US) // 1000, state.getCurrentWatermarkMs() + 1)
     )
@@ -362,9 +378,10 @@ def throttle_with_state(events: DataFrame, *, watermark: str = "10 minutes") -> 
     Kept rows emit immediately (append mode) — the throttle DECIDES at
     arrival time; the watermark only drives state eviction. Exactness vs
     the batch recurrence requires event-time-ordered arrival per user
-    (the bounded-replay harness guarantees it; a production deployment
-    relies on the same in-order delivery contract as any streaming
-    greedy recurrence).
+    (the bounded-replay harness guarantees it). The contract is ENFORCED
+    at runtime: state carries the max event time already processed, and a
+    batch whose first row precedes it raises instead of silently keeping
+    the wrong events (see ``_throttle_stream_group``).
     """
     prepared = events.withWatermark("ts", watermark).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"

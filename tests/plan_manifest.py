@@ -71,15 +71,9 @@ _NORMALIZERS = (
     (re.compile(r"\blambda ([A-Za-z][A-Za-z0-9]*)_\d+"), r"lambda \1_N"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
     (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
-    # RewriteDistinctAggregates assigns its Expand-branch group-ids by
-    # iterating a Scala Map keyed on expression SETS — whose hash order
-    # depends on raw exprIds, i.e. on how many expressions were allocated
-    # earlier in the JVM. Build order flips which distinct column gets
-    # gid 1 vs 2 (caught r8: moving d9 out of DRIVER_WINDOW re-ordered
-    # the manifest build and flipped d13/j9's gids). The literal is
-    # semantically a branch LABEL, so it normalizes away; the branch
-    # lists themselves are canonicalized structurally below.
-    (re.compile(r"\(gid#ID = \d+\)"), "(gid#ID = G)"),
+    # NOTE: RewriteDistinctAggregates' gid literals are handled in
+    # _canon_plan_gids (canonical RELABELING, not masking — ADVICE r8:
+    # plain masking made a branch-consumer swap hash-invisible).
 )
 
 # second half of the gid fix: the Expand branch list and the intermediate
@@ -146,11 +140,56 @@ def _canon_gid_line(line: str) -> str:
     return line
 
 
+_GID_FILTER_RX = re.compile(r"\(gid#ID = (\d+)\)")
+
+
+def _canon_plan_gids(plan: str) -> str:
+    """Canonical gid RELABELING (ADVICE r8): RewriteDistinctAggregates
+    assigns Expand-branch group-ids by iterating a Scala Map keyed on
+    expression SETS — hash order depends on raw exprIds, i.e. on build
+    order (caught r8: moving d9 re-ordered the manifest build and flipped
+    d13/j9's gids). Masking the ``(gid = N)`` consumer literals to a
+    constant fixed the drift but blinded the fingerprint to a REAL change
+    that only swaps which aggregate consumes which distinct branch. Fix:
+    rank each branch by its canonical (gid-masked, column-sorted) content
+    and rewrite every consumer literal with the branch's RANK — build-
+    order invariant, consumer-swap sensitive. Falls back to plain masking
+    when the plan has no parseable single Expand (or ambiguous branches).
+    """
+    mapping: dict[str, str] = {}
+    expands = [m for ln in plan.split("\n") if "gid#ID" in ln for m in [_EXPAND_RX.search(ln)] if m]
+    if len(expands) == 1:
+        m = expands[0]
+        out_cols = _split_top(m.group(2))
+        if "gid#ID" in out_cols:
+            gid_pos = out_cols.index("gid#ID")
+            perm = sorted(range(len(out_cols)), key=lambda i: out_cols[i])
+            entries = []
+            for br in m.group(1).split("], ["):
+                vals = _split_top(br)
+                if len(vals) != len(out_cols):
+                    entries = []
+                    break
+                canon = ", ".join(
+                    "G" if out_cols[i] == "gid#ID" else vals[i] for i in perm
+                )
+                entries.append((canon, vals[gid_pos]))
+            contents = [e[0] for e in entries]
+            origs = [e[1] for e in entries]
+            if entries and len(set(contents)) == len(entries) and len(set(origs)) == len(entries):
+                for rank, (_c, orig) in enumerate(sorted(entries), start=1):
+                    mapping[orig] = f"C{rank}"
+    plan = _GID_FILTER_RX.sub(
+        lambda mm: f"(gid#ID = {mapping.get(mm.group(1), 'G')})", plan
+    )
+    return "\n".join(_canon_gid_line(ln) for ln in plan.split("\n"))
+
+
 def _normalize(plan: str) -> str:
     for rx, sub in _NORMALIZERS:
         plan = rx.sub(sub, plan)
     if "gid#ID" in plan:
-        plan = "\n".join(_canon_gid_line(ln) for ln in plan.split("\n"))
+        plan = _canon_plan_gids(plan)
     return plan
 
 

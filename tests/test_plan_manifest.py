@@ -102,10 +102,26 @@ def test_gid_canonicalization_is_build_order_invariant():
     other = fwd.replace("shingle", "tokens")
     assert _normalize(other) != _normalize(fwd)
 
+    # ADVICE r8: consumer literals relabel CANONICALLY (by branch content
+    # rank), so the build-order flip stays invariant even with filters...
+    # In fwd, gid 2 selects the train branch; in rev, the train branch got
+    # gid 1 — the same semantic consumer therefore carries different raw
+    # literals, and must normalize to the same canonical label.
+    fwd_f = fwd + "\ncount(a#1) FILTER (WHERE (gid#11 = 2)) AS n#5"
+    rev_f = rev + "\ncount(a#2) FILTER (WHERE (gid#111 = 1)) AS n#6"
+    assert _normalize(fwd_f) == _normalize(rev_f)
+    # ...while a REAL branch-consumer swap (the aggregate now consumes the
+    # shingle branch instead of the train branch) changes the hash — the
+    # exact blind spot plain masking had.
+    swapped = fwd + "\ncount(a#1) FILTER (WHERE (gid#11 = 1)) AS n#5"
+    assert _normalize(swapped) != _normalize(fwd_f)
+
 
 def test_gid_filter_literal_normalizes():
     from .plan_manifest import _normalize
 
+    # no Expand in scope → fall back to masking (labels carry no
+    # cross-referent information without the branch table)
     a = "count(x#3) FILTER (WHERE (gid#11 = 2)) AS n#5"
     b = "count(x#9) FILTER (WHERE (gid#21 = 1)) AS n#6"
     assert _normalize(a) == _normalize(b)

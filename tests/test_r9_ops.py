@@ -497,3 +497,68 @@ def test_t22_probs_renormalize(spark, sf_dir):
 
 def test_t22_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "t22_unigram_em")
+
+
+# ---------------------------------------------------------------------------
+# st11: in-order contract guard (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_st11_out_of_order_arrival_fails_loudly(spark, tmp_path):
+    """A later micro-batch carrying an earlier (but within-watermark)
+    timestamp for a user must RAISE, not silently emit wrong keeps —
+    append mode cannot retract a greedy decision."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.streaming import read_events_stream
+    from etl_pipeline_telecom_spark.streaming.stateful import throttle_with_state
+
+    def _file(name, rows):
+        table = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(table, str(tmp_path / name))
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # batch 1 ends at t0+5min; batch 2's row at t0+2min is INSIDE the
+    # 10-minute watermark slack → passes the late filter, out of order
+    _file("00_first.parquet", [(1, t0, 7, None, None), (2, t0 + 5 * m, 7, None, None)])
+    base = time.time() - 60
+    os.utime(tmp_path / "00_first.parquet", (base, base))
+    _file("01_second.parquet", [(3, t0 + 2 * m, 7, None, None)])
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = read_events_stream(
+            spark, str(tmp_path), glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            throttle_with_state(stream)
+            .writeStream.format("memory")
+            .queryName("st11_ooo_guard")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="in-order contract violated"):
+                q.awaitTermination(120)
+                if q.exception() is not None:
+                    raise q.exception()
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
