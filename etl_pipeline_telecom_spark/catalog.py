@@ -275,42 +275,110 @@ def _load_all_plans() -> None:
 # bloom probe was extracted into bloom_might_contain_udf). OUT —
 # r3_pivot_latest_value, x4_jsonl_source_scan (first verdicts green in
 # r7, plans unchanged this round).
+# Round 9: the rotation discipline is now a WRITTEN, TEST-ASSERTED
+# GUARANTEE (VERDICT r8 item 7), not dated comments alone. Policy file:
+# window_history.json (same package dir) records, for every catalog
+# query, the last round whose driver window included it (reconstructed
+# from the git history of this tuple, r2-r8), plus the guarantee
+# parameters: ROTATION_K = 5 — every query receives a driver verdict at
+# least every 5 rounds (50 slots × 5 rounds = 250 ≥ catalog size with
+# churn headroom) — enforced by tests/test_catalog_meta.py from round 12
+# onward; rounds 9-11 are the recorded catch-up schedule that drains the
+# pre-policy backlog (55 queries were ≥5 rounds stale entering r9; the
+# backlog map must shrink every round and the test asserts it).
+# Window construction rule, also asserted: new/changed queries first
+# (plan-manifest drift + oracle-text changes), then the least-recently-
+# windowed remainder, oldest cohort first — no slot is spent on an
+# unchanged query that has a fresher verdict than any excluded one
+# except through the drift cohort.
+#
+# Round 9 rotations: IN — d18_substring_dedup, m6_perceptual_neardup,
+# p8_zorder_layout, st12_stream_stream_outer_join, t22_unigram_em,
+# v12_ivf_sq8_recall (all new), the full st cohort (streaming source
+# hash changed: st11 state schema + in-order guard), p6 (oracle text
+# changed), and 32 stalest r2-cohort queries. OUT — everything r8-green
+# with unchanged plans (g2/g2b, BPE family, the mid-r8 additions, the
+# canary trio — canaries are superseded by the rotation guarantee).
 DRIVER_WINDOW = (
-    # dedup + similarity flagships
-    "d5_lsh_jaccard_dedup", "v8_embedding_decontam",
-    # event-time + streaming (the FULL st cohort: streaming-module source
-    # hash covers every st* entry and the module changed this round)
-        "st1_stream_tumbling", "st2_stream_dedup", "st3_stream_sessionize",
-    "st4_stream_stream_join", "st5_stream_static_join",
-    "st6_stream_maintained_rollup", "st7_stream_bloom_refresh",
-    "st8_stream_centroid_drift", "st10_stream_cdc_apply",
-    # r6 additions — first-ever driver verdict needed
-    "t13_line_dedup",
-    "v9_ann_recall_eval", "dq4_distribution_drift",
+    # --- drift cohort (MUST re-verdict): the 6 new r9 operators, the
+    # full st* cohort (streaming-module source hash changed: st11 state
+    # schema + in-order guard, st12 joined jobs.py), and p6 (oracle text
+    # changed to the LEAST(16, n) shard pin)
+    "d18_substring_dedup",
+    "m6_perceptual_neardup",
+    "p8_zorder_layout",
+    "st10_stream_cdc_apply",
+    "st11_stream_throttle",
+    "st12_stream_stream_outer_join",
+    "st1_stream_tumbling",
+    "st2_stream_dedup",
+    "st3_stream_sessionize",
+    "st4_stream_stream_join",
+    "st5_stream_static_join",
+    "st6_stream_maintained_rollup",
+    "st7_stream_bloom_refresh",
+    "st8_stream_centroid_drift",
     "st9_stream_drift_monitor",
-    "dq7_schema_evolution",
-    # r7 additions — graduations, the star-alternation rewrite, BPE,
-    # plus the shared-plan drift cohort (d10/d16 via the shingle cache)
-    "t15_bpe_merges", "g2b_throttle_skewfree", "d8_neardup_clusters",
-    "p6_range_sharded_export", "p7_compaction_plan",
-    # mid-r8 additions — first driver verdict needed
-    "t20_script_mix", "sm8_epoch_replication_mix", "dq8_split_leakage",
-    "v11_matryoshka_refine", "t18_pii_scrub", "p4_cdc_apply",
-    "a22_countmin_heavy_hitters", "t17_bpe_encode", "sm7_token_budget_cut",
-    "j9_interval_bucket_join", "g2_throttle_debounce",
-    "a23_histogram_quantiles", "st11_stream_throttle",
-    "j10_bloom_pruned_join", "d17_semantic_dedup", "v10_sq8_ann_recall",
-    "t21_bpe_batched_merges", "p5_partitioned_sink_audit",
-    "s5_bag_setops", "w11_value_window_ops",
-    "a24_decayed_counts", "x3_json_schema_audit",
-    # r5 late additions (verdict r5; pipe2 kept as young canary)
-    # round-3 queries + the round-4 build/probe split (build MUST precede
-    # the probe in driver order so the probe measures a warm index)
-    "d12_index_build", "d12_persisted_lsh_probe", "d13_contamination_bloom",
-    "v7_ivf_probe",
-    # regression canaries: one per round-1-proven family
-    "a4_group_avg", "j2_revenue_topk", "d1_exact_dedup",
+    "t22_unigram_em",
+    "v12_ivf_sq8_recall",
+    "p6_range_sharded_export",
+    # --- stalest-first fill (rotation guarantee, window_history.json):
+    # the 32 least-recently-windowed queries, oldest cohort first,
+    # name-ordered — all last driver-verdicted in r2's full-catalog pass
+    "a10_histogram",
+    "a12_domain",
+    "a13_median",
+    "a1_count",
+    "a2_distinct_count",
+    "a3_global_rate",
+    "a5_value_counts",
+    "a6_pct_of_total",
+    "a7_pivot_counts",
+    "a9_group_rate_sorted",
+    "d2_dedup_stats",
+    "d3_minhash_signatures",
+    "d4_lsh_candidates",
+    "d7_ngram_jaccard_pairs",
+    "e2_sliding_window",
+    "f10_to_flag",
+    "f11_f12_round_cast",
+    "f1_coerce_numeric",
+    "f2_median_fill",
+    "f3_const_fill",
+    "f4_bucketize",
+    "f5_segment3",
+    "f6_f8_flags",
+    "f9_dict_encode",
+    "j1_broadcast_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "j5_left_join_agg",
+    "j7_salted_join",
+    "r1_unpivot_measures",
+    "s1_union_distinct",
+    "s2_union_all_counts",
 )
+
+
+def rotation_policy() -> dict:
+    """The driver-window rotation guarantee (window_history.json): for
+    every query, the last round whose 50-slot driver window included it,
+    plus ROTATION_K (max rounds between driver verdicts, enforced from
+    ``enforced_from_round``) and the catch-up backlog per round."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "window_history.json")) as f:
+        return json.load(f)
+
+
+def stale_rotation_candidates() -> list[str]:
+    """Registry names ordered stalest-first (then by name) — next round's
+    window fill, after its new/changed cohort, MUST come from the front
+    of this list (asserted by tests/test_catalog_meta.py)."""
+    _load_all_plans()
+    lw = rotation_policy()["last_windowed"]
+    return sorted(REGISTRY, key=lambda n: (lw.get(n, 0), n))
 
 
 def _ordered_names() -> list[str]:

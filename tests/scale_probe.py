@@ -221,6 +221,20 @@ PROBES += [
     "s5_bag_setops",
 ]
 
+# r9 batch: exact substring dedup (one shuffle on the shingle key, then
+# doc-partitioned windows), perceptual media near-dup (band bucket-join +
+# candidate-only Hamming verify), Z-order layout audit (two staged
+# writes + map-side min/max per file), composed IVF×SQ8 (broadcast query
+# side, shortlist-only rerank), and the unigram-LM EM step (corpus work
+# = one tokenize+groupBy; lattice runs per distinct word)
+PROBES += [
+    "d18_substring_dedup",
+    "m6_perceptual_neardup",
+    "p8_zorder_layout",
+    "v12_ivf_sq8_recall",
+    "t22_unigram_em",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
