@@ -356,7 +356,11 @@ DRIVER_WINDOW = (
     "j7_salted_join",
     "r1_unpivot_measures",
     "s1_union_distinct",
-    "s2_union_all_counts",
+    # t11 joined mid-round: its bigram stage was rewritten from an inline
+    # explode(transform(...)) to the window-lead form (plan drift → must
+    # re-verdict); displaces s2_union_all_counts back to the r10 fill
+    # (same r2-stale cohort — backlog count unchanged)
+    "t11_bigram_topk",
 )
 
 

@@ -282,19 +282,22 @@ def bmp_from_gray(gray: list[int], width: int, height: int) -> bytes:
     """Encode a row-major top-down grayscale grid as a spec-valid 24bpp BMP
     (BITMAPINFOHEADER, bottom-up pixel array, rows padded to 4 bytes,
     r=g=b=v). The inverse of :func:`bmp_gray_grid` — together they give the
-    engine a REAL image round-trip with zero codec dependencies."""
+    engine a REAL image round-trip with zero codec dependencies. Pixel
+    assembly is numpy-vectorized (per-pixel python loops measured ~2 ms
+    core-time/image at the 100× probe — the m6 decode stage was 33 s)."""
     import struct
+
+    import numpy as np
 
     assert len(gray) == width * height
     pad = (-(width * 3)) % 4
-    rows = []
-    for r in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for c in range(width):
-            v = gray[r * width + c] & 0xFF
-            row += bytes((v, v, v))  # little-endian BGR, all equal
-        rows.append(bytes(row) + b"\x00" * pad)
-    pixels = b"".join(rows)
+    stride = width * 3 + pad
+    g = np.asarray(gray, dtype=np.uint8).reshape(height, width)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    # bottom-up storage: image row r lands at stored row (height-1-r);
+    # BGR all equal to the gray value
+    rows[:, : width * 3] = np.repeat(g[::-1], 3, axis=1)
+    pixels = rows.tobytes()
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
@@ -307,8 +310,11 @@ def bmp_gray_grid(payload: bytes) -> tuple[int, int, list[int]]:
     (width, height, row-major TOP-DOWN grayscale grid) with
     gray = (r + 2·g + b) // 4 (integer luma — exact, oracle-replayable).
     Handles bottom-up (positive height) and top-down (negative height)
-    storage and 4-byte row padding. Raises on non-BMP/compressed/≠24bpp —
-    this is the decode seam a cv2-backed variant would widen."""
+    storage and 4-byte row padding; numpy-vectorized (see
+    :func:`bmp_from_gray`). Raises on non-BMP/compressed/≠24bpp — this is
+    the decode seam a cv2-backed variant would widen."""
+    import numpy as np
+
     p = bytes(payload)
     if p[:2] != b"BM" or len(p) < 54:
         raise NotImplementedError("not a BMP payload")
@@ -321,15 +327,13 @@ def bmp_gray_grid(payload: bytes) -> tuple[int, int, list[int]]:
         raise NotImplementedError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     height = abs(raw_h)
     stride = (width * 3 + 3) & ~3
-    gray: list[int] = [0] * (width * height)
-    for stored_r in range(height):
-        # positive height → rows stored bottom-up; negative → top-down
-        img_r = (height - 1 - stored_r) if raw_h > 0 else stored_r
-        base = data_off + stored_r * stride
-        for c in range(width):
-            b_, g_, r_ = p[base + 3 * c : base + 3 * c + 3]
-            gray[img_r * width + c] = (r_ + 2 * g_ + b_) // 4
-    return width, height, gray
+    arr = np.frombuffer(p, dtype=np.uint8, count=height * stride, offset=data_off)
+    rows = arr.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if raw_h > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down image order
+    bgr = rows.astype(np.int32)
+    gray = (bgr[:, :, 2] + 2 * bgr[:, :, 1] + bgr[:, :, 0]) // 4
+    return width, height, gray.reshape(-1).tolist()
 
 
 def dhash_bits(gray: list[int], width: int, height: int) -> list[int]:

@@ -226,15 +226,23 @@ def m5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # m6: perceptual media near-dup (dHash + Hamming-banded LSH)
 # ---------------------------------------------------------------------------
 
-_M6_W, _M6_H = 9, 8          # dHash canonical grid → 8×8 = 64 difference bits
-_M6_TWEAK_CELLS = (40, 50, 60, 70)  # bit-tweaked copies: cells in grid rows
-# 4..7 only, so dHash bits < 32 (bands 0 and 1) are untouched — copy/original
-# band collision is GUARANTEED, not probabilistic
+_M6_W, _M6_H = 17, 8         # dHash grid → 8×16 = 128 difference bits.
+# 128 (not the classic 64) because band width is THE corpus-size dial:
+# candidates from RANDOM band collisions grow ~N²·bands/2^width (birthday),
+# so 16-bit bands that are fine at 10⁴ docs melt at 10⁶ (measured: 11M+
+# candidate pairs at the 100× probe). 4 bands × 32 bits keeps the
+# pigeonhole recall guarantee (radius < 4 ⇒ ≥1 clean band) while pushing
+# random collisions to ~N²·4/2³² ≈ hundreds at a million docs.
+_M6_BITS = _M6_H * (_M6_W - 1)
+_M6_BAND_W = 32              # 4 bands × 32 bits
+_M6_TWEAK_CELLS = (70, 85, 100, 130)  # bit-tweaked copies: cells in grid
+# rows 4..7 only, so dHash bits < 64 (bands 0 and 1) are untouched —
+# copy/original band collision is GUARANTEED, not probabilistic
 _M6_HAMMING_MAX = 10
 
 
 def _m6_gray(base: int, tweaked: bool) -> list[int]:
-    """Deterministic 9×8 gray grid per base doc: md5-expanded bytes, so the
+    """Deterministic 17×8 gray grid per base doc: md5-expanded bytes, so the
     DuckDB oracle derives the same grid analytically (md5 is common to
     both engines). Tweaked copies XOR a handful of pixels — a stand-in
     for re-encode noise that perturbs intensities without reordering
@@ -242,7 +250,7 @@ def _m6_gray(base: int, tweaked: bool) -> list[int]:
     import hashlib
 
     raw = b"".join(
-        hashlib.md5(f"{base}:{k}".encode()).digest() for k in range(5)
+        hashlib.md5(f"{base}:{k}".encode()).digest() for k in range(9)
     )[: _M6_W * _M6_H]
     g = list(raw)
     if tweaked:
@@ -252,7 +260,7 @@ def _m6_gray(base: int, tweaked: bool) -> list[int]:
 
 
 def media_gray_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, g: array<int> 72 grays) — synthesize a REAL 24bpp BMP per
+    """(doc_id, g: array<int> 136 grays) — synthesize a REAL 24bpp BMP per
     doc (copies at +offset for doc_id % 10 == 0, pixel-tweaked), then
     round-trip it through the library-free pixel DECODER. Any encoder or
     decoder bug (stride padding, bottom-up rows, luma arithmetic) changes
@@ -288,14 +296,15 @@ def media_gray_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _M6_SQL_GRAY = (
-    "list_transform(range(0, 72), i -> "
-    "CASE WHEN tw = 1 AND i IN (40, 50, 60, 70) "
+    f"list_transform(range(0, {_M6_W * _M6_H}), i -> "
+    f"CASE WHEN tw = 1 AND i IN {_M6_TWEAK_CELLS} "
     "THEN xor(CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT), 64) "
     "ELSE CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT) END)"
 )
 _M6_SQL_BITS = (
-    "list_transform(range(0, 64), j -> CASE WHEN "
-    "g[(j // 8) * 9 + (j % 8) + 2] > g[(j // 8) * 9 + (j % 8) + 1] "
+    f"list_transform(range(0, {_M6_BITS}), j -> CASE WHEN "
+    f"g[(j // {_M6_W - 1}) * {_M6_W} + (j % {_M6_W - 1}) + 2] "
+    f"> g[(j // {_M6_W - 1}) * {_M6_W} + (j % {_M6_W - 1}) + 1] "
     "THEN 1 ELSE 0 END)"
 )
 
@@ -310,7 +319,8 @@ _M6_SQL_BITS = (
           SELECT doc_id, {_M6_SQL_GRAY} AS g
           FROM (SELECT doc_id, tw,
                        md5(base || ':0') || md5(base || ':1') || md5(base || ':2')
-                       || md5(base || ':3') || md5(base || ':4') AS hx
+                       || md5(base || ':3') || md5(base || ':4') || md5(base || ':5')
+                       || md5(base || ':6') || md5(base || ':7') || md5(base || ':8') AS hx
                 FROM ids)),
         perdoc AS MATERIALIZED (
           SELECT doc_id, {_M6_SQL_BITS} AS bits
@@ -327,13 +337,13 @@ _M6_SQL_BITS = (
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
-               CAST(list_sum(list_transform(range(0, 64),
+               CAST(list_sum(list_transform(range(0, 128),
                     j -> CASE WHEN x.bits[j + 1] <> y.bits[j + 1]
                          THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         FROM cand
         JOIN perdoc x ON x.doc_id = cand.doc_a
         JOIN perdoc y ON y.doc_id = cand.doc_b
-        WHERE list_sum(list_transform(range(0, 64),
+        WHERE list_sum(list_transform(range(0, 128),
               j -> CASE WHEN x.bits[j + 1] <> y.bits[j + 1]
                    THEN 1 ELSE 0 END)) <= {_M6_HAMMING_MAX}""",
     tags=("multimodal", "dedup", "perceptual", "headline"),
@@ -346,21 +356,22 @@ _M6_SQL_BITS = (
     "r < 4 by pigeonhole), exact Hamming verify ≤ 10 on candidates only. "
     "Tweaked copies perturb only grid rows 4-7, so bands 0/1 are "
     "untouched — copy recall is deterministic, while unrelated docs hit "
-    "a band with p≈2⁻¹⁶ each and are killed by the verify. Plan shape = "
+    "a band with p≈2⁻³² each and are killed by the verify. Plan shape = "
     "d6's SimHash banding: decode is a narrow Arrow stage, ONE shuffle "
     "on the (band, key) bucket, verification joins touch candidates "
     "only — never all pairs. At 100 TB: same shape with a pHash/cv2 "
-    "decode plugged into the same seam, band width tuned to corpus size.",
+    "decode plugged into the same seam.",
 )
 def m6_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grids = media_gray_grids(spark, sf_dir)
+    bpr = _M6_W - 1  # difference bits per grid row
     perdoc = grids.select(
         "doc_id",
         F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
+            F.sequence(F.lit(0), F.lit(_M6_BITS - 1)),
             lambda j: F.when(
-                F.element_at("g", ((j / 8).cast("int") * 9 + j % 8 + 2).cast("int"))
-                > F.element_at("g", ((j / 8).cast("int") * 9 + j % 8 + 1).cast("int")),
+                F.element_at("g", ((j / bpr).cast("int") * _M6_W + j % bpr + 2).cast("int"))
+                > F.element_at("g", ((j / bpr).cast("int") * _M6_W + j % bpr + 1).cast("int")),
                 1,
             ).otherwise(0),
         ).alias("bits"),
@@ -372,13 +383,14 @@ def m6_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(3)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    # Horner form of sum(bit[j] << j): fold j = 15 → 0 with
-                    # acc*2 + bit (F.shiftleft needs a literal shift width)
+                    # Horner form of sum(bit[j] << j): fold j = W-1 → 0 with
+                    # acc*2 + bit (F.shiftleft needs a literal shift width);
+                    # bigint accumulator — a 32-bit band key overflows int32
                     F.aggregate(
-                        F.sequence(F.lit(15), F.lit(0), F.lit(-1)),
-                        F.lit(0),
+                        F.sequence(F.lit(_M6_BAND_W - 1), F.lit(0), F.lit(-1)),
+                        F.lit(0).cast("bigint"),
                         lambda acc, jj: acc * 2
-                        + F.element_at(F.col("bits"), (b * 16 + jj + 1).cast("int")),
+                        + F.element_at(F.col("bits"), (b * _M6_BAND_W + jj + 1).cast("int")),
                     )
                     .cast("bigint")
                     .alias("key"),

@@ -376,22 +376,20 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    # bigram list from the token array: indices 0..n-2 pair t[i], t[i+1];
-    # the size guard matters because Spark's sequence(0, -1) would count
-    # DOWN (a 2-element list), not produce an empty list like DuckDB's
-    # range(1, 1)
+    # bigrams via posexplode + a window lead per doc, NOT an inline
+    # transform() under explode(): Generate re-evaluates an inline
+    # generator expression per OUTPUT row (the corpus_shingled lesson),
+    # which made this stage quadratic per doc — 41 s → ~4 s at the 100×
+    # probe. The window costs one doc_id shuffle and stays codegen'd.
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("tok", 1).over(w)
     exploded = (
-        docs.select("lang", t.alias("t"))
-        .select(
-            "lang",
-            F.explode(
-                F.when(
-                    F.size("t") >= 2,
-                    F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("bigram"),
-        )
+        toks.select("lang", F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("_n"))
+        .where(F.col("_n").isNotNull())
+        .drop("_n")
     )
     counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     # Two-phase top-k: a single per-lang window collapses to #langs

@@ -154,6 +154,13 @@ _BNLJ_ALLOWED = {
     "v10_sq8_ann_recall",  # v1/v9's bounded Q=10 query-sample broadcast
                          # (guarded by assert_bounded_input), twice:
                          # code-space scan + exact ground-truth pass
+    "v12_ivf_sq8_recall",  # composes v7's k-row centroid broadcast with
+                         # v10's guarded Q=10 query side and v9's exact
+                         # ground-truth pass — every BNLJ side bounded
+    "p8_zorder_layout",  # 1-row extent box + 3-row predicate literal
+                         # crossed onto the 16-rows-per-layout FILE AUDIT
+                         # table (post-agg) — the e6/a23 aggregated-sides
+                         # pattern; corpus rows never meet a BNLJ
     "t16_unigram_rarity",  # 1-row scalar broadcast (train token total),
                          # same shape as t9's corpus-count broadcast
     "p7_compaction_plan",  # 1-row row-budget scalar crossed onto the

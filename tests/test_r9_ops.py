@@ -167,16 +167,17 @@ def test_dhash_invariant_to_uniform_brightness():
 
 
 def test_m6_tweak_bounds():
-    """The copy tweak touches only grid rows 4-7 → dHash bits <32 are
-    IDENTICAL (bands 0/1 collide deterministically), and total hamming
-    stays ≤ 8 (≤2 comparisons per tweaked cell)."""
+    """The copy tweak touches only grid rows 4-7 → dHash bits <64 are
+    IDENTICAL (32-bit bands 0/1 collide deterministically), and total
+    hamming stays ≤ 8 (≤2 comparisons per tweaked cell)."""
     from etl_pipeline_telecom_spark.functions.multimodal import dhash_bits
-    from etl_pipeline_telecom_spark.plans.multimodal import _m6_gray
+    from etl_pipeline_telecom_spark.plans.multimodal import _M6_H, _M6_W, _m6_gray
 
     for base in range(0, 400, 7):
-        a = dhash_bits(_m6_gray(base, False), 9, 8)
-        b = dhash_bits(_m6_gray(base, True), 9, 8)
-        assert a[:32] == b[:32]
+        a = dhash_bits(_m6_gray(base, False), _M6_W, _M6_H)
+        b = dhash_bits(_m6_gray(base, True), _M6_W, _M6_H)
+        assert len(a) == 128
+        assert a[:64] == b[:64]
         assert sum(x != y for x, y in zip(a, b)) <= 8
 
 
@@ -562,3 +563,50 @@ def test_st11_out_of_order_arrival_fails_loudly(spark, tmp_path):
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _python_substring_spans(texts: dict[int, str], k: int) -> list[tuple]:
+    """Pure-python replay of d18: positioned k-shingles, corpus-wide
+    occurrence counts, per-doc interval merge of duplicated coverage."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    occ: dict[int, list[tuple[int, str]]] = {}
+    counts: dict[str, int] = {}
+    for doc_id, txt in texts.items():
+        tk = ws.split(txt.strip().lower())
+        occ[doc_id] = []
+        for i in range(len(tk) - k + 1):
+            sh = " ".join(tk[i : i + k])
+            occ[doc_id].append((i + 1, sh))
+            counts[sh] = counts.get(sh, 0) + 1
+    spans = []
+    for doc_id, lst in occ.items():
+        dup_pos = sorted(p for p, sh in lst if counts[sh] >= 2)
+        cur = None  # [span_start_pos, covered_token_end]
+        for p in dup_pos:
+            if cur is None or p > cur[1] + 1:  # coverage gap → new island
+                if cur:
+                    spans.append((doc_id, cur[0], cur[1]))
+                cur = [p, p + k - 1]
+            else:
+                cur[1] = max(cur[1], p + k - 1)
+        if cur:
+            spans.append((doc_id, cur[0], cur[1]))
+    return sorted(spans)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_d18_property_vs_python_replay(spark, docs):
+    """Random tiny-alphabet corpora (heavy natural duplication): the
+    Spark span set must equal the python replay exactly."""
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    assert _spans(df, k=3) == _python_substring_spans(texts, 3)
