@@ -354,8 +354,10 @@ DRIVER_WINDOW = (
     "j4_anti_join",
     "j5_left_join_agg",
     "j7_salted_join",
-    "r1_unpivot_measures",
-    "s1_union_distinct",
+    # m7/t23 joined mid-round (new — never-verified rule); they displace
+    # r1_unpivot_measures and s1_union_distinct back to the r10 fill
+    "m7_audio_features",
+    "t23_unigram_encode",
     # t11 joined mid-round: its bigram stage was rewritten from an inline
     # explode(transform(...)) to the window-lead form (plan drift → must
     # re-verdict); displaces s2_union_all_counts back to the r10 fill

@@ -346,3 +346,56 @@ def dhash_bits(gray: list[int], width: int, height: int) -> list[int]:
         for r in range(height)
         for c in range(width - 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Library-free 16-bit mono PCM WAV codec (m7) — the audio twin of the BMP
+# pixel codec: real RIFF/WAVE container parsing, no audio libs
+# ---------------------------------------------------------------------------
+
+
+def wav_from_pcm(samples: list[int], rate: int = 8000) -> bytes:
+    """Encode signed 16-bit mono PCM as a spec-valid RIFF/WAVE file
+    (fmt + data chunks, little-endian). Inverse of :func:`wav_pcm_samples`."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM, mono, 16-bit
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_pcm_samples(payload: bytes) -> tuple[int, list[int]]:
+    """REAL decode of a 16-bit mono PCM WAV: walks the RIFF chunk list to
+    the fmt and data chunks (tolerating extra chunks in between — real
+    files carry LIST/INFO), validates the format, and returns
+    (sample_rate, samples). Raises on non-WAV/compressed/≠16-bit/stereo —
+    the seam an ffmpeg-backed decoder would widen."""
+    import struct
+
+    import numpy as np
+
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+        )
+    return rate, np.frombuffer(data, dtype="<i2").astype(int).tolist()

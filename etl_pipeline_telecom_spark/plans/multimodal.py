@@ -423,3 +423,111 @@ def m6_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
         .where(F.col("hamming") <= _M6_HAMMING_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# m7: audio feature extraction over a REAL (library-free) WAV codec
+# ---------------------------------------------------------------------------
+
+_M7_N = 64       # samples per synthetic clip (8 md5 rounds × 8 int16)
+_M7_RATE = 8000  # Hz
+
+
+def audio_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: array<int> of 64 signed int16 samples) — synthesize a
+    REAL RIFF/WAVE payload per doc (md5-derived PCM), then round-trip it
+    through the library-free WAV decoder inside the operator (the m6
+    discipline for audio): a chunk-walk, fmt-validation, or endianness
+    bug changes the samples and trips the oracle hash gate."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.multimodal import wav_from_pcm, wav_pcm_samples
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"{int(doc_id)}:a{k}".encode()).digest()
+                    for k in range(8)
+                )[: _M7_N * 2]
+                samples = [
+                    (v - 65536) if (v := raw[2 * i] + 256 * raw[2 * i + 1]) >= 32768 else v
+                    for i in range(_M7_N)
+                ]
+                rate, decoded = wav_pcm_samples(wav_from_pcm(samples, _M7_RATE))
+                assert rate == _M7_RATE
+                out.append((int(doc_id), decoded))
+            yield pd.DataFrame(out, columns=["doc_id", "s"])
+
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids.mapInPandas(batches, schema="doc_id long, s array<int>")
+
+
+_M7_SQL_SAMPLE = (
+    "list_transform(range(0, 64), i -> CASE WHEN "
+    "CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) >= 32768 "
+    "THEN CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) - 65536 "
+    "ELSE CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) END)"
+)
+
+
+@register(
+    "m7_audio_features",
+    f"""WITH hexes AS (
+          SELECT doc_id,
+                 md5(doc_id || ':a0') || md5(doc_id || ':a1') || md5(doc_id || ':a2')
+                 || md5(doc_id || ':a3') || md5(doc_id || ':a4') || md5(doc_id || ':a5')
+                 || md5(doc_id || ':a6') || md5(doc_id || ':a7') AS hx
+          FROM documents),
+        pcm AS MATERIALIZED (SELECT doc_id, {_M7_SQL_SAMPLE} AS s FROM hexes)
+        SELECT doc_id,
+               CAST(len(s) AS BIGINT) AS n_samples,
+               CAST(len(s) * 1000000 // {_M7_RATE} AS BIGINT) AS duration_us,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+               CAST(len(list_filter(list_transform(range(1, 64),
+                    i -> s[i] * s[i + 1]), p -> p < 0)) AS BIGINT) AS zero_crossings,
+               ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                          / len(s)), 6) AS rms
+        FROM pcm""",
+    tags=("multimodal", "audio", "features"),
+    doc="Audio feature extraction over REAL WAV containers — extends the "
+    "multimodal family beyond images with the same library-free "
+    "discipline as m6's BMP path: each doc synthesizes a RIFF/WAVE "
+    "payload (16-bit mono PCM, md5-derived samples) and the operator "
+    "DECODES it with the chunk-walking WAV parser (fmt validation, "
+    "extra-chunk tolerance, little-endian int16) before any feature is "
+    "computed — so the container round-trip sits inside the oracle-"
+    "verified path. Features are the standard audio-curation screens, "
+    "all integer/IEEE-exact: duration, peak amplitude, zero-crossing "
+    "count (the classic voiced/unvoiced + DC-offset screen), and RMS "
+    "loudness (exact integer sum-of-squares, one double sqrt on "
+    "identical operands in both engines). Plan: one narrow Arrow decode "
+    "stage, features as codegen'd array expressions, NO shuffle at all "
+    "— at 100 TB this is a pure map over the blob store; cut rows are "
+    "whichever clips fail the loudness/crossing screens.",
+)
+def m7_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcm = audio_pcm_samples(spark, sf_dir)
+    n = F.size("s")
+    sum_sq = F.aggregate(
+        F.col("s"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint") * x
+    )
+    crossings = F.expr(
+        "size(filter(zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+        "(a, b) -> a * b < 0), x -> x))"
+    )
+    return pcm.select(
+        "doc_id",
+        n.cast("bigint").alias("n_samples"),
+        (n.cast("bigint") * 1_000_000 / _M7_RATE).cast("bigint").alias("duration_us"),
+        F.array_max(F.transform(F.col("s"), F.abs)).cast("bigint").alias("peak"),
+        crossings.cast("bigint").alias("zero_crossings"),
+        F.round(F.sqrt(sum_sq.cast("double") / n), 6).alias("rms"),
+    )

@@ -1685,3 +1685,120 @@ def t22_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out.select("vocab_size", "piece", "score_micro", "prob")
+
+
+# ---------------------------------------------------------------------------
+# t23: unigram-LM ENCODE — min-pieces Viterbi over the trained vocabulary
+# ---------------------------------------------------------------------------
+
+_T23_V = _T22_VOCABS[1]  # encode with the larger trained vocabulary
+
+
+def _t23_encode(word: str, vocab: frozenset, maxp: int) -> tuple[int, tuple]:
+    """Viterbi segmentation under the uniform piece model: FEWEST pieces,
+    ties broken by the lexicographically smallest piece sequence — both
+    integer-/string-exact, so the oracle can enumerate and re-rank.
+    Backward DP over (count, sequence) tuples: suffix optimality holds
+    because total count forces a count-minimal suffix, and within the
+    fixed first piece the lexicographic order of the full sequence is
+    the order of the optimal suffix."""
+    L = len(word)
+    dp: list = [None] * (L + 1)
+    dp[L] = (0, ())
+    for i in range(L - 1, -1, -1):
+        best = None
+        for j in range(i + 1, min(L, i + maxp) + 1):
+            p = word[i:j]
+            if p in vocab and dp[j] is not None:
+                cand = (1 + dp[j][0], (p,) + dp[j][1])
+                if best is None or cand < best:
+                    best = cand
+        dp[i] = best
+    return dp[0]
+
+
+def t23_encode_words(words: DataFrame, vocab_pieces: frozenset) -> DataFrame:
+    """Distributed encode over the distinct-word table (t22's E-step
+    shape: bounded vocabulary in the task closure, lattice per word)."""
+    import pandas as pd
+
+    maxp = _T22_MAXP
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            out = []
+            for word in pdf["word"]:
+                n, seq = _t23_encode(word, vocab_pieces, maxp)
+                out.append((word, n, "|".join(seq)))
+            yield pd.DataFrame(out, columns=["word", "n_pieces", "encoded"])
+
+    return words.select("word").mapInPandas(
+        batches, schema="word string, n_pieces long, encoded string"
+    )
+
+
+@register(
+    "t23_unigram_encode",
+    f"""WITH RECURSIVE
+        words AS MATERIALIZED (
+          SELECT word, COUNT(*) AS freq
+          FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+          WHERE len(word) BETWEEN 1 AND {_T22_MAXW} GROUP BY word),
+        spans AS MATERIALIZED (
+          SELECT w.word, w.freq, CAST(t1.i AS INT) AS i,
+                 substr(w.word, CAST(t1.i AS INT) + 1, CAST(t2.l AS INT)) AS piece
+          FROM words w,
+               UNNEST(range(0, len(w.word))) AS t1(i),
+               UNNEST(range(1, {_T22_MAXP} + 1)) AS t2(l)
+          WHERE t1.i + t2.l <= len(w.word)),
+        chars AS (SELECT DISTINCT piece FROM spans WHERE len(piece) = 1),
+        multi AS (SELECT piece FROM (
+            SELECT piece, SUM(freq) AS score FROM spans WHERE len(piece) >= 2
+            GROUP BY piece)
+          ORDER BY score DESC, piece LIMIT {_T23_V}),
+        vocab AS (SELECT piece FROM chars UNION SELECT piece FROM multi),
+        edges AS MATERIALIZED (
+          SELECT s.word, s.i, s.i + len(s.piece) AS j, s.piece
+          FROM spans s JOIN vocab USING (piece)),
+        rec AS (
+          SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+          UNION ALL
+          SELECT r.word, e.j, list_append(r.pieces, e.piece)
+          FROM rec r JOIN edges e ON e.word = r.word AND e.i = r.pos),
+        fullp AS MATERIALIZED (
+          SELECT r.word, r.pieces FROM rec r JOIN words w USING (word)
+          WHERE r.pos = len(w.word)),
+        best AS (
+          SELECT word, pieces FROM (
+            SELECT word, pieces,
+                   ROW_NUMBER() OVER (PARTITION BY word
+                                      ORDER BY len(pieces), pieces) AS rn
+            FROM fullp) WHERE rn = 1)
+        SELECT b.word, w.freq,
+               CAST(len(b.pieces) AS BIGINT) AS n_pieces,
+               array_to_string(b.pieces, '|') AS encoded
+        FROM best b JOIN words w USING (word)""",
+    tags=("text", "tokenizer", "unigram", "encode"),
+    doc="Unigram-LM tokenizer ENCODE — the production counterpart of "
+    "t22's training step (t17 is BPE's encode; this is SentencePiece's): "
+    "segment every word with the trained vocabulary by Viterbi under "
+    "the uniform piece model — FEWEST pieces, lexicographically "
+    "smallest sequence on ties — which keeps the whole decision "
+    "integer-/string-exact, so the DuckDB oracle enumerates all "
+    "segmentations (recursive CTE, path-bounded by the 12-char word "
+    "cap) and re-ranks by (length, sequence) to the identical answer. "
+    "Character coverage guarantees a segmentation exists for every "
+    "word. Scale: corpus work is ONE tokenize+groupBy; the Viterbi runs "
+    "per DISTINCT word with the (V+charset)-row vocabulary in the task "
+    "closure, and applying the encoding corpus-wide is a broadcast join "
+    "of this word→encoding table against the token stream (t17's "
+    "apply shape).",
+)
+def t23_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _t22_words(spark, sf_dir)
+    vocab = frozenset(
+        r.piece for r in _t22_vocab(spark, sf_dir, _T23_V).collect()
+    )  # bounded collect: V + |charset| rows
+    return t23_encode_words(words, vocab).join(words, "word").select(
+        "word", "freq", "n_pieces", "encoded"
+    )

@@ -233,6 +233,10 @@ PROBES += [
     "p8_zorder_layout",
     "v12_ivf_sq8_recall",
     "t22_unigram_em",
+    # second r9 batch: pure-map WAV decode + features (no shuffle), and
+    # the Viterbi encode (vocab-bounded per distinct word, t22's shape)
+    "m7_audio_features",
+    "t23_unigram_encode",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -610,3 +610,111 @@ def test_d18_property_vs_python_replay(spark, docs):
     texts = {i + 1: t for i, t in enumerate(docs)}
     df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     assert _spans(df, k=3) == _python_substring_spans(texts, 3)
+
+
+# ---------------------------------------------------------------------------
+# m7: audio features over the library-free WAV codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    from etl_pipeline_telecom_spark.functions.multimodal import (
+        wav_from_pcm,
+        wav_pcm_samples,
+    )
+
+    s = [0, 100, -100, 32767, -32768, 7, -1]
+    p = wav_from_pcm(s, 16000)
+    assert wav_pcm_samples(p) == (16000, s)
+    # real files carry extra chunks (LIST/INFO) between fmt and data —
+    # the chunk walk must skip them
+    extra = p[:12] + b"LIST" + (4).to_bytes(4, "little") + b"INFO" + p[12:]
+    extra = extra[:4] + (len(extra) - 8).to_bytes(4, "little") + extra[8:]
+    assert wav_pcm_samples(extra) == (16000, s)
+
+
+def test_wav_decoder_rejects_unsupported():
+    import struct
+
+    from etl_pipeline_telecom_spark.functions.multimodal import (
+        wav_from_pcm,
+        wav_pcm_samples,
+    )
+
+    with pytest.raises(NotImplementedError):
+        wav_pcm_samples(b"RIFX" + b"\x00" * 40)
+    p = bytearray(wav_from_pcm([1, 2, 3], 8000))
+    fmt_off = p.index(b"fmt ") + 8
+    p[fmt_off + 2 : fmt_off + 4] = struct.pack("<H", 2)  # claim stereo
+    with pytest.raises(NotImplementedError):
+        wav_pcm_samples(bytes(p))
+
+
+def test_m7_crafted_feature_pins(spark):
+    """Hand-computed features for a known PCM clip, run through the full
+    synth→decode→feature plan fragment."""
+    from pyspark.sql import functions as F
+
+    s = [0, 100, -100, 200, 0, -50]
+    df = spark.createDataFrame([(1, s)], "doc_id long, s array<int>")
+    sum_sq = sum(x * x for x in s)
+    crossings = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)  # 100*-100, -100*200
+    got = df.select(
+        F.array_max(F.transform(F.col("s"), F.abs)).alias("peak"),
+        F.expr(
+            "size(filter(zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+            "(a, b) -> a * b < 0), x -> x))"
+        ).alias("zc"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("s"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint") * x
+                ).cast("double")
+                / F.size("s")
+            ),
+            6,
+        ).alias("rms"),
+    ).collect()[0]
+    assert got.peak == 200 and got.zc == crossings == 2
+    assert got.rms == round((sum_sq / len(s)) ** 0.5, 6)
+
+
+def test_m7_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "m7_audio_features")
+
+
+# ---------------------------------------------------------------------------
+# t23: unigram Viterbi encode
+# ---------------------------------------------------------------------------
+
+
+def test_t23_min_pieces_and_lexicographic_tiebreak():
+    from etl_pipeline_telecom_spark.plans.text import _t23_encode
+
+    vocab = frozenset({"a", "b", "ab", "aa"})
+    assert _t23_encode("abab", vocab, 4) == (2, ("ab", "ab"))
+    assert _t23_encode("aa", vocab, 4) == (1, ("aa",))
+    # 'aaa' → 2 pieces either as a|aa or aa|a; lexicographic picks a|aa
+    assert _t23_encode("aaa", vocab, 4) == (2, ("a", "aa"))
+    # no multi-char piece covers 'ba' → falls back to chars
+    assert _t23_encode("ba", vocab, 4) == (2, ("b", "a"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=9),
+    st.sets(st.text(alphabet="abc", min_size=2, max_size=4), max_size=8),
+)
+def test_t23_dp_equals_enumeration(word, extra_pieces):
+    """The Viterbi DP must equal brute-force enumeration re-ranked by
+    (n_pieces, sequence) for any word and char-covering vocabulary."""
+    from etl_pipeline_telecom_spark.plans.text import _T22_MAXP, _t23_encode
+
+    vocab = frozenset(set("abc") | extra_pieces)
+    segs = _enumerate_segmentations(word, vocab, _T22_MAXP)
+    expected = min((len(s), s) for s in segs)
+    assert _t23_encode(word, vocab, _T22_MAXP) == expected
+
+
+def test_t23_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "t23_unigram_encode")
