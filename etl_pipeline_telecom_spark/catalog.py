@@ -322,6 +322,10 @@ DRIVER_WINDOW = (
     "t22_unigram_em",
     "v12_ivf_sq8_recall",
     "p6_range_sharded_export",
+    # d19 joined mid-round (new — never-verified rule); displaces
+    # j7_salted_join back to the r10 fill (r2-stale cohort, name-ordered
+    # so the alphabetically-last fill slot yields)
+    "d19_url_dedup",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # the 32 least-recently-windowed queries, oldest cohort first,
     # name-ordered — all last driver-verdicted in r2's full-catalog pass
@@ -353,7 +357,6 @@ DRIVER_WINDOW = (
     "j3_semi_join",
     "j4_anti_join",
     "j5_left_join_agg",
-    "j7_salted_join",
     # m7/t23 joined mid-round (new — never-verified rule); they displace
     # r1_unpivot_measures and s1_union_distinct back to the r10 fill
     "m7_audio_features",

@@ -1238,3 +1238,133 @@ def d18_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_shingles",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d19: canonical-URL dedup — the URL-level pass curation pipelines run
+# BEFORE any text dedup (CCNet/C4: most crawl duplication is the same page
+# behind scheme/case/port/tracking-param/fragment variants)
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL synthesis (both engines generate the identical
+# raw URL per doc): groups of 10 docs share a page; variants differ in
+# scheme case, www + host case, default port, utm tracking params, query
+# param ORDER, trailing slash, and fragment.
+_SQL_D19_RAW = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      (CASE WHEN doc_id % 3 = 0
+            THEN upper('www.s' || CAST((doc_id // 10) % 20 AS VARCHAR) || '.example.com')
+            WHEN doc_id % 3 = 1
+            THEN 'www.s' || CAST((doc_id // 10) % 20 AS VARCHAR) || '.example.com'
+            ELSE 's' || CAST((doc_id // 10) % 20 AS VARCHAR) || '.example.com' END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      '/docs/' || CAST(doc_id // 10 AS VARCHAR) ||
+      (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=a&a=1&b=2'
+            WHEN doc_id % 4 = 1 THEN '?b=2&utm_medium=b&a=1'
+            WHEN doc_id % 4 = 2 THEN '?b=2&a=1'
+            ELSE '?a=1&b=2' END) ||
+      (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END)
+"""
+
+# Canonicalization, rule for rule (the standard crawl-dedup recipe):
+# lowercase scheme+host, strip leading www., strip default ports :80/:443,
+# strip the fragment, drop utm_* tracking params, SORT surviving params,
+# trim one trailing slash from the path.
+_SQL_D19_CANON = """
+      lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) || '://' ||
+      regexp_replace(regexp_replace(
+          lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)),
+          '^www\\.', ''), ':(80|443)$', '') ||
+      regexp_replace(regexp_extract(raw, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1),
+                     '/$', '') ||
+      CASE WHEN len(list_filter(string_split(
+                regexp_extract(raw, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+           THEN '?' || array_to_string(list_sort(list_filter(string_split(
+                regexp_extract(raw, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+           ELSE '' END
+"""
+
+
+def canonical_url(raw: Column) -> Column:
+    """The same canonicalization as a native Column expression — scheme/
+    host lowering, www/default-port/fragment stripping, utm_* removal,
+    param sort, trailing-slash trim. All codegen'd string/regex ops; at
+    100 TB this runs as a narrow projection in the scan stage."""
+    scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(raw, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.", ""),
+        r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(raw, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1), r"/$", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(raw, r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    query = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))).otherwise("")
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+@register(
+    "d19_url_dedup",
+    f"""WITH raws AS MATERIALIZED (
+          SELECT doc_id, ({_SQL_D19_RAW}) AS raw FROM documents),
+        canon AS (SELECT doc_id, raw, ({_SQL_D19_CANON}) AS canonical_url
+                  FROM raws)
+        SELECT canonical_url,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_distinct_raw,
+               MIN(doc_id) AS canonical_doc_id
+        FROM canon GROUP BY canonical_url""",
+    tags=("dedup", "url", "canonicalization"),
+    doc="URL-level dedup — the pass crawl curation runs BEFORE any text "
+    "dedup (most crawl duplication is the same page behind scheme-case/"
+    "www/default-port/tracking-param/param-order/trailing-slash/fragment "
+    "variants — the CCNet/C4 observation). Synthesis gives every group "
+    "of 10 docs one page dressed in those seven variant classes; the "
+    "canonicalizer (shared Column expression ≡ oracle SQL, rule for "
+    "rule) must collapse them — n_distinct_raw > n_canonical pins that "
+    "the normalization did real work, and a rule regression (say, utm "
+    "params surviving) changes group counts and trips the hash gate. "
+    "Plan: canonicalization is a narrow codegen'd projection (regex + "
+    "array ops, no UDF), then ONE map-side-combinable groupBy on the "
+    "canonical key — d1's exact-dedup shape with the key computed in "
+    "the scan stage. At 100 TB this replaces the key with its 128-bit "
+    "fingerprint and the shape is unchanged.",
+)
+def d19_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    site = F.concat(
+        F.lit("s"), F.expr("CAST((doc_id div 10) % 20 AS STRING)"),
+        F.lit(".example.com"),
+    )
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise("http"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.concat(F.lit("www."), site)))
+         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("www."), site))
+         .otherwise(site),
+        F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
+        F.lit("/docs/"),
+        F.expr("CAST(doc_id div 10 AS STRING)"),
+        F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0, "?utm_source=a&a=1&b=2")
+         .when(F.col("doc_id") % 4 == 1, "?b=2&utm_medium=b&a=1")
+         .when(F.col("doc_id") % 4 == 2, "?b=2&a=1")
+         .otherwise("?a=1&b=2"),
+        F.when(F.col("doc_id") % 11 == 0, "#sec").otherwise(""),
+    )
+    canon = docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id", "raw", canonical_url(F.col("raw")).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw").alias("n_distinct_raw"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )

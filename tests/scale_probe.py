@@ -237,6 +237,9 @@ PROBES += [
     # the Viterbi encode (vocab-bounded per distinct word, t22's shape)
     "m7_audio_features",
     "t23_unigram_encode",
+    # third r9 batch: canonical-URL dedup — a narrow codegen'd regex
+    # projection then one map-side-combinable groupBy (d1's shape)
+    "d19_url_dedup",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

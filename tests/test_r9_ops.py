@@ -718,3 +718,73 @@ def test_t23_dp_equals_enumeration(word, extra_pieces):
 
 def test_t23_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "t23_unigram_encode")
+
+
+# ---------------------------------------------------------------------------
+# d19: canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+
+def _canon_one(spark, raw: str) -> str:
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.dedup import canonical_url
+
+    df = spark.createDataFrame([(raw,)], "raw string")
+    return df.select(canonical_url(F.col("raw")).alias("c")).first()["c"]
+
+
+@pytest.mark.parametrize(
+    ("raw", "expected"),
+    [
+        # scheme + host case-folding
+        ("HTTP://Example.COM/a", "http://example.com/a"),
+        # leading-www strip (host only — path untouched)
+        ("https://WWW.Example.com/www/x", "https://example.com/www/x"),
+        # default ports strip; non-default ports survive
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        # fragment stripped
+        ("http://ex.com/a#sec-2", "http://ex.com/a"),
+        # utm_* params dropped entirely (query gone when none survive)
+        ("http://ex.com/a?utm_source=x&utm_medium=y", "http://ex.com/a"),
+        # surviving params sorted — order variants collapse
+        ("http://ex.com/a?b=2&a=1", "http://ex.com/a?a=1&b=2"),
+        ("http://ex.com/a?a=1&b=2", "http://ex.com/a?a=1&b=2"),
+        # mixed: tracking dropped, the rest sorted
+        ("http://ex.com/a?utm_s=1&z=9&a=1", "http://ex.com/a?a=1&z=9"),
+        # one trailing slash trimmed
+        ("http://ex.com/docs/", "http://ex.com/docs"),
+        # distinct REAL params must NOT collapse (no over-canonicalization)
+        ("http://ex.com/a?page=2", "http://ex.com/a?page=2"),
+        ("http://ex.com/a?page=3", "http://ex.com/a?page=3"),
+    ],
+)
+def test_d19_canonicalizer_rules(spark, raw, expected):
+    assert _canon_one(spark, raw) == expected
+
+
+def test_d19_variants_collapse_on_fixture(spark, sf_dir):
+    """On the synthesized fixture every page's seven variant classes must
+    collapse: groups exist with >1 distinct raw URL, group membership is
+    exactly doc_id div 10 (the page decade), and no docs are lost."""
+    import duckdb
+
+    spec = catalog.REGISTRY["d19_url_dedup"]
+    rows = spec.fn(spark, sf_dir).collect()
+    con = duckdb.connect()
+    n_docs, n_pages = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT doc_id // 10) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    con.close()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert len(rows) == n_pages
+    assert max(r["n_distinct_raw"] for r in rows) > 1  # collapse happened
+    # canonical representative = min doc_id of the group
+    assert all(r["canonical_doc_id"] >= 0 for r in rows)
+
+
+def test_d19_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "d19_url_dedup")
