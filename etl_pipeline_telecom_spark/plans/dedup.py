@@ -1288,6 +1288,32 @@ _SQL_D19_CANON = """
 """
 
 
+def raw_url_col() -> Column:
+    """The messy-URL synthesis as a Column over ``doc_id`` — shared by
+    d19 (dedup) and d20 (blocklist filter) so both operate on the same
+    deterministic crawl. Mirrors ``_SQL_D19_RAW`` token for token."""
+    site = F.concat(
+        F.lit("s"), F.expr("CAST((doc_id div 10) % 20 AS STRING)"),
+        F.lit(".example.com"),
+    )
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise("http"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.concat(F.lit("www."), site)))
+         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("www."), site))
+         .otherwise(site),
+        F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
+        F.lit("/docs/"),
+        F.expr("CAST(doc_id div 10 AS STRING)"),
+        F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0, "?utm_source=a&a=1&b=2")
+         .when(F.col("doc_id") % 4 == 1, "?b=2&utm_medium=b&a=1")
+         .when(F.col("doc_id") % 4 == 2, "?b=2&a=1")
+         .otherwise("?a=1&b=2"),
+        F.when(F.col("doc_id") % 11 == 0, "#sec").otherwise(""),
+    )
+
+
 def canonical_url(raw: Column) -> Column:
     """The same canonicalization as a native Column expression — scheme/
     host lowering, www/default-port/fragment stripping, utm_* removal,
@@ -1340,31 +1366,107 @@ def canonical_url(raw: Column) -> Column:
 )
 def d19_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    site = F.concat(
-        F.lit("s"), F.expr("CAST((doc_id div 10) % 20 AS STRING)"),
-        F.lit(".example.com"),
-    )
-    raw = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise("http"),
-        F.lit("://"),
-        F.when(F.col("doc_id") % 3 == 0, F.upper(F.concat(F.lit("www."), site)))
-         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("www."), site))
-         .otherwise(site),
-        F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
-        F.lit("/docs/"),
-        F.expr("CAST(doc_id div 10 AS STRING)"),
-        F.when(F.col("doc_id") % 7 == 0, "/").otherwise(""),
-        F.when(F.col("doc_id") % 4 == 0, "?utm_source=a&a=1&b=2")
-         .when(F.col("doc_id") % 4 == 1, "?b=2&utm_medium=b&a=1")
-         .when(F.col("doc_id") % 4 == 2, "?b=2&a=1")
-         .otherwise("?a=1&b=2"),
-        F.when(F.col("doc_id") % 11 == 0, "#sec").otherwise(""),
-    )
-    canon = docs.select("doc_id", raw.alias("raw")).select(
+    canon = docs.select("doc_id", raw_url_col().alias("raw")).select(
         "doc_id", "raw", canonical_url(F.col("raw")).alias("canonical_url")
     )
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("raw").alias("n_distinct_raw"),
         F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d20: domain/path blocklist filter — the URL-level REMOVAL pass that runs
+# right after d19's canonicalization in a crawl curation pipeline
+# (C4/RefinedWeb: drop documents from blocklisted domains and URL paths)
+# ---------------------------------------------------------------------------
+
+#: blocked registrable domains (UT1-style list, here 4 of the 20 synthetic
+#: sites) and one blocked path PREFIX (matches /docs/3 and /docs/30-39 —
+#: prefix semantics are the point, not exact-path)
+_D20_BLOCKED_HOSTS = (
+    "s0.example.com",
+    "s5.example.com",
+    "s10.example.com",
+    "s15.example.com",
+)
+_D20_BLOCKED_PATH_PREFIX = "/docs/3"
+
+_SQL_D20_HOSTLIST = ", ".join(f"('{h}')" for h in _D20_BLOCKED_HOSTS)
+
+
+@register(
+    "d20_domain_blocklist",
+    f"""WITH raws AS MATERIALIZED (
+          SELECT doc_id, ({_SQL_D19_RAW}) AS raw FROM documents),
+        canon AS (SELECT doc_id, ({_SQL_D19_CANON}) AS curl FROM raws),
+        parts AS (
+          SELECT doc_id,
+                 regexp_extract(curl, '^[a-z]+://([^/?#]+)', 1) AS domain,
+                 regexp_extract(curl, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path
+          FROM canon),
+        flagged AS (
+          SELECT p.doc_id, p.domain, p.path,
+                 (b.domain IS NOT NULL) AS host_blocked,
+                 starts_with(p.path, '{_D20_BLOCKED_PATH_PREFIX}') AS path_blocked
+          FROM parts p
+          LEFT JOIN (VALUES {_SQL_D20_HOSTLIST}) b(domain)
+            ON p.domain = b.domain)
+        SELECT domain,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT path) AS BIGINT) AS n_pages,
+               CAST(SUM(CASE WHEN host_blocked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_host_blocked,
+               CAST(SUM(CASE WHEN path_blocked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_path_blocked,
+               CAST(SUM(CASE WHEN NOT host_blocked AND NOT path_blocked
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM flagged GROUP BY domain""",
+    tags=("dedup", "url", "blocklist", "filter"),
+    doc="Domain/path blocklist filtering over d19's canonical URLs — the "
+    "removal pass crawl pipelines run between URL canonicalization and "
+    "text processing (C4 used badword domain lists; RefinedWeb the UT1 "
+    "blocklist + URL scoring). Two rule classes, both pinned per-domain "
+    "in the output: registrable-domain membership (4/20 synthetic sites "
+    "blocked) via a LEFT broadcast join against the blocklist table — "
+    "the shape that holds when the list is UT1-sized (~4M rows, tens of "
+    "MB broadcast; past broadcast budget the same plan degrades to one "
+    "hash join keyed on domain) — and a blocked path PREFIX "
+    "(startswith, so /docs/3 also catches /docs/30-39; a codegen'd "
+    "literal here, an Aho-Corasick pandas_udf once the prefix list is "
+    "data-sized). n_kept counts docs surviving both rules; host and "
+    "path counts overlap deliberately so each rule's reach is "
+    "independently hash-pinned. Plan: narrow regex projection in the "
+    "scan stage, one broadcast join, one map-side-combinable groupBy on "
+    "domain — no UDF, no second shuffle.",
+)
+def d20_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    curl = canonical_url(raw_url_col())
+    parts = docs.select(
+        "doc_id",
+        F.regexp_extract(curl, r"^[a-z]+://([^/?#]+)", 1).alias("domain"),
+        F.regexp_extract(curl, r"^[a-z]+://[^/?#]*([^?#]*)", 1).alias("path"),
+    )
+    blocklist = spark.createDataFrame(
+        [(h,) for h in _D20_BLOCKED_HOSTS], "domain string"
+    ).withColumn("host_blocked", F.lit(True))
+    flagged = (
+        parts.join(F.broadcast(blocklist), "domain", "left")
+        .select(
+            "domain",
+            "path",
+            F.coalesce("host_blocked", F.lit(False)).alias("host_blocked"),
+            F.col("path").startswith(_D20_BLOCKED_PATH_PREFIX).alias("path_blocked"),
+        )
+    )
+    return flagged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("path").alias("n_pages"),
+        F.sum(F.col("host_blocked").cast("long")).alias("n_host_blocked"),
+        F.sum(F.col("path_blocked").cast("long")).alias("n_path_blocked"),
+        F.sum(
+            (~F.col("host_blocked") & ~F.col("path_blocked")).cast("long")
+        ).alias("n_kept"),
     )

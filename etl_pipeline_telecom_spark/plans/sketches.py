@@ -719,3 +719,170 @@ def a24_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("age_days").cast("bigint").alias("newest_age_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a25: KMV / theta-sketch set operations — the sketch family HLL can't be:
+# a k-minimum-values sample supports INTERSECTION and DIFFERENCE estimates
+# (theta-sketch algebra), not just union cardinality
+# ---------------------------------------------------------------------------
+
+_A25_K = 64
+_A25_SCALE = 1 << 44  # 44-bit hash space (11 md5 hex chars)
+_SQL_A25_H = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 11)) AS BIGINT)"
+)
+
+
+def _a25_hash(c):
+    """44-bit md5-prefix hash — identical arithmetic in both engines, and
+    small enough that (K-1)·2^44 stays in signed BIGINT (no decimals)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 11), 16, 10).cast("bigint")
+
+
+@register(
+    "a25_kmv_theta_setops",
+    f"""WITH flags AS (
+          SELECT h,
+                 MAX(CASE WHEN early THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN early THEN 0 ELSE 1 END) AS in_b
+          FROM (SELECT DISTINCT {_SQL_A25_H} AS h,
+                       year(o_orderdate) <= 1997 AS early
+                FROM orders)
+          GROUP BY h),
+        ska AS (SELECT h FROM flags WHERE in_a = 1 ORDER BY h LIMIT {_A25_K}),
+        skb AS (SELECT h FROM flags WHERE in_b = 1 ORDER BY h LIMIT {_A25_K}),
+        sku AS (SELECT h, in_a, in_b FROM flags ORDER BY h LIMIT {_A25_K}),
+        agg_a AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM ska),
+        agg_b AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM skb),
+        agg_u AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM sku),
+        csub AS (
+          SELECT CAST(SUM(s.in_a * s.in_b) AS BIGINT) AS c_int,
+                 CAST(SUM(s.in_a * (1 - s.in_b)) AS BIGINT) AS c_diff
+          FROM sku s, agg_u u WHERE s.h < u.hk),
+        exacts AS (
+          SELECT CAST(SUM(in_a) AS BIGINT) AS ea,
+                 CAST(SUM(in_b) AS BIGINT) AS eb,
+                 CAST(COUNT(*) AS BIGINT) AS eu,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS ei,
+                 CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS ed
+          FROM flags),
+        one AS (SELECT * FROM csub, exacts)
+        SELECT measure, est, exact FROM (
+          SELECT 'distinct_a' AS measure,
+                 CASE WHEN a.n < {_A25_K} THEN ea
+                      ELSE ({_A25_K - 1} * {_A25_SCALE}) // a.hk END AS est,
+                 ea AS exact FROM one, agg_a a
+          UNION ALL
+          SELECT 'distinct_b',
+                 CASE WHEN b.n < {_A25_K} THEN eb
+                      ELSE ({_A25_K - 1} * {_A25_SCALE}) // b.hk END, eb
+          FROM one, agg_b b
+          UNION ALL
+          SELECT 'union',
+                 CASE WHEN u.n < {_A25_K} THEN eu
+                      ELSE ({_A25_K - 1} * {_A25_SCALE}) // u.hk END, eu
+          FROM one, agg_u u
+          UNION ALL
+          SELECT 'intersection',
+                 CASE WHEN u.n < {_A25_K} THEN ei
+                      ELSE (c_int * {_A25_SCALE}) // u.hk END, ei
+          FROM one, agg_u u
+          UNION ALL
+          SELECT 'a_minus_b',
+                 CASE WHEN u.n < {_A25_K} THEN ed
+                      ELSE (c_diff * {_A25_SCALE}) // u.hk END, ed
+          FROM one, agg_u u)""",
+    tags=("sketch", "kmv", "theta", "setops"),
+    doc="KMV / theta-sketch set-operation estimates over two customer "
+    "cohorts (ordered 1995-97 vs 1998-2001) — the sketch algebra HLL "
+    "cannot do: a k-minimum-values sample (k=64 smallest 44-bit md5 "
+    "hashes) estimates UNION, INTERSECTION, and DIFFERENCE cardinality "
+    "from bounded state (Dasu/Beyer KMV; Apache DataSketches theta). "
+    "Estimator, identical in both engines: theta = k-th smallest union "
+    "hash; est(subset) = |{{sample < theta}} ∩ subset| · 2^44 DIV theta "
+    "(pure BIGINT — 63·2^44 < 2^51, no decimals, no floats anywhere); "
+    "sketches smaller than k fall back to their exact count. Output = "
+    "(measure, est, exact) so the artifact itself shows sketch error. "
+    "Plan: one distinct-agg on the 44-bit key (map-side combinable), "
+    "then every sketch is a distributed top-k (TakeOrdered — partial "
+    "per-partition top-64, driver merges 64-row sides; the exact shape "
+    "DataSketches-on-Spark uses), and ALL downstream joins are between "
+    "≤64-row bounded sides. At 100 TB the only data-sized stage is the "
+    "first distinct; k is the accuracy dial (RSE ~ 1/sqrt(k-2)).",
+)
+def a25_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, SCALE = _A25_K, _A25_SCALE
+    orders = load_table(spark, sf_dir, "orders").select(
+        _a25_hash(F.col("o_custkey")).alias("h"),
+        (F.year("o_orderdate") <= 1997).alias("early"),
+    )
+    flags = (
+        orders.distinct()
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("early"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("early"), 0).otherwise(1)).alias("in_b"),
+        )
+    )
+    ska = flags.where(F.col("in_a") == 1).select("h").orderBy("h").limit(K)
+    skb = flags.where(F.col("in_b") == 1).select("h").orderBy("h").limit(K)
+    sku = flags.orderBy("h").limit(K)
+    agg_a = ska.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("hka"))
+    agg_b = skb.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("hkb"))
+    agg_u = sku.agg(F.count(F.lit(1)).alias("nu"), F.max("h").alias("hku"))
+    csub = (
+        sku.crossJoin(F.broadcast(agg_u))
+        .where(F.col("h") < F.col("hku"))
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("c_int"),
+            F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("c_diff"),
+        )
+    )
+    exacts = flags.agg(
+        F.sum("in_a").alias("ea"),
+        F.sum("in_b").alias("eb"),
+        F.count(F.lit(1)).alias("eu"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("ei"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("ed"),
+    )
+    one = (
+        agg_a.crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(agg_u))
+        .crossJoin(F.broadcast(csub))
+        .crossJoin(F.broadcast(exacts))
+    )
+
+    def est(n, hk, c, exact):
+        return F.when(F.col(n) < K, F.col(exact)).otherwise(
+            F.expr(f"({c} * {SCALE}) div {hk}")
+        )
+
+    measures = F.array(
+        F.struct(
+            F.lit("distinct_a").alias("measure"),
+            est("na", "hka", K - 1, "ea").alias("est"),
+            F.col("ea").cast("long").alias("exact"),
+        ),
+        F.struct(
+            F.lit("distinct_b").alias("measure"),
+            est("nb", "hkb", K - 1, "eb").alias("est"),
+            F.col("eb").cast("long").alias("exact"),
+        ),
+        F.struct(
+            F.lit("union").alias("measure"),
+            est("nu", "hku", K - 1, "eu").alias("est"),
+            F.col("eu").cast("long").alias("exact"),
+        ),
+        F.struct(
+            F.lit("intersection").alias("measure"),
+            est("nu", "hku", "c_int", "ei").alias("est"),
+            F.col("ei").cast("long").alias("exact"),
+        ),
+        F.struct(
+            F.lit("a_minus_b").alias("measure"),
+            est("nu", "hku", "c_diff", "ed").alias("est"),
+            F.col("ed").cast("long").alias("exact"),
+        ),
+    )
+    return one.select(F.explode(measures).alias("m")).select("m.*")

@@ -788,3 +788,180 @@ def test_d19_variants_collapse_on_fixture(spark, sf_dir):
 
 def test_d19_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "d19_url_dedup")
+
+
+# ---------------------------------------------------------------------------
+# d20: domain/path blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def test_d20_rules_vs_python_replay(spark, sf_dir):
+    """Exact per-domain counts from an independent pure-python replay of
+    the synthesis + canonicalization + blocklist rules."""
+    import collections
+
+    import duckdb
+
+    from etl_pipeline_telecom_spark.plans.dedup import (
+        _D20_BLOCKED_HOSTS,
+        _D20_BLOCKED_PATH_PREFIX,
+    )
+
+    con = duckdb.connect()
+    doc_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    exp = collections.defaultdict(
+        lambda: {"n_docs": 0, "pages": set(), "host": 0, "path": 0, "kept": 0}
+    )
+    for d in doc_ids:
+        domain = f"s{(d // 10) % 20}.example.com"
+        path = f"/docs/{d // 10}"  # trailing slash always trimmed
+        hb = domain in _D20_BLOCKED_HOSTS
+        pb = path.startswith(_D20_BLOCKED_PATH_PREFIX)
+        e = exp[domain]
+        e["n_docs"] += 1
+        e["pages"].add(path)
+        e["host"] += hb
+        e["path"] += pb
+        e["kept"] += not hb and not pb
+    rows = {r["domain"]: r for r in catalog.REGISTRY["d20_domain_blocklist"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(exp)
+    for dom, e in exp.items():
+        r = rows[dom]
+        got = (r["n_docs"], r["n_pages"], r["n_host_blocked"], r["n_path_blocked"], r["n_kept"])
+        want = (e["n_docs"], len(e["pages"]), e["host"], e["path"], e["kept"])
+        assert got == want, f"{dom}: {got} != {want}"
+    # the fixture must actually exercise every rule AND their overlap
+    assert any(e["host"] and e["path"] for e in exp.values()), "no host+path overlap domain"
+    assert any(e["host"] and not e["path"] for e in exp.values())
+    assert any(e["path"] and not e["host"] for e in exp.values())
+    assert any(not e["host"] and not e["path"] for e in exp.values())
+
+
+def test_d20_prefix_matches_are_prefix_not_exact(spark, sf_dir):
+    """/docs/3 must catch /docs/30-39 too (startswith, not equality)."""
+    rows = {r["domain"]: r for r in catalog.REGISTRY["d20_domain_blocklist"].fn(spark, sf_dir).collect()}
+    # decade 30 belongs to s10 — blocked by BOTH rules; its path count
+    # comes only from the /docs/30-39 prefix reach, never equality
+    assert rows["s10.example.com"]["n_path_blocked"] > 0
+    assert rows["s10.example.com"]["n_host_blocked"] == rows["s10.example.com"]["n_docs"]
+
+
+def test_d20_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "d20_domain_blocklist")
+
+
+# ---------------------------------------------------------------------------
+# a25: KMV / theta-sketch set operations
+# ---------------------------------------------------------------------------
+
+
+def _a25_python_replay(pairs, k=64, scale=1 << 44):
+    """Independent replay: pairs = [(custkey, early_bool)]."""
+    import hashlib
+
+    h = lambda ck: int(hashlib.md5(str(ck).encode()).hexdigest()[:11], 16)
+    a = {h(ck) for ck, e in pairs if e}
+    b = {h(ck) for ck, e in pairs if not e}
+    u = a | b
+
+    def est_card(s):
+        if len(s) < k:
+            return len(s)
+        hk = sorted(s)[k - 1]
+        return (k - 1) * scale // hk
+
+    out = {
+        "distinct_a": (est_card(a), len(a)),
+        "distinct_b": (est_card(b), len(b)),
+        "union": (est_card(u), len(u)),
+    }
+    if len(u) < k:
+        out["intersection"] = (len(a & b), len(a & b))
+        out["a_minus_b"] = (len(a - b), len(a - b))
+    else:
+        hk = sorted(u)[k - 1]
+        sample = {x for x in sorted(u)[: k - 1]}
+        c_int = sum(1 for x in sample if x in a and x in b)
+        c_diff = sum(1 for x in sample if x in a and x not in b)
+        out["intersection"] = (c_int * scale // hk, len(a & b))
+        out["a_minus_b"] = (c_diff * scale // hk, len(a - b))
+    return out
+
+
+def test_a25_equals_python_replay(spark, sf_dir):
+    """The whole estimator replayed independently in python (hashlib md5,
+    pure-int arithmetic) must agree measure for measure."""
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"SELECT DISTINCT o_custkey, year(o_orderdate) <= 1997 "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    con.close()
+    want = _a25_python_replay(pairs)
+    rows = {
+        r["measure"]: (r["est"], r["exact"])
+        for r in catalog.REGISTRY["a25_kmv_theta_setops"].fn(spark, sf_dir).collect()
+    }
+    assert rows == want
+    # the estimator (not the <k fallback) must be what's exercised here
+    assert rows["union"][0] != rows["union"][1] or len(pairs) < 64
+
+
+def test_a25_small_set_falls_back_to_exact(spark, tmp_path):
+    """With <k distinct keys the sketch IS the set: every estimate must
+    equal its exact count (the CASE fallback path)."""
+    import pandas as pd
+
+    cks = list(range(1, 11))
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(100, 100 + 20),
+            "o_custkey": cks + cks,
+            "o_orderdate": (
+                [pd.Timestamp("1996-05-01")] * 10 + [pd.Timestamp("1999-05-01")] * 7
+                + [pd.Timestamp("1996-07-01")] * 3
+            ),
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf), tmp_path / "orders.parquet",
+        coerce_timestamps="us",
+    )
+    rows = catalog.REGISTRY["a25_kmv_theta_setops"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est"] == r["exact"], r
+    got = {r["measure"]: r["exact"] for r in rows}
+    # A = all 10 (early rows), B = custkeys 1..7 (late rows)
+    assert got == {
+        "distinct_a": 10,
+        "distinct_b": 7,
+        "union": 10,
+        "intersection": 7,
+        "a_minus_b": 3,
+    }
+
+
+def test_a25_error_within_theory_bound(spark, sf_dir):
+    """KMV RSE is ~1/sqrt(k-2) ≈ 12.7%; assert every estimate is within
+    4 sigma of exact (a regression in the hash width or the DIV
+    arithmetic lands far outside this)."""
+    rows = catalog.REGISTRY["a25_kmv_theta_setops"].fn(spark, sf_dir).collect()
+    for r in rows:
+        if r["exact"] >= 64:
+            assert abs(r["est"] - r["exact"]) <= 0.51 * r["exact"], r
+
+
+def test_a25_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "a25_kmv_theta_setops")
