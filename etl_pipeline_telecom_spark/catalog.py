@@ -322,10 +322,14 @@ DRIVER_WINDOW = (
     "t22_unigram_em",
     "v12_ivf_sq8_recall",
     "p6_range_sharded_export",
-    # d19 joined mid-round (new — never-verified rule); displaces
-    # j7_salted_join back to the r10 fill (r2-stale cohort, name-ordered
-    # so the alphabetically-last fill slot yields)
+    # d19/d20/a25/v13/m8 joined mid-round (new — never-verified rule);
+    # they displace the five alphabetically-last r2-stale fill slots
+    # (j7, j5, j4, j3, j1) back to the r10 fill
     "d19_url_dedup",
+    "d20_domain_blocklist",
+    "a25_kmv_theta_setops",
+    "v13_pq_adc_refine",
+    "m8_shot_boundaries",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # the 32 least-recently-windowed queries, oldest cohort first,
     # name-ordered — all last driver-verdicted in r2's full-catalog pass
@@ -353,10 +357,6 @@ DRIVER_WINDOW = (
     "f5_segment3",
     "f6_f8_flags",
     "f9_dict_encode",
-    "j1_broadcast_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_left_join_agg",
     # m7/t23 joined mid-round (new — never-verified rule); they displace
     # r1_unpivot_measures and s1_union_distinct back to the r10 fill
     "m7_audio_features",

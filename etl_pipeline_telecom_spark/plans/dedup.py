@@ -1348,7 +1348,7 @@ def canonical_url(raw: Column) -> Column:
                CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_distinct_raw,
                MIN(doc_id) AS canonical_doc_id
         FROM canon GROUP BY canonical_url""",
-    tags=("dedup", "url", "canonicalization"),
+    tags=("dedup", "url", "canonicalization", "headline"),
     doc="URL-level dedup — the pass crawl curation runs BEFORE any text "
     "dedup (most crawl duplication is the same page behind scheme-case/"
     "www/default-port/tracking-param/param-order/trailing-slash/fragment "

@@ -1048,3 +1048,198 @@ def _rerank_exact(coarse: DataFrame, *, k: int = 3) -> DataFrame:
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v13: product quantization (PQ) + asymmetric distance computation (ADC) —
+# the third production quantization family alongside SQ8 (v10) and
+# matryoshka prefixes (v11): subspace codebooks, table-lookup distances
+# ---------------------------------------------------------------------------
+
+_V13_M = 4          # subspaces
+_V13_SUBDIM = 16    # dims per subspace (4 x 16 = 64)
+_V13_SHORTLIST = 8  # ADC shortlist reranked at full precision
+_V13_FINAL_K = 3
+
+_SQL_V13 = f"""WITH q AS ({_SQL_EMB}),
+    ex AS (
+      SELECT vec_id, label,
+             (generate_subscripts(qv, 1) - 1) // {_V13_SUBDIM} AS m,
+             (generate_subscripts(qv, 1) - 1) % {_V13_SUBDIM} AS sd,
+             unnest(qv) AS x
+      FROM q),
+    cb AS (
+      SELECT m, label AS cid, list(cv ORDER BY sd) AS cvec
+      FROM (SELECT m, label, sd, ROUND(SUM(x) / COUNT(*)) AS cv
+            FROM ex GROUP BY m, label, sd)
+      GROUP BY m, label),
+    sub AS (
+      SELECT vec_id, m, list(x ORDER BY sd) AS sv FROM ex GROUP BY vec_id, m),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), c.cid) AS rn
+        FROM sub s JOIN cb c USING (m)) WHERE rn = 1),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.cid,
+             list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cvec)
+             + list_dot_product(c.cvec, c.cvec) AS d
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 10),
+    adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.d) AS adist
+      FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+      WHERE k.vec_id <> l.query_id
+      GROUP BY l.query_id, k.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS srn
+        FROM adc) WHERE srn <= {_V13_SHORTLIST}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY list_dot_product(a.qv, b.qv)
+                        / (sqrt(list_dot_product(a.qv, a.qv))
+                           * sqrt(list_dot_product(b.qv, b.qv))) DESC,
+                        s.neighbor_id) AS rn
+      FROM short s
+      JOIN q a ON a.vec_id = s.query_id
+      JOIN q b ON b.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM rer WHERE rn <= {_V13_FINAL_K}"""
+
+
+def _v13_subspaces(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, m, sv): each vector split into M contiguous
+    16-dim subvectors — a codegen'd slice, no explode."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("qv"), 1 + m * _V13_SUBDIM, _V13_SUBDIM).alias("sv"),
+            )
+            for m in range(_V13_M)
+        ]
+    )
+    return emb.select("vec_id", "label", F.explode(slices).alias("s")).select(
+        "vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+@register(
+    "v13_pq_adc_refine",
+    _SQL_V13,
+    tags=("similarity", "ann", "quantization", "pq", "two-stage", "headline"),
+    doc="Product quantization with asymmetric distance computation — the "
+    "third production quantization family after SQ8 (v10) and matryoshka "
+    "prefixes (v11), and the one that compresses hardest (Jegou et al. "
+    "2011; FAISS IndexPQ): each vector splits into 4 contiguous 16-dim "
+    "subvectors, each subspace gets a 10-codeword codebook (one "
+    "deterministic Lloyd's step seeded by label — v7's integer-centroid "
+    "recipe per subspace), and a vector stores only 4 code ids. Search "
+    "is table-lookup: per query a 4x10 LUT of integer subspace L2 "
+    "distances, ADC(q,x) = sum of 4 lookups; the ADC top-8 shortlist "
+    "is reranked with the exact full-dim cosine for the final top-3 "
+    "(two-tier serving, v11's shape). Exactness: centroids, codes, LUT "
+    "entries, and ADC sums are all integers — bit-identical "
+    "cross-engine; only the rerank divides (same exact operands, "
+    "ROUND 6). Plan: codebook = one map-side-combinable agg over the "
+    "exploded corpus (M*k*16 rows out, broadcast back); assignment is "
+    "a broadcast join + min(struct) agg — NO window shuffle; ADC joins "
+    "the 4-row-per-vector code table to a broadcast 40-row-per-query "
+    "LUT and partial-aggregates map-side. At 100 TB the corpus holds "
+    "4 bytes of codes per vector (64x compression), the only "
+    "data-sized shuffle is the ADC partial-agg keyed (query, vector), "
+    "and the rerank touches 8 full vectors per query.",
+)
+def v13_pq_adc_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..guards import assert_bounded_input
+
+    emb = _quantized(spark, sf_dir)
+    sub = _v13_subspaces(emb)
+    # codebook: per (m, label) rounded-mean centroid, integer components
+    cb = (
+        sub.select("label", "m", F.posexplode("sv").alias("sd", "x"))
+        .groupBy("m", F.col("label").alias("cid"), "sd")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1))).alias("cv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sd", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+    l2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    # encode: nearest codeword per (vector, subspace) — min(struct) agg,
+    # lexicographic (dist, cid), deterministic, map-side combinable
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"))
+    )
+    queries = sub.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qs")
+    )
+    assert_bounded_input(
+        queries, 64 * _V13_M, "v13_pq_adc_refine query side"
+    )
+    lut = (
+        queries.join(
+            F.broadcast(cb), "m"
+        )
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            (
+                _dot(F.col("qs"), F.col("qs"))
+                - 2 * _dot(F.col("qs"), F.col("cvec"))
+                + _dot(F.col("cvec"), F.col("cvec"))
+            ).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _V13_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv_full = emb.select("vec_id", "qv")
+    qa_side = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    rer = (
+        short.join(F.broadcast(qa_side), "query_id")
+        .join(qv_full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    cos = _dot(F.col("qa"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("qa"), F.col("qa"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        rer.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _V13_FINAL_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn")
+    )

@@ -240,6 +240,14 @@ PROBES += [
     # third r9 batch: canonical-URL dedup — a narrow codegen'd regex
     # projection then one map-side-combinable groupBy (d1's shape)
     "d19_url_dedup",
+    # fourth r9 batch: blocklist filter (broadcast join + one groupBy),
+    # KMV theta sketches (one distinct-agg + bounded TakeOrdered sides),
+    # PQ/ADC ANN (broadcast codebook/LUT, (query,vector) partial-agg),
+    # and shot boundaries (Arrow decode stage + one doc_id window)
+    "d20_domain_blocklist",
+    "a25_kmv_theta_setops",
+    "v13_pq_adc_refine",
+    "m8_shot_boundaries",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -965,3 +965,169 @@ def test_a25_error_within_theory_bound(spark, sf_dir):
 
 def test_a25_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "a25_kmv_theta_setops")
+
+
+# ---------------------------------------------------------------------------
+# v13: product quantization + ADC refine
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _v13_python_replay(sf_dir: str):
+    """Independent full-pipeline replay: codebooks, codes, LUT, ADC,
+    shortlist, exact rerank — pure python ints until the final cosine."""
+    import duckdb
+
+    M, SD, SHORT, K = 4, 16, 8, 3
+    con = duckdb.connect()
+    vecs = {
+        r[0]: (r[1], [_round_half_away(x * 1000) for x in r[2]])
+        for r in con.execute(
+            f"SELECT vec_id, label, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    }
+    con.close()
+    subs = {
+        (v, m): qv[m * SD : (m + 1) * SD] for v, (_, qv) in vecs.items() for m in range(M)
+    }
+    # codebooks: per (m, label) rounded mean
+    import collections
+
+    acc = collections.defaultdict(lambda: [0] * SD)
+    cnt = collections.Counter()
+    for (v, m), sv in subs.items():
+        lab = vecs[v][0]
+        cnt[(m, lab)] += 1
+        for i, x in enumerate(sv):
+            acc[(m, lab)][i] += x
+    cb = {
+        k: [_round_half_away(s / cnt[k]) for s in a] for k, a in acc.items()
+    }
+    l2 = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))
+    codes = {
+        (v, m): min((l2(sv, cb[(m, c)]), c) for c in {lab for _, lab in cb if _ == m})[1]
+        for (v, m), sv in subs.items()
+    }
+    labels = sorted({lab for _, lab in cb})
+    out = []
+    for q in sorted(v for v in vecs if v < 10):
+        lut = {(m, c): l2(subs[(q, m)], cb[(m, c)]) for m in range(M) for c in labels}
+        adc = {
+            n: sum(lut[(m, codes[(n, m)])] for m in range(M))
+            for n in vecs
+            if n != q
+        }
+        short = sorted(adc, key=lambda n: (adc[n], n))[:SHORT]
+        dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+        qa = vecs[q][1]
+        cosd = {
+            n: dot(qa, vecs[n][1]) / (dot(qa, qa) ** 0.5 * dot(vecs[n][1], vecs[n][1]) ** 0.5)
+            for n in short
+        }
+        for rn, n in enumerate(sorted(short, key=lambda n: (-cosd[n], n))[:K], 1):
+            out.append((q, n, rn))
+    return sorted(out)
+
+
+def test_v13_equals_python_replay(spark, sf_dir):
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in catalog.REGISTRY["v13_pq_adc_refine"].fn(spark, sf_dir).collect()
+    )
+    assert got == _v13_python_replay(sf_dir)
+
+
+def test_v13_subspace_slicing(spark):
+    """4 contiguous 16-dim slices, order-preserving, covering all 64."""
+    from etl_pipeline_telecom_spark.plans.similarity import _v13_subspaces
+
+    qv = list(range(64))
+    df = spark.createDataFrame(
+        [(1, "a", qv)], "vec_id long, label string, qv array<bigint>"
+    )
+    rows = {r["m"]: r["sv"] for r in _v13_subspaces(df).collect()}
+    assert rows == {m: qv[m * 16 : (m + 1) * 16] for m in range(4)}
+
+
+def test_v13_codes_are_bounded_state(spark, sf_dir):
+    """PQ's whole point: each vector reduces to exactly M code ids drawn
+    from the label codebook — 4 small ints instead of 64 floats."""
+    rows = catalog.REGISTRY["v13_pq_adc_refine"].fn(spark, sf_dir).collect()
+    # output shape: top-3 per query, 10 queries
+    assert len(rows) == 30
+    assert {r["rn"] for r in rows} == {1, 2, 3}
+    assert len({r["query_id"] for r in rows}) == 10
+
+
+def test_v13_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "v13_pq_adc_refine")
+
+
+# ---------------------------------------------------------------------------
+# m8: video shot-boundary detection
+# ---------------------------------------------------------------------------
+
+
+def test_m8_boundaries_are_exactly_scene_cuts(spark, sf_dir):
+    """Clips are 8/12/16 frames in 4-frame scenes → boundaries must be
+    exactly after frames 3/7(/11): count nf/4 - 1 per doc, never inside
+    a scene (the brightness jitter must stay under threshold)."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'").fetchall()]
+    con.close()
+    rows = catalog.REGISTRY["m8_shot_boundaries"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["after_frame"])
+    for d in docs:
+        nf = 8 + (d % 3) * 4
+        assert sorted(got.get(d, [])) == [3 + 4 * s for s in range(nf // 4 - 1)], d
+    assert all(f % 4 == 3 for fs in got.values() for f in fs)
+
+
+def test_m8_sad_values_vs_python_replay(spark, sf_dir):
+    """Exact sum-abs-diff values for one clip, replayed through the real
+    BMP encode→decode in python."""
+    from etl_pipeline_telecom_spark.functions.multimodal import (
+        bmp_from_gray,
+        bmp_gray_grid,
+    )
+    from etl_pipeline_telecom_spark.plans.multimodal import (
+        _M6_H,
+        _M6_W,
+        _M8_THRESH,
+        _m8_gray,
+    )
+
+    doc = 7  # nf = 8 + 1*4 = 12
+    grids = []
+    for f in range(12):
+        _, _, g = bmp_gray_grid(bmp_from_gray(_m8_gray(doc, f), _M6_W, _M6_H))
+        grids.append(g)
+    want = {
+        f: sum(abs(a - b) for a, b in zip(grids[f], grids[f + 1]))
+        for f in range(11)
+    }
+    rows = {
+        r["after_frame"]: r["sad"]
+        for r in catalog.REGISTRY["m8_shot_boundaries"].fn(spark, sf_dir).collect()
+        if r["doc_id"] == doc
+    }
+    assert rows == {f: s for f, s in want.items() if s > _M8_THRESH}
+    # and the margin is real on both sides of the threshold
+    in_scene = [s for f, s in want.items() if f % 4 != 3]
+    cuts = [s for f, s in want.items() if f % 4 == 3]
+    assert max(in_scene) <= _M8_THRESH // 8
+    assert min(cuts) > _M8_THRESH * 5
+
+
+def test_m8_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "m8_shot_boundaries")
