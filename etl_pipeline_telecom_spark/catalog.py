@@ -330,6 +330,8 @@ DRIVER_WINDOW = (
     "a25_kmv_theta_setops",
     "v13_pq_adc_refine",
     "m8_shot_boundaries",
+    # t24 joined with the same batch; displaces f9_dict_encode
+    "t24_bigram_surprisal",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # the 32 least-recently-windowed queries, oldest cohort first,
     # name-ordered — all last driver-verdicted in r2's full-catalog pass
@@ -356,7 +358,6 @@ DRIVER_WINDOW = (
     "f4_bucketize",
     "f5_segment3",
     "f6_f8_flags",
-    "f9_dict_encode",
     # m7/t23 joined mid-round (new — never-verified rule); they displace
     # r1_unpivot_measures and s1_union_distinct back to the r10 fill
     "m7_audio_features",

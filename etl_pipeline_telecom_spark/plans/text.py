@@ -1802,3 +1802,103 @@ def t23_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t23_encode_words(words, vocab).join(words, "word").select(
         "word", "freq", "n_pieces", "encoded"
     )
+
+
+# ---------------------------------------------------------------------------
+# t24: bigram-LM surprisal filter — the CCNet family: score every document
+# under a language model trained on the corpus itself, flag the tail.
+# log2 comes from length(bin(n)) so the whole score is INTEGER-exact.
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "t24_bigram_surprisal",
+    f"""WITH big AS (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                              recursive := true)
+                FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents))),
+        bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc FROM bc GROUP BY w1),
+        scored AS (
+          SELECT b.doc_id,
+                 length(bin(c.cc)) - length(bin(k.cnt)) AS bits
+          FROM big b
+          JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+          JOIN ctx c ON b.w1 = c.w1),
+        perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+          FROM scored GROUP BY doc_id),
+        corpus AS (
+          SELECT (CAST(SUM(surprisal_bits) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_bigrams) AS BIGINT) AS corpus_micro
+          FROM perdoc)
+        SELECT doc_id, n_bigrams, surprisal_bits,
+               (surprisal_bits * 1000000) // n_bigrams AS micro_bits_per_bigram,
+               ((surprisal_bits * 1000000) // n_bigrams) > corpus_micro
+                 AS flagged
+        FROM perdoc, corpus""",
+    tags=("text", "lm", "quality", "surprisal", "headline"),
+    doc="Bigram-LM surprisal filtering — the CCNet recipe (Wenzek et al. "
+    "2020): train a language model on the corpus, score every document "
+    "by per-token surprisal, flag the high-perplexity tail. The LM is "
+    "the corpus's own bigram MLE p(w2|w1) = cnt(w1,w2)/cnt(w1); "
+    "surprisal -log2 p is computed as length(bin(ctx)) - "
+    "length(bin(cnt)) — floor-log2 via binary STRING length, a pure "
+    "integer identical in both engines (ln()/log2() are not correctly "
+    "rounded and can flip last-ulp cross-engine — the t9 lesson; the "
+    "bit-length surrogate keeps the whole score hash-exact, and in "
+    "production the same plan carries float log2). Output: per-doc "
+    "bigram count, total surprisal bits, micro-scaled mean, and a flag "
+    "for docs above the CORPUS-mean surprisal — a 1-row broadcast "
+    "scalar, so the cut tracks the vocabulary at any scale (CCNet cuts "
+    "by perplexity quantiles; the mean keeps the threshold a scalar "
+    "instead of a global sort). Plan: ONE tokenize+lead pass builds "
+    "bigram occurrences "
+    "(posexplode + window — the t11 Generate lesson), counts and "
+    "context totals are two stacked map-side-combinable aggs (ctx "
+    "derives from bc — the corpus is read once), the occurrence⋈count "
+    "joins are vocabulary-sized with NO broadcast hint (AQE's call — "
+    "the t9 discipline), and the per-doc rollup is one agg keyed "
+    "doc_id. At 100 TB: corpus passes = 1, everything else is "
+    "vocabulary- or doc-keyed with map-side combine.",
+)
+def t24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("tok", 1).over(w)
+    big = (
+        toks.select("doc_id", F.col("tok").alias("w1"), nxt.alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
+    bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
+    scored = (
+        big.join(bc, ["w1", "w2"]).join(ctx, "w1").select("doc_id", bits.alias("bits"))
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+    )
+    corpus = perdoc.agg(
+        F.expr(
+            "(CAST(SUM(surprisal_bits) AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_bigrams) AS BIGINT)"
+        ).alias("corpus_micro")
+    )
+    micro = F.expr("(surprisal_bits * 1000000) div n_bigrams")
+    return perdoc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_bits",
+        micro.alias("micro_bits_per_bigram"),
+        (micro > F.col("corpus_micro")).alias("flagged"),
+    )

@@ -248,6 +248,9 @@ PROBES += [
     "a25_kmv_theta_setops",
     "v13_pq_adc_refine",
     "m8_shot_boundaries",
+    # bigram-LM surprisal: one tokenize+lead corpus pass, two stacked
+    # vocab aggs, vocab-sized joins (no broadcast hint — AQE's call)
+    "t24_bigram_surprisal",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

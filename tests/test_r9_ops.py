@@ -1131,3 +1131,87 @@ def test_m8_sad_values_vs_python_replay(spark, sf_dir):
 
 def test_m8_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "m8_shot_boundaries")
+
+
+# ---------------------------------------------------------------------------
+# t24: bigram-LM surprisal filter
+# ---------------------------------------------------------------------------
+
+
+def _t24_python_replay(texts: dict[int, str]):
+    import collections
+
+    big = {d: list(zip(t.split(), t.split()[1:])) for d, t in
+           ((d, " ".join(x.lower().split())) for d, x in texts.items())}
+    bc = collections.Counter(b for bs in big.values() for b in bs)
+    ctx = collections.Counter()
+    for (w1, _), c in bc.items():
+        ctx[w1] += c
+    blen = lambda n: len(bin(n)) - 2
+    perdoc = {
+        d: (len(bs), sum(blen(ctx[w1]) - blen(bc[(w1, w2)]) for w1, w2 in bs))
+        for d, bs in big.items()
+        if bs
+    }
+    tot_b = sum(s for _, s in perdoc.values())
+    tot_n = sum(n for n, _ in perdoc.values())
+    cm = tot_b * 1_000_000 // tot_n
+    return {
+        d: (n, s, s * 1_000_000 // n, s * 1_000_000 // n > cm)
+        for d, (n, s) in perdoc.items()
+    }
+
+
+def _t24_write_docs(tmp_path, texts):
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[d] for d in texts]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_t24_crafted_corpus_exact(spark, tmp_path):
+    """Hand-computed: bc[(a,b)]=3 ctx[a]=3 → 0 bits; ctx[b]=3 over three
+    singleton bigrams → 1 bit each; doc 3 is its own perfect LM → 0."""
+    texts = {1: "a b a b c", 2: "a b d", 3: "x y"}
+    _t24_write_docs(tmp_path, texts)
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"],
+                      r["micro_bits_per_bigram"], r["flagged"])
+        for r in catalog.REGISTRY["t24_bigram_surprisal"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        1: (4, 2, 500000, True),   # corpus mean = 3e6 // 7 = 428571
+        2: (2, 1, 500000, True),
+        3: (1, 0, 0, False),
+    }
+    assert rows == _t24_python_replay(texts)
+
+
+def test_t24_single_token_docs_have_no_row(spark, tmp_path):
+    texts = {1: "solo", 2: "a b"}
+    _t24_write_docs(tmp_path, texts)
+    rows = catalog.REGISTRY["t24_bigram_surprisal"].fn(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_t24_property_vs_python_replay(spark, tmp_path):
+    """Random tiny-alphabet corpora: Spark == pure-python replay."""
+    import random
+
+    rnd = random.Random(424242)
+    texts = {
+        d: " ".join(rnd.choice("abcde") for _ in range(rnd.randint(2, 12)))
+        for d in range(30)
+    }
+    _t24_write_docs(tmp_path, texts)
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"],
+                      r["micro_bits_per_bigram"], r["flagged"])
+        for r in catalog.REGISTRY["t24_bigram_surprisal"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows == _t24_python_replay(texts)
+
+
+def test_t24_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "t24_bigram_surprisal")
