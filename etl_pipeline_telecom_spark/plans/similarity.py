@@ -1229,9 +1229,13 @@ def v13_pq_adc_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa_side = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
     )
-    rer = (
-        short.join(F.broadcast(qa_side), "query_id")
-        .join(qv_full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    # the shortlist is ≤ |Q|·SHORTLIST rows by construction (query side
+    # guarded) — broadcast it into the corpus-sized qv lookup, else AQE
+    # picks a sort-merge join that shuffles the full vector table
+    # (measured as the SMJ in the 100x probe plan)
+    rer = qv_full.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(short.join(F.broadcast(qa_side), "query_id")),
+        "neighbor_id",
     )
     cos = _dot(F.col("qa"), F.col("qv")) / (
         F.sqrt(_dot(F.col("qa"), F.col("qa"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))

@@ -817,6 +817,11 @@ def a25_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _a25_hash(F.col("o_custkey")).alias("h"),
         (F.year("o_orderdate") <= 1997).alias("early"),
     )
+    # cached: the five sketch/exact branches below each re-read this
+    # frame — without the cache the corpus-sized distinct recomputes per
+    # branch (measured 18.4x at the 100x probe; the cache is
+    # |distinct keys| rows, the same working set the distinct itself
+    # materializes)
     flags = (
         orders.distinct()
         .groupBy("h")
@@ -824,6 +829,7 @@ def a25_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("early"), 1).otherwise(0)).alias("in_a"),
             F.max(F.when(F.col("early"), 0).otherwise(1)).alias("in_b"),
         )
+        .cache()
     )
     ska = flags.where(F.col("in_a") == 1).select("h").orderBy("h").limit(K)
     skb = flags.where(F.col("in_b") == 1).select("h").orderBy("h").limit(K)

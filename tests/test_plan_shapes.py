@@ -169,6 +169,13 @@ _BNLJ_ALLOWED = {
                          # (assert_bounded_input-guarded)
     "dq8_split_leakage",  # two 1-row aggregates crossed per audit mode
                          # (row masses × leaker count), both post-agg
+    "a25_kmv_theta_setops",  # every crossed side is a 1-row sketch
+                         # aggregate or the ≤64-row KMV sample itself
+                         # (k is the sketch parameter, never data-sized);
+                         # the only corpus-sized stage is the distinct
+    "t24_bigram_surprisal",  # 1-row corpus-mean-surprisal scalar crossed
+                         # onto the per-doc table (t9/t16's corpus-count
+                         # broadcast pattern)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -185,7 +192,8 @@ _GUARDED = [
     "e6_gap_fill", "p2_upsert_latest", "sm3_split_assign",
     "t10_bpe_pretokenize", "v8_embedding_decontam",
     "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
-    "t11_bigram_topk",
+    "t11_bigram_topk", "a25_kmv_theta_setops", "t24_bigram_surprisal",
+    "d19_url_dedup", "d20_domain_blocklist", "v13_pq_adc_refine",
 ]
 
 
