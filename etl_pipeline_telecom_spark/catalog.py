@@ -332,6 +332,10 @@ DRIVER_WINDOW = (
     "m8_shot_boundaries",
     # t24 joined with the same batch; displaces f9_dict_encode
     "t24_bigram_surprisal",
+    # p9/st13 joined late in the batch; they displace f6_f8_flags and
+    # f5_segment3 (same r2-stale cohort, name-ordered from the end)
+    "p9_bloom_file_index",
+    "st13_exactly_once_sink",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # the 32 least-recently-windowed queries, oldest cohort first,
     # name-ordered — all last driver-verdicted in r2's full-catalog pass
@@ -356,8 +360,6 @@ DRIVER_WINDOW = (
     "f2_median_fill",
     "f3_const_fill",
     "f4_bucketize",
-    "f5_segment3",
-    "f6_f8_flags",
     # m7/t23 joined mid-round (new — never-verified rule); they displace
     # r1_unpivot_measures and s1_union_distinct back to the r10 fill
     "m7_audio_features",

@@ -904,3 +904,180 @@ def p8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("n_rows_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p9: per-file bloom-filter index — point-lookup file skipping on a
+# high-cardinality column, the case min/max pruning (p6/p8) cannot serve
+# ---------------------------------------------------------------------------
+
+_P9_K = 3             # hash functions per key
+_P9_BITS_PER_KEY = 16  # m = next pow2 >= 16·keys → ~17% fill, ~0.5% fpp
+
+
+def _p9_sql_pos(key: str, j: str, m: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({key} || ':' || {j}), 1, 8)) AS BIGINT) % {m}"
+    )
+
+
+@register(
+    "p9_bloom_file_index",
+    f"""WITH ev AS MATERIALIZED ({_P8_SQL_EV}),
+        ext AS (SELECT MIN(t) AS min_t, MAX(t) AS max_t FROM ev),
+        assigned AS MATERIALIZED (
+          SELECT CAST((t - min_t) * 256 // (max_t - min_t + 1) AS INT) >> 4
+                   AS zfile,
+                 event_id
+          FROM ev, ext),
+        fm AS (
+          SELECT zfile,
+                 CAST(power(2, length(bin(COUNT(DISTINCT event_id)
+                      * {_P9_BITS_PER_KEY} - 1))) AS BIGINT) AS m
+          FROM assigned GROUP BY zfile),
+        bloom AS MATERIALIZED (
+          SELECT DISTINCT a.zfile,
+                 {_p9_sql_pos('a.event_id', 'j', 'f.m')} AS pos
+          FROM (SELECT DISTINCT zfile, event_id FROM assigned) a
+          JOIN fm f USING (zfile)
+          CROSS JOIN UNNEST(range(0, {_P9_K})) AS r(j)),
+        probes AS (
+          SELECT event_id AS probe_id, 1 AS present
+          FROM (SELECT DISTINCT event_id FROM ev ORDER BY event_id LIMIT 4)
+          UNION ALL
+          SELECT mx + k, 0
+          FROM (SELECT MAX(event_id) AS mx FROM ev),
+               UNNEST(range(1, 5)) AS r(k)),
+        ppos AS (
+          SELECT p.probe_id, p.present, f.zfile,
+                 COUNT(DISTINCT {_p9_sql_pos('p.probe_id', 'j', 'f.m')})
+                   AS n_pos
+          FROM probes p CROSS JOIN fm f
+          CROSS JOIN UNNEST(range(0, {_P9_K})) AS r(j)
+          GROUP BY p.probe_id, p.present, f.zfile),
+        hits AS (
+          SELECT pp.probe_id, pp.present, pp.zfile
+          FROM ppos pp
+          JOIN (SELECT DISTINCT p.probe_id, f.zfile,
+                       {_p9_sql_pos('p.probe_id', 'j', 'f.m')} AS pos
+                FROM probes p CROSS JOIN fm f
+                CROSS JOIN UNNEST(range(0, {_P9_K})) AS r(j)) q
+            ON q.probe_id = pp.probe_id AND q.zfile = pp.zfile
+          JOIN bloom b ON b.zfile = q.zfile AND b.pos = q.pos
+          GROUP BY pp.probe_id, pp.present, pp.zfile, pp.n_pos
+          HAVING COUNT(DISTINCT b.pos) = pp.n_pos),
+        actual AS (
+          SELECT p.probe_id, a.zfile
+          FROM probes p JOIN (SELECT DISTINCT zfile, event_id FROM assigned) a
+            ON a.event_id = p.probe_id
+          GROUP BY p.probe_id, a.zfile)
+        SELECT p.probe_id, p.present,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fm) AS n_files,
+               CAST(COUNT(DISTINCT h.zfile) AS BIGINT) AS n_bloom_hits,
+               CAST(COUNT(DISTINCT a.zfile) AS BIGINT) AS n_actual,
+               CAST(COUNT(DISTINCT h.zfile) - COUNT(DISTINCT a.zfile) AS BIGINT)
+                 AS n_false_pos
+        FROM probes p
+        LEFT JOIN hits h ON h.probe_id = p.probe_id
+        LEFT JOIN actual a ON a.probe_id = p.probe_id
+        GROUP BY p.probe_id, p.present""",
+    tags=("layout", "bloom", "metadata", "pruning"),
+    doc="Per-file bloom-filter indexing — the point-lookup file-skipping "
+    "story min/max pruning cannot serve (p8 measured it: a 1-D time "
+    "layout skips ZERO files for key predicates on other columns; "
+    "Delta/Parquet ship bloom indexes for exactly this). Over the p6-"
+    "style 16-file time-sharded layout (p8's staged linear fixture, "
+    "read back through `_metadata.file_name`), each file gets a SIZE-"
+    "ADAPTIVE bloom: m = next power of two ≥ 16·(distinct keys in that "
+    "file) via the bin-length floor-log2 trick (t24) — ~17% fill and "
+    "~0.5%% fpp at ANY scale, the numItems/fpp sizing Delta does; k=3 "
+    "md5-derived positions, all integer, so the DuckDB oracle rebuilds "
+    "every bloom bit analytically. The audit probes 4 present keys (the "
+    "4 smallest event ids — each lives in exactly the files that hold "
+    "it) and 4 absent keys (past max), reporting per probe: files a "
+    "bloom-indexed scanner reads (n_bloom_hits), files that truly "
+    "contain the key (n_actual), and false-positive reads — present "
+    "probes must hit all their true files (blooms have NO false "
+    "negatives, hash-pinned), absent probes measure the fpp directly. "
+    "Plan: bloom build = one distinct + a 3-way position explode with "
+    "map-side combine (the position-SET form is the auditable twin of "
+    "d13's 64-bit-word bit_or bitset — production serializes words, "
+    "the audit keeps rows); probe sides are 8×16 bounded broadcasts. "
+    "At 100 TB the only data-sized stage is the per-file distinct.",
+)
+def p9_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import stage_zorder_events
+
+    path = stage_zorder_events(spark, sf_dir, layout="linear")
+    staged = spark.read.parquet(path).select("zfile", "event_id")
+    keys = staged.distinct()
+    fm = keys.groupBy("zfile").agg(
+        F.expr(
+            f"CAST(power(2, length(bin(COUNT(DISTINCT event_id)"
+            f" * {_P9_BITS_PER_KEY} - 1))) AS BIGINT)"
+        ).alias("m")
+    )
+
+    def pos(key_col: str) -> Column:
+        return F.expr(
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING) || ':' ||"
+            f" CAST(j AS STRING)), 1, 8), 16, 10) AS BIGINT) % m"
+        )
+
+    js = F.explode(F.sequence(F.lit(0), F.lit(_P9_K - 1))).alias("j")
+    bloom = (
+        keys.join(F.broadcast(fm), "zfile")
+        .select("zfile", "event_id", "m", js)
+        .select("zfile", pos("event_id").alias("pos"))
+        .distinct()
+    )
+    ev = staged.select("event_id")
+    present = ev.distinct().orderBy("event_id").limit(4).select(
+        F.col("event_id").alias("probe_id"), F.lit(1).alias("present")
+    )
+    absent = (
+        ev.agg(F.max("event_id").alias("mx"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"), "mx")
+        .select((F.col("mx") + F.col("k")).alias("probe_id"), F.lit(0).alias("present"))
+    )
+    probes = present.unionByName(absent)
+    ppos = (
+        probes.crossJoin(F.broadcast(fm))
+        .select("probe_id", "present", "zfile", "m", js)
+        .select("probe_id", "present", "zfile", pos("probe_id").alias("pos"))
+        .distinct()
+    )
+    need = ppos.groupBy("probe_id", "present", "zfile").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    matched = (
+        ppos.join(bloom, ["zfile", "pos"])
+        .groupBy("probe_id", "zfile")
+        .agg(F.count(F.lit(1)).alias("n_hit_pos"))
+    )
+    hits = (
+        need.join(matched, ["probe_id", "zfile"])
+        .where(F.col("n_hit_pos") == F.col("n_pos"))
+        .select("probe_id", "zfile")
+    )
+    actual = keys.join(
+        F.broadcast(probes.select(F.col("probe_id").alias("event_id"))), "event_id"
+    ).select(F.col("event_id").alias("probe_id"), "zfile").distinct()
+    n_files = fm.agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        probes.join(hits.groupBy("probe_id").agg(
+            F.countDistinct("zfile").alias("n_bloom_hits")), "probe_id", "left")
+        .join(actual.groupBy("probe_id").agg(
+            F.countDistinct("zfile").alias("n_actual")), "probe_id", "left")
+        .crossJoin(F.broadcast(n_files))
+        .select(
+            "probe_id",
+            "present",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) - F.coalesce("n_actual", F.lit(0)))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )

@@ -430,3 +430,47 @@ def st12_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_events_stream(spark, replay, glob="*.parquet", max_files_per_trigger=1)
     out, _ = run_available_now(stream_stream_click_error_left_join(stream))
     return out.where(F.col("user_id") >= 0)
+
+
+@register(
+    "st13_exactly_once_sink",
+    """SELECT user_id, event_type,
+              COUNT(*) AS n_events,
+              MIN(event_id) AS min_event_id,
+              MAX(event_id) AS max_event_id
+       FROM events WHERE user_id >= 0
+       GROUP BY user_id, event_type""",
+    tags=("streaming", "exactly-once", "fault-tolerance", "sink"),
+    doc="Exactly-once sink under a CRASH-RESTART — the fault-tolerance "
+    "property the rest of the st family assumes but never exercises. "
+    "The events replay streams through foreachBatch into per-batch "
+    "parquet partitions with mode=overwrite (the idempotent-sink "
+    "recipe: epoch_id is stable across batch retries, so a replayed "
+    "batch overwrites itself), and the harness INJECTS a driver crash "
+    "after batch 1's write completes but before its checkpoint commit "
+    "— the exact at-least-once window where a naive append sink "
+    "duplicates every row of that batch. The query then restarts from "
+    "the checkpoint, replays the uncommitted batch (same epoch id), "
+    "and runs to completion; the final per-(user, type) counts over "
+    "the sunk table must equal the plain batch aggregate — COUNT(*) "
+    "is the duplicate detector, so a non-idempotent sink turns the "
+    "hash gate red by construction. attempts.log records every "
+    "(epoch, write); tests assert the crash batch genuinely wrote "
+    "twice and the crash genuinely fired. At 100 TB this is the "
+    "parquet/Delta sink pattern verbatim — overwrite-by-epoch "
+    "partition (or MERGE on a batch-id txn column), checkpoint on "
+    "durable storage; the replay window is bounded by one micro-batch.",
+)
+def st13_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import run_restart_exactly_once
+
+    sunk = run_restart_exactly_once(spark, sf_dir)
+    return (
+        sunk.where(F.col("user_id") >= 0)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

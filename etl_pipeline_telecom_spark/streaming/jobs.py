@@ -492,3 +492,95 @@ def stream_stream_click_error_left_join(
         F.unix_micros("c_ts").alias("click_us"),
         F.unix_micros("e_ts").alias("error_us"),
     )
+
+
+def run_restart_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    crash_after_epoch: int = 1,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay the events stream through an IDEMPOTENT foreachBatch
+    parquet sink with an injected driver crash, restart from the
+    checkpoint, and return the sunk rows — the exactly-once fault-
+    tolerance proof (st13).
+
+    Mechanics: each micro-batch lands in its own ``batch_id=N``
+    partition with mode=overwrite — the Structured Streaming idempotent-
+    sink recipe (epoch_id is stable across batch retries, so a REPLAYED
+    batch overwrites itself instead of appending duplicates). The
+    injected failure raises AFTER batch ``crash_after_epoch``'s write
+    completes but BEFORE its checkpoint commit — the exact at-least-once
+    window where a naive append sink duplicates rows. The restart
+    replays that batch (same epoch id), the overwrite absorbs it, and
+    the final table equals the batch truth — which the DuckDB oracle
+    then checks. ``attempts.log`` records every (epoch, write) so tests
+    can assert the crash batch really ran twice.
+
+    Staging discipline: keyed by the replay dir (itself keyed by source
+    identity); once ``_done`` is published, later invocations just read
+    the sunk table (the d12 persisted-index precedent).
+    """
+    import hashlib
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from .source import read_events_stream
+
+    replay = replay_dir_with_sentinels(sf_dir)
+    key = hashlib.md5(replay.encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft_st13_{key}"
+    data_dir = os.path.join(base, "data")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        marker = os.path.join(base, "_crashed_once")
+        log = os.path.join(base, "attempts.log")
+
+        def sink(bdf: DataFrame, epoch_id: int) -> None:
+            (
+                bdf.write.mode("overwrite").parquet(
+                    os.path.join(data_dir, f"batch_id={epoch_id}")
+                )
+            )
+            with open(log, "a") as fh:
+                fh.write(f"{epoch_id}\n")
+            if epoch_id == crash_after_epoch and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("injected")
+                raise RuntimeError(
+                    "st13 injected crash: after write, before epoch commit"
+                )
+
+        stream = read_events_stream(
+            spark, replay, glob="*.parquet", max_files_per_trigger=1
+        )
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            for _attempt in range(3):
+                q = (
+                    stream.writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", os.path.join(base, "ck"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    q.awaitTermination(300)
+                except StreamingQueryException:
+                    continue  # the injected crash — restart from checkpoint
+                finally:
+                    if q.isActive:
+                        q.stop()
+                if q.exception() is None:
+                    break
+            else:
+                raise RuntimeError("st13 stream did not complete in 3 attempts")
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(data_dir)

@@ -251,6 +251,11 @@ PROBES += [
     # bigram-LM surprisal: one tokenize+lead corpus pass, two stacked
     # vocab aggs, vocab-sized joins (no broadcast hint — AQE's call)
     "t24_bigram_surprisal",
+    # per-file bloom index: staged-layout scan + distinct + 3-way
+    # position explode; probe sides are 8x16 bounded broadcasts
+    # (st13 is excluded like the other streaming replay harnesses —
+    # the st6 precedent)
+    "p9_bloom_file_index",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

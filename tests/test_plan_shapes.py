@@ -176,6 +176,10 @@ _BNLJ_ALLOWED = {
     "t24_bigram_surprisal",  # 1-row corpus-mean-surprisal scalar crossed
                          # onto the per-doc table (t9/t16's corpus-count
                          # broadcast pattern)
+    "p9_bloom_file_index",  # probe×file-params crossings: 8-row probe
+                         # set × 16-row per-file bloom-size table, plus
+                         # the 1-row n_files scalar — all post-agg
+                         # bounded sides (e6/a16 pattern)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -194,6 +198,7 @@ _GUARDED = [
     "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
     "t11_bigram_topk", "a25_kmv_theta_setops", "t24_bigram_surprisal",
     "d19_url_dedup", "d20_domain_blocklist", "v13_pq_adc_refine",
+    "p9_bloom_file_index",
 ]
 
 

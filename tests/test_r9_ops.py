@@ -1215,3 +1215,142 @@ def test_t24_property_vs_python_replay(spark, tmp_path):
 
 def test_t24_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "t24_bigram_surprisal")
+
+
+# ---------------------------------------------------------------------------
+# p9: per-file bloom index
+# ---------------------------------------------------------------------------
+
+
+def _p9_python_replay(sf_dir: str):
+    import collections
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) "
+        f"FROM '{sf_dir}/events.parquet' "
+        f"WHERE ts IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()
+    con.close()
+    ts = [t for _, t in rows]
+    mn, mx = min(ts), max(ts)
+    fkeys = collections.defaultdict(set)
+    for e, t in rows:
+        fkeys[((t - mn) * 256 // (mx - mn + 1)) >> 4].add(e)
+    m = {f: 1 << (len(bin(16 * len(ks) - 1)) - 2) for f, ks in fkeys.items()}
+    h = lambda e, j, mm: int(hashlib.md5(f"{e}:{j}".encode()).hexdigest()[:8], 16) % mm
+    bloom = {
+        f: {h(e, j, m[f]) for e in ks for j in range(3)} for f, ks in fkeys.items()
+    }
+    ids = sorted({e for e, _ in rows})
+    probes = [(e, 1) for e in ids[:4]] + [(ids[-1] + k, 0) for k in range(1, 5)]
+    out = {}
+    for p, present in probes:
+        hits = sum(
+            1
+            for f in fkeys
+            if {h(p, j, m[f]) for j in range(3)} <= bloom[f]
+        )
+        actual = sum(1 for f, ks in fkeys.items() if p in ks)
+        out[p] = (present, len(fkeys), hits, actual, hits - actual)
+    return out
+
+
+def test_p9_equals_python_replay(spark, sf_dir):
+    got = {
+        r["probe_id"]: (r["present"], r["n_files"], r["n_bloom_hits"],
+                        r["n_actual"], r["n_false_pos"])
+        for r in catalog.REGISTRY["p9_bloom_file_index"].fn(spark, sf_dir).collect()
+    }
+    assert got == _p9_python_replay(sf_dir)
+
+
+def test_p9_no_false_negatives_and_real_skipping(spark, sf_dir):
+    """Blooms never miss a true file (present probes: hits ⊇ actual ≥ 1),
+    and the point lookup actually SKIPS most files — the case p8 proved
+    min/max pruning cannot serve on a time-sharded layout."""
+    rows = catalog.REGISTRY["p9_bloom_file_index"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_false_pos"] >= 0  # hits can only exceed truth
+        if r["present"]:
+            assert r["n_actual"] >= 1
+            assert r["n_bloom_hits"] >= r["n_actual"]
+            # skip at least 14 of 16 files on a point lookup
+            assert r["n_bloom_hits"] <= r["n_files"] - 14
+        else:
+            assert r["n_actual"] == 0
+
+
+def test_p9_sizing_is_next_pow2_of_16x_keys():
+    """m = 2^len(bin(16k-1)) is the smallest power of two >= 16k."""
+    for k in (1, 3, 63, 64, 65, 625, 1000):
+        m = 1 << (len(bin(16 * k - 1)) - 2)
+        assert m >= 16 * k and m // 2 < 16 * k
+
+
+def test_p9_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "p9_bloom_file_index")
+
+
+# ---------------------------------------------------------------------------
+# st13: exactly-once sink under crash-restart
+# ---------------------------------------------------------------------------
+
+
+def _st13_base(sf_dir: str) -> str:
+    import hashlib
+
+    from etl_pipeline_telecom_spark.streaming.jobs import replay_dir_with_sentinels
+
+    replay = replay_dir_with_sentinels(sf_dir)
+    return f"/tmp/spark_graft_st13_{hashlib.md5(replay.encode()).hexdigest()[:12]}"
+
+
+def test_st13_crash_fired_and_batch_replayed(spark, sf_dir):
+    """The injected crash must actually happen: the crash batch appears
+    exactly TWICE in attempts.log (written, crashed, replayed) and every
+    other batch exactly once."""
+    import collections
+    import os
+
+    catalog.REGISTRY["st13_exactly_once_sink"].fn(spark, sf_dir).count()
+    base = _st13_base(sf_dir)
+    assert os.path.exists(os.path.join(base, "_crashed_once"))
+    attempts = collections.Counter(
+        int(x) for x in open(os.path.join(base, "attempts.log")).read().split()
+    )
+    assert attempts[1] == 2, attempts  # crash batch: write + replay
+    assert all(c == 1 for e, c in attempts.items() if e != 1), attempts
+
+
+def test_st13_sunk_rows_are_duplicate_free(spark, sf_dir):
+    """The overwrite-by-epoch sink must absorb the replay: the sunk
+    event_ids are globally unique and their count equals the source
+    (a naive append sink would hold batch 1 twice)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    catalog.REGISTRY["st13_exactly_once_sink"].fn(spark, sf_dir).count()
+    sunk = spark.read.parquet(os.path.join(_st13_base(sf_dir), "data"))
+    real = sunk.where(F.col("user_id") >= 0)
+    n, nd = real.agg(
+        F.count(F.lit(1)), F.countDistinct("event_id")
+    ).first()
+    assert n == nd
+    import duckdb
+
+    con = duckdb.connect()
+    truth = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet' WHERE user_id >= 0"
+    ).fetchone()[0]
+    con.close()
+    assert n == truth
+
+
+def test_st13_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "st13_exactly_once_sink")
