@@ -718,11 +718,20 @@ def p7_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # v5's full oracle SQL — d17 clusters exactly the near-dup pairs v5
 # emits, the d8-over-d5 pattern applied to the EMBEDDING near-dup graph.
-# v5 MUST be imported at module top (not just looked up in REGISTRY):
-# python workers re-import this module to unpickle p6's mapInPandas
-# function, and without the import the registry is empty there (caught
-# by the r8 full sweep — p6 died with a worker-side KeyError).
-_SQL_V5_PAIRS = REGISTRY["v5_lsh_bucketed_neardup"].sql
+# v5 stays imported at module top (python workers re-import this module
+# to unpickle p6's mapInPandas function; without the import the registry
+# is empty there — caught by the r8 full sweep), but the SQL lookup is
+# routed through this function so it no longer depends on
+# _load_all_plans ORDERING either (r8 verdict residual-nit c): the
+# local import re-registers v5 on demand if this module is ever loaded
+# first in a fresh process.
+def _sql_v5_pairs() -> str:
+    from . import similarity  # noqa: F401 — guarantees v5 is registered
+
+    return REGISTRY["v5_lsh_bucketed_neardup"].sql
+
+
+_SQL_V5_PAIRS = _sql_v5_pairs()
 
 
 @register(
