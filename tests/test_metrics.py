@@ -61,6 +61,7 @@ def test_metric_channels_stable():
         "shuffle_write_records",
         "executor_run_ms",
         "executor_cpu_ms",
+        "stage_id_gaps",
     )
 
 
