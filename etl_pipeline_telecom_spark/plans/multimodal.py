@@ -260,25 +260,33 @@ def _m6_gray(base: int, tweaked: bool) -> list[int]:
     return g
 
 
-def media_gray_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_gray_grids(
+    spark: SparkSession, sf_dir: str, *, include_copies: bool = True
+) -> DataFrame:
     """(doc_id, g: array<int> 136 grays) — synthesize a REAL 24bpp BMP per
     doc (copies at +offset for doc_id % 10 == 0, pixel-tweaked), then
     round-trip it through the library-free pixel DECODER. Any encoder or
     decoder bug (stride padding, bottom-up rows, luma arithmetic) changes
     the grays and turns the oracle red — the container round-trip is
-    inside the verified path, not beside it."""
+    inside the verified path, not beside it. ``include_copies=False``
+    (m9) keeps the decode stage to the base corpus — filters cannot push
+    through mapInPandas, so the cut happens before the Arrow stage."""
     import pandas as pd
 
     from ..functions.multimodal import bmp_from_gray, bmp_gray_grid
 
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    corpus = ids.select("doc_id", F.col("doc_id").alias("base"), F.lit(False).alias("tweaked")).unionByName(
-        ids.where(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.col("doc_id").alias("base"),
-            F.lit(True).alias("tweaked"),
-        )
+    corpus = ids.select(
+        "doc_id", F.col("doc_id").alias("base"), F.lit(False).alias("tweaked")
     )
+    if include_copies:
+        corpus = corpus.unionByName(
+            ids.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.col("doc_id").alias("base"),
+                F.lit(True).alias("tweaked"),
+            )
+        )
 
     def batches(pdfs):
         for pdf in pdfs:
@@ -682,4 +690,131 @@ def m8_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("f").alias("after_frame"), sad.alias("sad")
         )
         .where(F.col("sad") > _M8_THRESH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# m9: image-text pair scoring — the LAION-style cross-modal filter. The
+# multimodal family has payloads (m1), dedup (m4/m6), and per-modality
+# features (m6/m7/m8); m9 is the op that scores an (image, caption) PAIR.
+# ---------------------------------------------------------------------------
+
+_M9_DIMS = 8  # shared feature space: 8 grid-row sums vs 8 hashed BoW buckets
+
+
+@register(
+    "m9_image_text_score",
+    f"""WITH ids AS (SELECT doc_id, doc_id AS base, 0 AS tw FROM documents),
+        grid AS MATERIALIZED (
+          SELECT doc_id, {_M6_SQL_GRAY} AS g
+          FROM (SELECT doc_id, tw,
+                       md5(base || ':0') || md5(base || ':1') || md5(base || ':2')
+                       || md5(base || ':3') || md5(base || ':4') || md5(base || ':5')
+                       || md5(base || ':6') || md5(base || ':7') || md5(base || ':8') AS hx
+                FROM ids)),
+        img AS (
+          SELECT doc_id,
+                 list_transform(range(0, {_M9_DIMS}),
+                                r -> list_sum(g[(r * {_M6_W} + 1):(r * {_M6_W} + {_M6_W})]))
+                     AS vi,
+                 list_sum(g) AS n_img
+          FROM grid),
+        tb AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % {_M9_DIMS} AS b,
+                 COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                FROM documents)
+          GROUP BY doc_id, b),
+        sc AS (
+          SELECT t.doc_id,
+                 CAST(SUM(i.vi[t.b + 1] * t.cnt) AS BIGINT) AS dot,
+                 CAST(MAX(i.n_img) AS BIGINT) AS n_img,
+                 CAST(SUM(t.cnt) AS BIGINT) AS n_tok
+          FROM tb t JOIN img i USING (doc_id)
+          GROUP BY t.doc_id),
+        m AS (
+          SELECT CAST(SUM((dot * 1000000) // (n_img * n_tok)) // COUNT(*) AS BIGINT)
+              AS thr
+          FROM sc)
+        SELECT doc_id, dot, n_tok,
+               CAST((dot * 1000000) // (n_img * n_tok) AS BIGINT) AS score_micro,
+               ((dot * 1000000) // (n_img * n_tok)) > thr AS matched
+        FROM sc, m""",
+    tags=("multimodal", "cross-modal", "scoring", "filter"),
+    doc="Image-text pair scoring — the LAION/CLIP-filter shape with the "
+    "real Spark plumbing and a deterministic stand-in scorer: the image "
+    "side embeds each doc's decoded BMP grid (the m6 codec round-trip, "
+    "base corpus only) into 8 integer grid-row sums; the caption side "
+    "embeds the token bag into 8 md5-hashed BoW bucket counts (the "
+    "hashing-trick projection — portable to any engine); pair score = "
+    "the integer cross-moment dot(vi, vtxt), L1-normalized to "
+    "micro-scale via (dot*10^6) div (n_img*n_tok) — all BIGINT, "
+    "bit-identical cross-engine. The keep threshold is the CORPUS MEAN "
+    "score as a 1-row broadcast scalar (the t24 data-derived-threshold "
+    "pattern: a fixed cutoff saturates across SFs). A real CLIP scorer "
+    "drops into the image-embed seam; everything downstream (pair "
+    "join, normalization, threshold broadcast, flag) is the production "
+    "plan. Plan: decode is a fanout=1 Arrow stage over the base corpus "
+    "only (copies cut BEFORE mapInPandas — filters cannot push through "
+    "it); the pair join is doc_id equi-join; scoring is one "
+    "map-side-combinable agg; the only crossJoin is the 1-row "
+    "threshold. tests/test_r10_ops.py pins matched/mismatched crafted "
+    "pairs through the same scorer.",
+)
+def m9_image_text_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grids = media_gray_grids(spark, sf_dir, include_copies=False)
+    img = grids.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_M9_DIMS - 1)),
+            lambda r: F.aggregate(
+                F.slice("g", r * _M6_W + 1, _M6_W),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("vi"),
+        F.aggregate("g", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "n_img"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int") % _M9_DIMS
+    )
+    tb = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sc = (
+        tb.join(img, "doc_id")
+        .select(
+            "doc_id",
+            (F.element_at("vi", F.col("b") + 1) * F.col("cnt")).alias("contrib"),
+            "n_img",
+            "cnt",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("dot"),
+            F.max("n_img").cast("bigint").alias("n_img"),
+            F.sum("cnt").cast("bigint").alias("n_tok"),
+        )
+    )
+    micro = F.expr("(dot * 1000000) div (n_img * n_tok)")
+    thr = sc.agg(
+        F.expr(
+            "CAST(SUM((dot * 1000000) div (n_img * n_tok)) div COUNT(*) AS BIGINT)"
+        ).alias("thr")
+    )
+    return sc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "dot",
+        "n_tok",
+        micro.cast("bigint").alias("score_micro"),
+        (micro > F.col("thr")).alias("matched"),
     )

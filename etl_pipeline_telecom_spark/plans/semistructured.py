@@ -841,3 +841,125 @@ def sm8_epoch_replication_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tok") / F.max("rep")).cast("bigint").alias("tok_raw"),
         F.sum("n_tok").cast("bigint").alias("tok_replicated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm9: epoch-aware mixture SCHEDULE — sm5 computes one temperature mix;
+# real multi-epoch training runs ANNEAL the temperature across epochs.
+# Pure metadata op: one corpus agg, then bounded-dimension arithmetic.
+# ---------------------------------------------------------------------------
+
+_SM9_EPOCHS = 4
+_SM9_SCALE = 1000  # milli-scaled integer weights. SCALE DIAL: keeps
+# budget*s inside BIGINT up to ~10^14 corpus tokens; beyond that drop
+# to x1 (weights are already >= 10^6 there, quantization loss is ppm)
+
+
+@register(
+    "sm9_epoch_mix_schedule",
+    f"""WITH st AS (
+          SELECT lang,
+                 CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM st),
+        ep AS (SELECT unnest(range(1, {_SM9_EPOCHS} + 1)) AS epoch),
+        w AS (
+          SELECT e.epoch, s.lang, s.n,
+                 CAST(FLOOR(CASE CAST(e.epoch AS INT)
+                     WHEN 1 THEN CAST(s.n AS DOUBLE)
+                     WHEN 2 THEN SQRT(CAST(s.n AS DOUBLE))
+                     WHEN 3 THEN SQRT(SQRT(CAST(s.n AS DOUBLE)))
+                     ELSE SQRT(SQRT(SQRT(CAST(s.n AS DOUBLE)))) END
+                     * {_SM9_SCALE}) AS BIGINT) AS s
+          FROM ep e CROSS JOIN st s),
+        sw AS (SELECT epoch, lang, n, s,
+                      SUM(s) OVER (PARTITION BY epoch) AS s_tot
+               FROM w),
+        b AS (SELECT epoch, lang, n, s, s_tot,
+                     (t // {_SM9_EPOCHS})
+                     + CASE WHEN epoch <= t % {_SM9_EPOCHS} THEN 1 ELSE 0 END
+                         AS budget
+              FROM sw, tot),
+        q AS (SELECT epoch, lang, n, s, s_tot, budget,
+                     (budget * s) // s_tot AS base,
+                     (budget * s) % s_tot AS rem
+              FROM b),
+        d AS (SELECT *,
+                     budget - SUM(base) OVER (PARTITION BY epoch) AS deficit,
+                     ROW_NUMBER() OVER (PARTITION BY epoch
+                                        ORDER BY rem DESC, lang) AS rr
+              FROM q)
+        SELECT CAST(epoch AS INT) AS epoch, lang,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(s AS BIGINT) AS weight_milli,
+               CAST(budget AS BIGINT) AS epoch_budget,
+               CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+                   AS quota_tokens
+        FROM d""",
+    tags=("sampling", "mixing", "schedule", "metadata-only"),
+    doc="Epoch-annealed mixture schedule — sm5's temperature mix extended "
+    "over a training RUN: epoch e weights language token masses by "
+    "n^(1/2^(e-1)), realized as e-1 NESTED SQRTs (each sqrt is "
+    "IEEE-identical cross-engine; arbitrary pow() is not guaranteed to "
+    "be) — epoch 1 trains proportional, later epochs progressively "
+    "flatten toward uniform (the curriculum an annealed multilingual "
+    "run uses). The global token budget T (= one corpus mass) splits "
+    "into per-epoch budgets T div E (+1 for the first T mod E epochs), "
+    "and each epoch's budget apportions across languages by "
+    "LARGEST-REMAINDER on milli-scaled integer weights: base = "
+    "(B*s) div s_tot, the deficit B - sum(base) goes +1 each to the "
+    "largest (rem DESC, lang) ranks. CONSERVATION LAWS (pinned in "
+    "tests/test_r10_ops.py): sum of quotas per epoch == that epoch's "
+    "budget EXACTLY, and the grand total == T exactly — integer "
+    "apportionment, no drifting float shares. Pure metadata: ONE "
+    "corpus-sized agg (per-lang token count), then every later stage "
+    "operates on the 4x5 epoch-lang frame (bounded crossJoins of "
+    "aggregated sides, the e6/a16 pattern); nothing data-sized moves.",
+)
+def sm9_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+        .cast("bigint")
+        .alias("n")
+    )
+    tot = st.agg(F.sum("n").cast("bigint").alias("t"))
+    ep = spark.range(1, _SM9_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    nd = F.col("n").cast("double")
+    w_expr = (
+        F.when(F.col("epoch") == 1, nd)
+        .when(F.col("epoch") == 2, F.sqrt(nd))
+        .when(F.col("epoch") == 3, F.sqrt(F.sqrt(nd)))
+        .otherwise(F.sqrt(F.sqrt(F.sqrt(nd))))
+    )
+    w = (
+        F.broadcast(ep)
+        .crossJoin(st)
+        .select(
+            "epoch", "lang", "n",
+            F.floor(w_expr * _SM9_SCALE).cast("bigint").alias("s"),
+        )
+    )
+    we = Window.partitionBy("epoch")
+    sw = w.withColumn("s_tot", F.sum("s").over(we))
+    b = sw.crossJoin(F.broadcast(tot)).withColumn(
+        "budget",
+        F.expr(f"t div {_SM9_EPOCHS}")
+        + F.when(F.col("epoch") <= F.col("t") % _SM9_EPOCHS, 1).otherwise(0),
+    )
+    q = b.withColumn("base", F.expr("(budget * s) div s_tot")).withColumn(
+        "rem", (F.col("budget") * F.col("s")) % F.col("s_tot")
+    )
+    d = q.withColumn("deficit", F.col("budget") - F.sum("base").over(we)).withColumn(
+        "rr", F.row_number().over(Window.partitionBy("epoch").orderBy(F.desc("rem"), "lang"))
+    )
+    return d.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("s").cast("bigint").alias("weight_milli"),
+        F.col("budget").cast("bigint").alias("epoch_budget"),
+        (F.col("base") + F.when(F.col("rr") <= F.col("deficit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota_tokens"),
+    )

@@ -1061,8 +1061,10 @@ _V13_SUBDIM = 16    # dims per subspace (4 x 16 = 64)
 _V13_SHORTLIST = 8  # ADC shortlist reranked at full precision
 _V13_FINAL_K = 3
 
-_SQL_V13 = f"""WITH q AS ({_SQL_EMB}),
-    ex AS (
+# the PQ machinery (subspace explode, codebook, codes, LUT) shared by
+# v13 (flat ADC over the whole corpus) and v14 (ADC restricted to IVF
+# candidates) — extracted verbatim so both oracles replay ONE definition
+_SQL_PQ_CTES = f"""ex AS (
       SELECT vec_id, label,
              (generate_subscripts(qv, 1) - 1) // {_V13_SUBDIM} AS m,
              (generate_subscripts(qv, 1) - 1) % {_V13_SUBDIM} AS sd,
@@ -1088,7 +1090,10 @@ _SQL_V13 = f"""WITH q AS ({_SQL_EMB}),
       SELECT s.vec_id AS query_id, s.m, c.cid,
              list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cvec)
              + list_dot_product(c.cvec, c.cvec) AS d
-      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 10),
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 10)"""
+
+_SQL_V13 = f"""WITH q AS ({_SQL_EMB}),
+    {_SQL_PQ_CTES},
     adc AS (
       SELECT l.query_id, k.vec_id AS neighbor_id, SUM(l.d) AS adist
       FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
@@ -1135,6 +1140,64 @@ def _v13_subspaces(emb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(m, cid, cvec): per (subspace, label) rounded-mean centroid with
+    integer components — one deterministic Lloyd's step per subspace
+    (v7's integer-centroid recipe). Shared by v13 and v14."""
+    return (
+        sub.select("label", "m", F.posexplode("sv").alias("sd", "x"))
+        .groupBy("m", F.col("label").alias("cid"), "sd")
+        .agg(F.round(F.sum("x") / F.count(F.lit(1))).alias("cv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sd", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, cid): nearest codeword per (vector, subspace) —
+    min(struct) agg, lexicographic (dist, cid), deterministic,
+    map-side combinable. Shared by v13 and v14."""
+    l2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"))
+    )
+
+
+def _pq_lut(sub: DataFrame, cb: DataFrame, *, guard_label: str) -> DataFrame:
+    """(query_id, m, cid, d): per-query 4×10 table of integer subspace L2
+    distances — the ADC lookup table. Query side bounded-guarded.
+    Shared by v13 and v14."""
+    from ..guards import assert_bounded_input
+
+    queries = sub.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qs")
+    )
+    assert_bounded_input(queries, 64 * _V13_M, guard_label)
+    return queries.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        (
+            _dot(F.col("qs"), F.col("qs"))
+            - 2 * _dot(F.col("qs"), F.col("cvec"))
+            + _dot(F.col("cvec"), F.col("cvec"))
+        ).alias("d"),
+    )
+
+
+
 @register(
     "v13_pq_adc_refine",
     _SQL_V13,
@@ -1162,57 +1225,11 @@ def _v13_subspaces(emb: DataFrame) -> DataFrame:
     "and the rerank touches 8 full vectors per query.",
 )
 def v13_pq_adc_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..guards import assert_bounded_input
-
     emb = _quantized(spark, sf_dir)
     sub = _v13_subspaces(emb)
-    # codebook: per (m, label) rounded-mean centroid, integer components
-    cb = (
-        sub.select("label", "m", F.posexplode("sv").alias("sd", "x"))
-        .groupBy("m", F.col("label").alias("cid"), "sd")
-        .agg(F.round(F.sum("x") / F.count(F.lit(1))).alias("cv"))
-        .groupBy("m", "cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sd", "cv"))), lambda s: s["cv"]
-            ).alias("cvec")
-        )
-    )
-    l2 = (
-        _dot(F.col("sv"), F.col("sv"))
-        - 2 * _dot(F.col("sv"), F.col("cvec"))
-        + _dot(F.col("cvec"), F.col("cvec"))
-    )
-    # encode: nearest codeword per (vector, subspace) — min(struct) agg,
-    # lexicographic (dist, cid), deterministic, map-side combinable
-    codes = (
-        sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("cid")).alias("dc"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", "m", F.col("best.cid").alias("cid"))
-    )
-    queries = sub.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qs")
-    )
-    assert_bounded_input(
-        queries, 64 * _V13_M, "v13_pq_adc_refine query side"
-    )
-    lut = (
-        queries.join(
-            F.broadcast(cb), "m"
-        )
-        .select(
-            "query_id",
-            "m",
-            "cid",
-            (
-                _dot(F.col("qs"), F.col("qs"))
-                - 2 * _dot(F.col("qs"), F.col("cvec"))
-                + _dot(F.col("cvec"), F.col("cvec"))
-            ).alias("d"),
-        )
-    )
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb, guard_label="v13_pq_adc_refine query side")
     adc = (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1246,4 +1263,157 @@ def v13_pq_adc_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") <= _V13_FINAL_K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v14: IVF × PQ composition — the index production FAISS actually serves
+# (IndexIVFPQ): coarse centroid pruning bounds the candidate set, ADC
+# table-lookup scores only the probed cells, exact rerank on the shortlist
+# ---------------------------------------------------------------------------
+
+_V14_SHORTLIST = 8
+_V14_FINAL_K = 3
+
+_SQL_V14 = f"""WITH {_SQL_V7_CTES},
+    {_SQL_PQ_CTES},
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, SUM(l.d) AS adist
+      FROM (SELECT query_id, neighbor_id FROM cand) c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.cid = k.cid
+      GROUP BY c.query_id, c.neighbor_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS srn
+        FROM adc) WHERE srn <= {_V14_SHORTLIST}),
+    reranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY list_dot_product(a.qv, b.qv)
+                          / (sqrt(list_dot_product(a.qv, a.qv))
+                             * sqrt(list_dot_product(b.qv, b.qv))) DESC,
+                          s.neighbor_id) AS rn
+        FROM short s
+        JOIN q a ON a.vec_id = s.query_id
+        JOIN q b ON b.vec_id = s.neighbor_id) WHERE rn <= {_V14_FINAL_K}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+        FROM q a, q b
+        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+      WHERE rn <= {_V14_FINAL_K})
+    SELECT r.query_id, COUNT(*) AS n_ann,
+           COUNT(e.neighbor_id) AS n_hits,
+           ROUND(CAST(COUNT(e.neighbor_id) AS DOUBLE) / {_V14_FINAL_K}, 6)
+               AS recall_at_3
+    FROM reranked r LEFT JOIN exact e
+      ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+    GROUP BY r.query_id"""
+
+
+@register(
+    "v14_ivf_pq_recall",
+    _SQL_V14,
+    tags=("similarity", "knn", "ivf", "quantization", "pq", "evaluation"),
+    doc="IVF × PQ COMPOSED — completes the composition matrix (v12 proved "
+    "IVF×SQ8; production FAISS serves IndexIVFPQ): v7's nprobe=2 "
+    "centroid probing bounds the candidate set to the probed cells, "
+    "v13's ADC (per-query 4x10 integer LUT over the shared _pq_* "
+    "codebook/codes) scores ONLY those candidates — the at-scale point "
+    "of the composition: ADC work is per probed-cell member, never "
+    f"corpus-wide — the top-{_V14_SHORTLIST} ADC shortlist is reranked "
+    "at full precision (v13's broadcast-shortlist rerank, no "
+    "corpus-side SMJ), and the final top-3 is graded against the exact "
+    "brute-force top-3 with v9's recall harness. Exactness end-to-end: "
+    "integer centroid distances (v7), integer LUT/ADC sums (v13), and "
+    "a rerank dividing the same x1000-quantized integer operands both "
+    "engines hold. Scale: the corpus stores 4 PQ bytes per vector "
+    "partitioned by IVF cell; a query touches nprobe cells via "
+    "table-lookup adds, fetches full vectors for 8 rows, and the only "
+    "data-sized shuffle is the (query, candidate) ADC partial-agg. "
+    "tests/test_r10_ops.py pins recall parity vs v12/v13 and that the "
+    "ADC stage never scores a pair outside the probed cells.",
+)
+def v14_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _ivf_candidates(spark, sf_dir)
+    emb = _quantized(spark, sf_dir)
+    sub = _v13_subspaces(emb)
+    cb = _pq_codebook(sub)
+    codes = _pq_codes(sub, cb)
+    lut = _pq_lut(sub, cb, guard_label="v14_ivf_pq_recall query side")
+    cp = cand.select("query_id", F.col("vec_id").alias("neighbor_id"))
+    adc = (
+        cp.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _V14_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank on the bounded shortlist — broadcast it into the
+    # corpus-sized qv lookup (the v13 probe-caught discipline: without
+    # the hint AQE sort-merges the full vector table)
+    qv_full = emb.select("vec_id", "qv")
+    qa_side = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    rer = qv_full.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(short.join(F.broadcast(qa_side), "query_id")),
+        "neighbor_id",
+    )
+    cos = _dot(F.col("qa"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("qa"), F.col("qa"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    reranked = (
+        rer.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _V14_FINAL_K)
+        .select("query_id", "neighbor_id")
+    )
+    # exact ground truth + recall grade (v9/v12's harness tail)
+    exact_emb = _with_norm(_quantized(spark, sf_dir))
+    equeries = exact_emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    exact = (
+        exact_emb.crossJoin(F.broadcast(equeries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= _V14_FINAL_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        reranked.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ann"), F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_ann",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / _V14_FINAL_K, 6).alias(
+                "recall_at_3"
+            ),
+        )
     )

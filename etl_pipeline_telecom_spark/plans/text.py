@@ -1902,3 +1902,142 @@ def t24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.alias("micro_bits_per_bigram"),
         (micro > F.col("corpus_micro")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t25: TRAINED character-n-gram language identification — the CCNet/C4
+# front gate. t3's marker voting consumes a hand-coded stopword list;
+# every lang-aware op downstream (t11, sm5, pipe3) consumes the fixture's
+# `lang` column — t25 is the op that can PRODUCE one from raw text.
+# ---------------------------------------------------------------------------
+
+# character-bigram Naive Bayes: train on the doc_id%10<8 hash split,
+# classify the held-out docs. All-integer scoring (micro-probabilities,
+# the t22/t24 discipline) so both engines agree bit-for-bit.
+_T25_NORM = (
+    "' ' || array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') || ' '"
+)
+
+
+def _t25_bigram_occurrences(norm: DataFrame, out_key: str) -> DataFrame:
+    """(out_key, g): every character-bigram occurrence of the normalized
+    string ``s`` — posexplode the char array + one window lead PER DOC
+    (the d18 substring_occurrences discipline; an inline
+    transform()-explode re-evaluates the whole array expression per
+    OUTPUT row). The window always partitions on doc_id — never on the
+    output key (lang would skew to one partition per language AND leak
+    leads across doc boundaries)."""
+    cols = ["doc_id"] if out_key == "doc_id" else ["doc_id", out_key]
+    chars = norm.select(*cols, F.posexplode(F.split("s", "")).alias("p", "c"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        chars.select(out_key, F.concat("c", F.lead("c", 1).over(w)).alias("g"))
+        .where(F.length("g") == 2)
+        .select(out_key, "g")
+    )
+
+_SQL_T25 = f"""WITH norm AS MATERIALIZED (
+      SELECT doc_id, lang, {_T25_NORM} AS s FROM documents),
+    tg AS (
+      SELECT lang, substr(s, CAST(i AS INT), 2) AS g, COUNT(*) AS cnt
+      FROM norm, LATERAL (SELECT unnest(range(1, len(s))) AS i) t
+      WHERE doc_id % 10 < 8
+      GROUP BY lang, g),
+    tot AS (SELECT lang, SUM(cnt) AS tot FROM tg GROUP BY lang),
+    model AS (
+      SELECT lang AS ml, g, CAST((cnt * 1000000) // tot AS BIGINT) AS mu
+      FROM tg JOIN tot USING (lang)),
+    eg AS (
+      SELECT doc_id, substr(s, CAST(i AS INT), 2) AS g, COUNT(*) AS occ
+      FROM norm, LATERAL (SELECT unnest(range(1, len(s))) AS i) t
+      WHERE doc_id % 10 >= 8
+      GROUP BY doc_id, g),
+    sc AS (
+      SELECT e.doc_id, m.ml, CAST(SUM(e.occ * m.mu) AS BIGINT) AS score
+      FROM eg e JOIN model m USING (g)
+      GROUP BY e.doc_id, m.ml),
+    best AS (
+      SELECT doc_id, ml AS lang_pred, score FROM (
+        SELECT doc_id, ml, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, ml) AS rn
+        FROM sc) WHERE rn = 1)
+    SELECT d.doc_id, d.lang,
+           COALESCE(b.lang_pred, 'und') AS lang_pred,
+           CAST(COALESCE(b.score, 0) AS BIGINT) AS score_micro,
+           CAST(d.lang = COALESCE(b.lang_pred, 'und') AS INT) AS correct
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    WHERE d.doc_id % 10 >= 8"""
+
+
+@register(
+    "t25_langid_train",
+    _SQL_T25,
+    tags=("text", "langid", "classifier", "train-eval"),
+    doc="TRAINED character-bigram language identifier (the fastText/CCNet "
+    "front gate, reduced to its deterministic core): docs hash-split "
+    "8:2 (doc_id %% 10 — restartable, no rand()), per-language bigram "
+    "micro-probabilities mu = (cnt*10^6) div total learned from the "
+    "train split, held-out docs scored with the multinomial rule "
+    "score(L) = sum occ*mu_L over their bigrams, argmax with (score "
+    "DESC, lang) tie-break; docs whose bigrams never hit the model "
+    "fall back to 'und'. All-integer scoring (t22/t24 micro "
+    "discipline) - bit-identical cross-engine. The fixture corpus is "
+    "language-DEGENERATE (all langs share one token pool), so the "
+    "per-doc `correct` column reports the honest near-prior accuracy "
+    "here; tests/test_r10_ops.py pins accuracy=1.0 on a crafted "
+    "separable corpus, which is the claim that matters. Scale: the "
+    "model is bounded by charset^2 x langs rows (broadcast); corpus "
+    "work is one bigram explode + two map-side-combinable hash aggs "
+    "keyed (doc,gram)/(doc,lang) - the d18 shingle shape, no "
+    "all-pairs stage anywhere.",
+)
+def t25_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.concat(F.lit(" "), F.concat_ws(" ", tokens("text")), F.lit(" "))
+    norm = docs.select("doc_id", "lang", s.alias("s"))
+    tg = (
+        _t25_bigram_occurrences(norm.where(F.col("doc_id") % 10 < 8), "lang")
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tg.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    model = (
+        tg.join(tot, "lang")
+        .select(
+            F.col("lang").alias("ml"),
+            "g",
+            F.expr("(cnt * 1000000) div tot").cast("bigint").alias("mu"),
+        )
+    )
+    eg = (
+        _t25_bigram_occurrences(norm.where(F.col("doc_id") % 10 >= 8), "doc_id")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    sc = (
+        eg.join(F.broadcast(model), "g")
+        .groupBy("doc_id", "ml")
+        .agg(F.sum(F.col("occ") * F.col("mu")).cast("bigint").alias("score"))
+    )
+    # argmax via min(struct(-score, lang)): score DESC then lang ASC -
+    # map-side-combinable agg, no per-doc window shuffle
+    best = sc.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("ml").alias("lp"),
+                F.col("score").alias("sc"),
+            )
+        ).alias("b")
+    )
+    ev = docs.where(F.col("doc_id") % 10 >= 8).select("doc_id", "lang")
+    return ev.join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("b.lp"), F.lit("und")).alias("lang_pred"),
+        F.coalesce(F.col("b.sc"), F.lit(0)).cast("bigint").alias("score_micro"),
+        (
+            F.col("lang") == F.coalesce(F.col("b.lp"), F.lit("und"))
+        ).cast("int").alias("correct"),
+    )
