@@ -1090,3 +1090,96 @@ def p9_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p10: small-file compaction EXECUTION — p7 plans bins; p10 rewrites the
+# layout and audits the physical result (the OPTIMIZE counterpart to
+# p5/p6/p8/p9's layout family)
+# ---------------------------------------------------------------------------
+
+_P10_BUCKETS = 16
+_P10_BINS = 4
+
+
+@register(
+    "p10_compaction_exec",
+    f"""WITH b AS (
+         SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % {_P10_BUCKETS} AS bucket
+         FROM events),
+       c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+       t AS (SELECT CAST(CEIL(SUM(n) / {_P10_BINS}.0) AS BIGINT) AS budget FROM c),
+       r AS (
+         SELECT bucket, n, budget,
+                COALESCE(SUM(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_before
+         FROM c, t)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(FLOOR(cum_before / budget) AS BIGINT) AS bin_id,
+              CAST(n AS BIGINT) AS n_rows_src,
+              CAST(1 AS BIGINT) AS n_src_files,
+              CAST(n AS BIGINT) AS n_rows_compacted,
+              CAST(1 AS BIGINT) AS n_bins_touched,
+              CAST(1 AS BIGINT) AS n_out_files_bin,
+              TRUE AS conserved
+       FROM r""",
+    tags=("layout", "compaction", "sink", "metadata"),
+    doc="Small-file compaction EXECUTED and audited — the lakehouse "
+    f"OPTIMIZE step: the {_P10_BUCKETS}-file md5-bucketed staging "
+    f"(sources/writers.stage_bucketed_events) is bin-packed into "
+    f"{_P10_BINS} compacted files by m5's next-fit rule (deterministic "
+    "hash order, budget = ceil(total/bins), a straddling bucket stays "
+    "in the bin where its running-row start falls) and each bin is "
+    "REWRITTEN by one task: scan member files -> coalesce(1) -> write "
+    "— coalesce only narrows, payload rows never shuffle (plan-level "
+    "pin in tests/test_r10_ops.py). The audit reads BOTH physical "
+    "layouts back through ``_metadata.file_name`` and emits, per "
+    "source file: its bin, source vs compacted row counts, source and "
+    "output file counts, bins touched, and the conservation verdict — "
+    "the oracle predicts every column analytically (md5-mod bucket "
+    "counts + next-fit replay + the 1:1 file invariants), so a lost "
+    "row, a fragmented output, or a bucket split across bins flips the "
+    "hash gate. At 100 TB this is the maintenance pass that keeps "
+    "streaming-ingest tables scannable; the driver holds only the "
+    f"{_P10_BUCKETS}-row packing plan, and each bin rewrite streams "
+    "through one task without a shuffle.",
+)
+def p10_compaction_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import compact_bucketed_layout, stage_bucketed_events
+
+    staged = stage_bucketed_events(spark, sf_dir, _P10_BUCKETS)
+    compacted = compact_bucketed_layout(spark, sf_dir, _P10_BUCKETS, _P10_BINS)
+    src = spark.read.parquet(staged).select(
+        "bucket", F.col("_metadata.file_name").alias("fname")
+    )
+    per_src = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows_src"),
+        F.countDistinct("fname").alias("n_src_files"),
+    )
+    comp = spark.read.parquet(compacted).select(
+        "bin", "bucket", F.col("_metadata.file_name").alias("fname")
+    )
+    per_comp = comp.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows_compacted"),
+        F.countDistinct("bin").alias("n_bins_touched"),
+        F.max("bin").cast("bigint").alias("bin_id"),
+    )
+    per_bin_files = comp.groupBy(F.col("bin").cast("bigint").alias("bin_id")).agg(
+        F.countDistinct("fname").alias("n_out_files_bin")
+    )
+    return (
+        per_src.join(per_comp, "bucket")
+        .join(per_bin_files, "bin_id")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "bin_id",
+            F.col("n_rows_src").cast("bigint").alias("n_rows_src"),
+            F.col("n_src_files").cast("bigint").alias("n_src_files"),
+            F.col("n_rows_compacted").cast("bigint").alias("n_rows_compacted"),
+            F.col("n_bins_touched").cast("bigint").alias("n_bins_touched"),
+            F.col("n_out_files_bin").cast("bigint").alias("n_out_files_bin"),
+            (F.col("n_rows_src") == F.col("n_rows_compacted")).alias("conserved"),
+        )
+    )

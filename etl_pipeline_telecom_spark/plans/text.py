@@ -2041,3 +2041,363 @@ def t25_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang") == F.coalesce(F.col("b.lp"), F.lit("und"))
         ).cast("int").alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t26/t27: WordPiece — the THIRD production tokenizer family (BPE t15/t17/
+# t21 picks merges by raw pair frequency; unigram-LM t22/t23 prunes by
+# likelihood; WordPiece picks merges by the likelihood RATIO
+# count(ab)/(count(a)*count(b)) and encodes by greedy longest-match-first
+# with '##' continuation pieces — Schuster & Nakajima 2012, BERT's
+# tokenizer).
+# ---------------------------------------------------------------------------
+
+_T26_MERGES = 8
+_T26_SCALE = 1_000_000_000  # nano-scaled integer merge scores. SCALE DIAL:
+# pair_freq * 1e9 stays inside BIGINT up to ~9e9 pair occurrences; at
+# larger corpus masses drop a factor of 1000 (scores are >=1e3 there)
+
+
+def _sql_t26_parts(n_merges: int) -> list[str]:
+    """The WordPiece training CTE chain shared by t26's and t27's
+    oracles."""
+    parts = [
+        f"""wc AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      WHERE len(word) BETWEEN 1 AND {_T22_MAXW}
+      GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, i - 1 AS pos,
+             CASE WHEN i = 1 THEN substr(word, 1, 1)
+                  ELSE '##' || substr(word, i, 1) END AS sym
+      FROM wc, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) t)"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""pc{r} AS (
+      SELECT a, b, SUM(freq) AS f FROM (
+        SELECT sym AS a, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS b, freq
+        FROM s{r})
+      WHERE b IS NOT NULL GROUP BY a, b),
+    sc{r} AS (SELECT sym, SUM(freq) AS sf FROM s{r} GROUP BY sym),
+    best{r} AS (
+      SELECT p.a, p.b, p.f,
+             CAST((p.f * {_T26_SCALE}) // (sa.sf * sb.sf) AS BIGINT) AS score
+      FROM pc{r} p JOIN sc{r} sa ON sa.sym = p.a JOIN sc{r} sb ON sb.sym = p.b
+      ORDER BY score DESC, p.a, p.b LIMIT 1),
+    mk{r} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.a AS ba, b.b AS bb,
+             COALESCE(s.sym = b.a
+                      AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+                      FALSE) AS m
+      FROM s{r} s LEFT JOIN best{r} b ON TRUE),
+    rn{r} AS (
+      SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM mk{r}),
+    kp{r} AS (
+      SELECT *, m AND (rn - MIN(rn) OVER (PARTITION BY word, m, pos - rn)) % 2 = 0
+                    AS keep
+      FROM rn{r}),
+    dr{r} AS (
+      SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos), FALSE)
+                    AS consumed
+      FROM kp{r}),
+    s{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN keep THEN ba || regexp_replace(bb, '^##', '') ELSE sym END
+                 AS sym
+      FROM dr{r} WHERE NOT consumed)""")
+    return parts
+
+
+def _sql_t26(n_merges: int = _T26_MERGES) -> str:
+    """t26's oracle: the SAME ``n_merges`` WordPiece training rounds
+    unrolled as CTEs (t15's discipline — depth is a parameter and tests
+    pin a second, deeper N). Differences from the BPE chain: symbols
+    carry the '##' continuation prefix from initialization, the winner
+    is argmax of the nano-scaled integer likelihood ratio
+    (f*SCALE) div (sf(a)*sf(b)) instead of raw pair frequency, and the
+    merged symbol strips the right piece's '##'."""
+    parts = _sql_t26_parts(n_merges)
+    finals = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, a AS merge_left, b AS merge_right, "
+        f"CAST(f AS BIGINT) AS pair_freq, score AS score_nano FROM best{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+def _sql_t27(n_merges: int = _T26_MERGES) -> str:
+    """t27's oracle: t26's unrolled training chain, then the learned
+    vocabulary (s0 alphabet + each round's merged product), the
+    longest-match edge per (word, position), and a RECURSIVE greedy
+    walk — linear because each position has at most one (max-length)
+    edge; a word whose walk never reaches its end is [UNK]."""
+    parts = _sql_t26_parts(n_merges)
+    vocab_union = "\n      UNION\n      ".join(
+        f"SELECT a || regexp_replace(b, '^##', '') AS piece FROM best{r}"
+        for r in range(n_merges)
+    )
+    tail = f"""vocab AS (
+      SELECT DISTINCT sym AS piece FROM s0
+      UNION
+      {vocab_union}),
+    pos_l AS (
+      SELECT w.word, t1.i, t2.l,
+             CASE WHEN t1.i = 0 THEN substr(w.word, 1, CAST(t2.l AS INT))
+                  ELSE '##' || substr(w.word, CAST(t1.i AS INT) + 1, CAST(t2.l AS INT))
+                  END AS form
+      FROM wc w,
+           UNNEST(range(0, len(w.word))) AS t1(i),
+           UNNEST(range(1, len(w.word) + 1)) AS t2(l)
+      WHERE t1.i + t2.l <= len(w.word)),
+    edge AS (
+      SELECT word, i, MAX(l) AS l
+      FROM pos_l p JOIN vocab v ON p.form = v.piece
+      GROUP BY word, i),
+    walk AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS n FROM wc
+      UNION ALL
+      SELECT w.word, w.pos + e.l, w.n + 1
+      FROM walk w JOIN edge e ON e.word = w.word AND e.i = w.pos),
+    done AS (
+      SELECT word, n AS n_pieces FROM walk WHERE pos = len(word)),
+    perword AS (
+      SELECT w.word,
+             COALESCE(d.n_pieces, 1) AS n_tok,
+             CASE WHEN d.word IS NULL THEN 1 ELSE 0 END AS unk
+      FROM wc w LEFT JOIN done d USING (word)),
+    corpus AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents)
+    SELECT c.doc_id,
+           COUNT(*) AS n_pretokens,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(p.unk) AS BIGINT) AS n_unk_words
+    FROM corpus c JOIN perword p USING (word)
+    GROUP BY c.doc_id"""
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + ",\n    " + tail
+
+
+def _wp_words(docs: DataFrame) -> DataFrame:
+    """(word, freq) — t22's vocabulary-bounded word table (whitespace
+    tokens, length-capped): the object every WordPiece stage runs on."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where((F.length("word") >= 1) & (F.length("word") <= _T22_MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _wp_train(
+    docs: DataFrame, n_merges: int = _T26_MERGES
+) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+    """The t26 WordPiece training loop (t15's run-parity machinery with
+    the likelihood-ratio winner and '##' continuation symbols).
+
+    Returns (per-round merge rows, the INITIAL symbol table s0 — t27's
+    alphabet —, and the final symbol sequences)."""
+    wc = _wp_words(docs)
+    init_sym = (
+        "transform(sequence(1, length(word)), i -> "
+        "CASE WHEN i = 1 THEN substring(word, 1, 1) "
+        "ELSE concat('##', substring(word, i, 1)) END)"
+    )
+    s0 = wc.select(
+        "word", "freq", F.posexplode(F.expr(init_sym)).alias("pos", "sym")
+    ).localCheckpoint()
+    seq = s0
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for r in range(n_merges):
+        pc = (
+            seq.withColumn("b", F.lead("sym").over(w_word))
+            .where(F.col("b").isNotNull())
+            .groupBy(F.col("sym").alias("a"), "b")
+            .agg(F.sum("freq").alias("f"))
+        )
+        scnt = seq.groupBy("sym").agg(F.sum("freq").alias("sf"))
+        best = (
+            pc.join(
+                scnt.select(F.col("sym").alias("a"), F.col("sf").alias("sfa")), "a"
+            )
+            .join(
+                scnt.select(F.col("sym").alias("b"), F.col("sf").alias("sfb")), "b"
+            )
+            .withColumn(
+                "score", F.expr(f"(f * {_T26_SCALE}) div (sfa * sfb)").cast("bigint")
+            )
+            .orderBy(F.desc("score"), "a", "b")
+            .limit(1)
+            .select(F.col("a").alias("ba"), F.col("b").alias("bb"), "f", "score")
+            .localCheckpoint()  # 0-or-1 row, read twice (merge + output)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).alias("merge_rank"),
+                F.col("ba").alias("merge_left"),
+                F.col("bb").alias("merge_right"),
+                F.col("f").cast("bigint").alias("pair_freq"),
+                F.col("score").alias("score_nano"),
+            )
+        )
+        dr = (
+            seq.join(best.select("ba", "bb"), F.lit(True), "left")
+            .withColumn("nxt", F.lead("sym").over(w_word))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
+                    F.lit(False),
+                ),
+            )
+            .withColumn("rn", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w_word))
+            .withColumn("grp", F.col("pos") - F.col("rn"))
+            .withColumn(
+                "minrn", F.min("rn").over(Window.partitionBy("word", "m", "grp"))
+            )
+            .withColumn("keep", F.col("m") & (((F.col("rn") - F.col("minrn")) % 2) == 0))
+            .withColumn("consumed", F.coalesce(F.lag("keep").over(w_word), F.lit(False)))
+        )
+        seq = (
+            dr.where(~F.col("consumed"))
+            .select(
+                "word",
+                "freq",
+                (F.row_number().over(w_word) - 1).alias("pos"),
+                F.when(
+                    F.col("keep"),
+                    F.concat("ba", F.regexp_replace("bb", "^##", "")),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    return merges, s0, seq
+
+
+@register(
+    "t26_wordpiece_train",
+    _sql_t26(),
+    tags=("text", "tokenize", "wordpiece", "iterative"),
+    doc="WordPiece TRAINING (Schuster & Nakajima 2012; BERT's tokenizer) "
+    f"— {_T26_MERGES} iterative merge rounds over the corpus's distinct "
+    "words, returning the learned merge table. Differs from BPE (t15) "
+    "in exactly the two places WordPiece differs: symbols carry the "
+    "'##' continuation prefix from initialization (so the learned "
+    "vocab distinguishes word-initial from word-internal pieces), and "
+    "the winner is argmax of the LIKELIHOOD RATIO count(ab) / "
+    "(count(a)*count(b)) — nano-scaled integer division, bit-identical "
+    "cross-engine; tie-break (score DESC, pair lexicographic) — "
+    "instead of raw pair frequency. The greedy left-to-right merge "
+    "reuses t15's run-parity machinery with the merged symbol "
+    "stripping the right piece's '##'. Scale: corpus-sized work is ONE "
+    "tokenize+groupBy; every round then runs on DISTINCT words "
+    "(vocabulary-bounded, the production-trainer shape), each round = "
+    "two hash aggs (pairs, symbol masses) + a 1-row argmax broadcast "
+    "back, lineage cut per round with localCheckpoint (d8 discipline). "
+    "The oracle unrolls identical rounds as CTEs; tests pin a deeper "
+    "N=12 chain and a property test vs a pure-python replay.",
+)
+def t26_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _s0, _seq = _wp_train(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _wp_encode_word(word: str, vocab: frozenset) -> int | None:
+    """Greedy longest-match-first WordPiece encode (BERT's MaxMatch):
+    at each position take the LONGEST vocab piece ('##'-prefixed past
+    position 0); no match anywhere → the whole word is [UNK] (None)."""
+    pos, n, length = 0, 0, len(word)
+    while pos < length:
+        for piece_len in range(length - pos, 0, -1):
+            form = (
+                word[pos : pos + piece_len]
+                if pos == 0
+                else "##" + word[pos : pos + piece_len]
+            )
+            if form in vocab:
+                pos += piece_len
+                n += 1
+                break
+        else:
+            return None
+    return n
+
+
+def wp_encode_words(words: DataFrame, vocab: frozenset) -> DataFrame:
+    """(word, n_tok, unk) over the distinct-word table — the vocabulary
+    rides into the Arrow tasks as a closure (t22/t23's bounded-broadcast
+    discipline); [UNK] words count 1 token."""
+    import pandas as pd
+
+    def batches(pdfs):
+        for pdf in pdfs:
+            out_w, out_n, out_u = [], [], []
+            for w in pdf["word"]:
+                n = _wp_encode_word(w, vocab)
+                out_w.append(w)
+                out_n.append(1 if n is None else n)
+                out_u.append(1 if n is None else 0)
+            yield pd.DataFrame({"word": out_w, "n_tok": out_n, "unk": out_u})
+
+    return words.select("word").mapInPandas(
+        batches, schema="word string, n_tok long, unk long"
+    )
+
+
+def _wp_vocab(docs: DataFrame, n_merges: int = _T26_MERGES) -> frozenset:
+    """The learned WordPiece vocabulary: the s0 alphabet (every initial
+    and '##'-continuation character symbol) plus each round's merged
+    product. Bounded collects only (|charset|·2 + n_merges rows)."""
+    merges, s0, _seq = _wp_train(docs, n_merges)
+    vocab = {r.sym for r in s0.select("sym").distinct().collect()}
+    for m in merges:
+        for r in m.collect():  # 0-or-1 row per round
+            right = r.merge_right
+            if right.startswith("##"):
+                right = right[2:]
+            vocab.add(r.merge_left + right)
+    return frozenset(vocab)
+
+
+@register(
+    "t27_wordpiece_encode",
+    _sql_t27(),
+    tags=("text", "tokenize", "wordpiece", "encode"),
+    doc="WordPiece ENCODE over the t26-trained vocabulary: greedy "
+    "longest-match-first (BERT's MaxMatch) with '##' continuation "
+    "pieces — a word with an unmatchable position becomes one [UNK] "
+    "token (counted, and surfaced per doc). Per-doc output: pretokens "
+    "within the t22 length cap, WordPiece token count, [UNK] count. "
+    "Scale: training + encoding run on DISTINCT words (the t15/t22 "
+    "vocabulary-bounded discipline); the learned vocab (alphabet + one "
+    "product per merge round) rides into the Arrow encode stage as a "
+    "closure; the corpus-sized stages are ONE tokenize+groupBy and the "
+    "per-doc word join + hash agg. Oracle: the same greedy walk as a "
+    "recursive CTE over precomputed longest-match edges — linear, "
+    "since each (word, position) has at most one max-length edge; "
+    "tests/test_r10_ops.py pins the encode against a pure-python "
+    "replay and an [UNK]-forcing crafted vocab.",
+)
+def t27_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _wp_vocab(docs)
+    perword = wp_encode_words(_wp_words(docs), vocab)
+    corpus = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        corpus.join(perword, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum("n_tok").cast("bigint").alias("n_wp_tokens"),
+            F.sum("unk").cast("bigint").alias("n_unk_words"),
+        )
+    )

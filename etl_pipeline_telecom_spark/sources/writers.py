@@ -321,3 +321,54 @@ def stage_zorder_events(spark, sf_dir: str, *, layout: str) -> str:
         .parquet(work)
     )
     return _publish_stage(work, out_dir)
+
+
+def compact_bucketed_layout(
+    spark, sf_dir: str, n_buckets: int = 16, n_bins: int = 4
+) -> str:
+    """EXECUTE a small-file compaction (the lakehouse OPTIMIZE step p7
+    only plans): bin-pack the ``n_buckets``-file staged layout into
+    ``n_bins`` compacted files and rewrite each bin with ONE task.
+
+    Binning is m5's next-fit in deterministic hash order: buckets line
+    up by id (already md5-derived), a bucket joins the bin its
+    running-row START falls in (budget = ceil(total / n_bins); a
+    straddling bucket stays where it starts). The 16-row plan is a
+    bounded driver collect (vocab/centroid discipline); the REWRITE is
+    scan → coalesce(1) → write per bin — coalesce only narrows, so
+    payload rows NEVER shuffle (asserted at plan level in
+    tests/test_r10_ops.py). Cached by source (size, mtime_ns); atomic
+    rename publish.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = stage_bucketed_events(spark, sf_dir, n_buckets)
+    out_dir = (
+        f"/tmp/spark_graft_p10_compact_{_stage_key(src, f'p10:{n_buckets}:{n_bins}')}"
+    )
+    _sweep_stale_stage_work("/tmp/spark_graft_p10_compact_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    per = (
+        spark.read.parquet(staged)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+        .collect()  # n_buckets rows — metadata-scale, never corpus rows
+    )
+    total = sum(r.n for r in per)
+    budget = -(-total // n_bins)  # ceil
+    cum = 0
+    bins: dict[int, list[int]] = {}
+    for r in per:
+        bins.setdefault(cum // budget, []).append(int(r.bucket))
+        cum += int(r.n)
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    for bin_id, buckets in sorted(bins.items()):
+        paths = [os.path.join(staged, f"bucket={k}") for k in buckets]
+        member = spark.read.option("basePath", staged).parquet(*paths)
+        member.coalesce(1).write.parquet(os.path.join(work, f"bin={bin_id}"))
+    return _publish_stage(work, out_dir)
