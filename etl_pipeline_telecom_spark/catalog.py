@@ -279,37 +279,47 @@ def _load_all_plans() -> None:
 # GUARANTEE (VERDICT r8 item 7), not dated comments alone. Policy file:
 # window_history.json (same package dir) records, for every catalog
 # query, the last round whose driver window included it (reconstructed
-# from the git history of this tuple, r2-r8), plus the guarantee
+# from the git history of this tuple, r2-r9), plus the guarantee
 # parameters: ROTATION_K = 5 — every query receives a driver verdict at
 # least every 5 rounds (50 slots × 5 rounds = 250 ≥ catalog size with
 # churn headroom) — enforced by tests/test_catalog_meta.py from round 12
 # onward; rounds 9-11 are the recorded catch-up schedule that drains the
-# pre-policy backlog (55 queries were ≥5 rounds stale entering r9; the
-# backlog map must shrink every round and the test asserts it).
+# pre-policy backlog (55 ≥5-rounds-stale entering r9 → 46 after r9 →
+# 33 after this round's window; the backlog map must shrink every round
+# and the test asserts it). The r11→r12 path: r11's fill drains the
+# stalest ~42 of the remaining lw≤6 cohort, r12's own window (the
+# staleness check runs AFTER its stamping) absorbs the last lw≤6
+# stragglers plus the lw=7 cohort — both within 50 slots.
 # Window construction rule, also asserted: new/changed queries first
 # (plan-manifest drift + oracle-text changes), then the least-recently-
 # windowed remainder, oldest cohort first — no slot is spent on an
 # unchanged query that has a fresher verdict than any excluded one
 # except through the drift cohort.
 #
-# Round 9 rotations: IN — d18_substring_dedup, m6_perceptual_neardup,
-# p8_zorder_layout, st12_stream_stream_outer_join, t22_unigram_em,
-# v12_ivf_sq8_recall (all new), the full st cohort (streaming source
-# hash changed: st11 state schema + in-order guard), p6 (oracle text
-# changed), and 32 stalest r2-cohort queries. OUT — everything r8-green
-# with unchanged plans (g2/g2b, BPE family, the mid-r8 additions, the
-# canary trio — canaries are superseded by the rotation guarantee).
+# Round 10 rotations: IN — the 7 new ops (t25/t26/t27/m9/v14/p10/sm9),
+# the full st cohort (streaming-module source hash changed: st13's
+# timeout fix in jobs.py), m6 (oracle bands CTE corrected to 4×32-bit —
+# ADVICE r9 — so its oracle TEXT changed), and the 29 stalest fills
+# (the whole r2-holdover cohort plus the two oldest lw=3 entries).
+# OUT — everything r8/r9-green with unchanged plans and oracles
+# (m7/m8: the arrow_stage_repartitioned refactor is plan-neutral at
+# identical partition counts; v13: the _pq_* helper extraction is
+# plan-neutral and its oracle SQL is byte-identical by construction).
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the 6 new r9 operators, the
-    # full st* cohort (streaming-module source hash changed: st11 state
-    # schema + in-order guard, st12 joined jobs.py), and p6 (oracle text
-    # changed to the LEAST(16, n) shard pin)
-    "d18_substring_dedup",
-    "m6_perceptual_neardup",
-    "p8_zorder_layout",
+    # --- drift cohort (MUST re-verdict): 7 new r10 operators, the full
+    # st* cohort (streaming source hash: st13 timeout fix), and m6
+    # (oracle text changed: bands CTE now mirrors _M6_BAND_W=32)
+    "t25_langid_train",
+    "t26_wordpiece_train",
+    "t27_wordpiece_encode",
+    "m9_image_text_score",
+    "v14_ivf_pq_recall",
+    "p10_compaction_exec",
+    "sm9_epoch_mix_schedule",
     "st10_stream_cdc_apply",
     "st11_stream_throttle",
     "st12_stream_stream_outer_join",
+    "st13_exactly_once_sink",
     "st1_stream_tumbling",
     "st2_stream_dedup",
     "st3_stream_sessionize",
@@ -319,56 +329,39 @@ DRIVER_WINDOW = (
     "st7_stream_bloom_refresh",
     "st8_stream_centroid_drift",
     "st9_stream_drift_monitor",
-    "t22_unigram_em",
-    "v12_ivf_sq8_recall",
-    "p6_range_sharded_export",
-    # d19/d20/a25/v13/m8 joined mid-round (new — never-verified rule);
-    # they displace the five alphabetically-last r2-stale fill slots
-    # (j7, j5, j4, j3, j1) back to the r10 fill
-    "d19_url_dedup",
-    "d20_domain_blocklist",
-    "a25_kmv_theta_setops",
-    "v13_pq_adc_refine",
-    "m8_shot_boundaries",
-    # t24 joined with the same batch; displaces f9_dict_encode
-    "t24_bigram_surprisal",
-    # p9/st13 joined late in the batch; they displace f6_f8_flags and
-    # f5_segment3 (same r2-stale cohort, name-ordered from the end)
-    "p9_bloom_file_index",
-    "st13_exactly_once_sink",
+    "m6_perceptual_neardup",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 32 least-recently-windowed queries, oldest cohort first,
-    # name-ordered — all last driver-verdicted in r2's full-catalog pass
-    "a10_histogram",
-    "a12_domain",
-    "a13_median",
-    "a1_count",
-    "a2_distinct_count",
-    "a3_global_rate",
-    "a5_value_counts",
-    "a6_pct_of_total",
-    "a7_pivot_counts",
-    "a9_group_rate_sorted",
-    "d2_dedup_stats",
-    "d3_minhash_signatures",
-    "d4_lsh_candidates",
-    "d7_ngram_jaccard_pairs",
-    "e2_sliding_window",
-    "f10_to_flag",
-    "f11_f12_round_cast",
-    "f1_coerce_numeric",
-    "f2_median_fill",
-    "f3_const_fill",
-    "f4_bucketize",
-    # m7/t23 joined mid-round (new — never-verified rule); they displace
-    # r1_unpivot_measures and s1_union_distinct back to the r10 fill
-    "m7_audio_features",
-    "t23_unigram_encode",
-    # t11 joined mid-round: its bigram stage was rewritten from an inline
-    # explode(transform(...)) to the window-lead form (plan drift → must
-    # re-verdict); displaces s2_union_all_counts back to the r10 fill
-    # (same r2-stale cohort — backlog count unchanged)
-    "t11_bigram_topk",
+    # the 29 least-recently-windowed queries — the full 27-query r2
+    # holdover cohort, then the two oldest lw=3 entries, name-ordered
+    "f5_segment3",
+    "f6_f8_flags",
+    "f9_dict_encode",
+    "j1_broadcast_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "j5_left_join_agg",
+    "j7_salted_join",
+    "r1_unpivot_measures",
+    "s1_union_distinct",
+    "s2_union_all_counts",
+    "s3_intersect",
+    "s4_except",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_top_words_per_lang",
+    "w1_rank_topk_per_group",
+    "w2_lag_delta",
+    "w3_running_sum",
+    "w4_dense_rank",
+    "w5_rollup",
+    "w6_cube",
+    "w7_grouping_sets",
+    "w8_pct_rank_cume",
+    "x2_event_type_map",
+    "d6_simhash",
+    "e5_band_range_join",
 )
 
 

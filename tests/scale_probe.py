@@ -258,6 +258,26 @@ PROBES += [
     "p9_bloom_file_index",
 ]
 
+# r10 batch: trained char-bigram langid (one char-explode + two hash
+# aggs + broadcast model join), image-text scoring (fanout=1 Arrow
+# decode + doc_id equi-join + 1-row threshold), IVF×PQ ANN (probed-cell
+# ADC only, broadcast LUT/shortlist), compaction EXECUTION (driver-
+# bounded packing plan + per-bin coalesce(1) rewrites — the probe
+# proves payload rows never shuffle), WordPiece train (vocab-bounded
+# loop, t15's cost curve) + encode (greedy Arrow stage on distinct
+# words + corpus join), and the epoch mix schedule (one corpus agg,
+# then 20-row arithmetic). sm9 probes the metadata-only claim: its
+# ratio should track the single agg, not the schedule math.
+PROBES += [
+    "t25_langid_train",
+    "m9_image_text_score",
+    "v14_ivf_pq_recall",
+    "p10_compaction_exec",
+    "t26_wordpiece_train",
+    "t27_wordpiece_encode",
+    "sm9_epoch_mix_schedule",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -180,6 +180,17 @@ _BNLJ_ALLOWED = {
                          # set × 16-row per-file bloom-size table, plus
                          # the 1-row n_files scalar — all post-agg
                          # bounded sides (e6/a16 pattern)
+    "sm9_epoch_mix_schedule",  # 4-row epoch dim × 5-row per-lang agg +
+                         # the 1-row total-tokens scalar — every crossed
+                         # side aggregated/bounded (e6 pattern); nothing
+                         # corpus-sized ever meets a BNLJ
+    "m9_image_text_score",  # 1-row corpus-mean-threshold scalar crossed
+                         # onto the per-doc score table (t24's
+                         # data-derived-threshold broadcast pattern)
+    "v14_ivf_pq_recall",  # composes v7's k-row centroid broadcast with
+                         # v13's guarded Q=10 LUT side and v9's exact
+                         # ground-truth pass — every BNLJ side bounded
+                         # (same adjudication as v12)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -199,6 +210,14 @@ _GUARDED = [
     "t11_bigram_topk", "a25_kmv_theta_setops", "t24_bigram_surprisal",
     "d19_url_dedup", "d20_domain_blocklist", "v13_pq_adc_refine",
     "p9_bloom_file_index",
+    # r10 additions: the langid model join must stay a broadcast equi-
+    # join, the WordPiece loops' only non-equi joins are 1-row argmax
+    # broadcasts (clean in the executed plan), p10's audit is pure
+    # equi-joins over metadata-scale frames, and sm9/m9/v14 carry their
+    # justified bounded BNLJs above
+    "t25_langid_train", "t26_wordpiece_train", "t27_wordpiece_encode",
+    "p10_compaction_exec", "sm9_epoch_mix_schedule", "m9_image_text_score",
+    "v14_ivf_pq_recall",
 ]
 
 
