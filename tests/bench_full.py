@@ -57,6 +57,13 @@ def main() -> int:
             spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drain the WARM runs' stages so they are never attributed to
+        # the NEXT query's delta. Without this (r9's artifact), each
+        # query's metrics were cold(self) + 2×warm(previous) — i.e.
+        # ORDER-SENSITIVE: the r10 catalog reordering moved dozens of
+        # byte/record channels with ZERO plan drift, which is exactly
+        # the false signal the channel exists to rule out.
+        tracker.delta()
         m = metrics[name]
         print(
             f"{name:32s} {best:7.3f}s  sw={m['shuffle_write_bytes']/1e6:8.2f}MB "

@@ -113,3 +113,26 @@ def test_bench_diff_no_prev_metrics(tmp_path):
     d = diff(prev, cur)
     assert not d["prev_has_metrics"]
     assert "PLAN_MANIFEST" in d["wall_only_moved"]["q"]["verdict"]
+
+
+def test_tracker_drain_keeps_warm_runs_out_of_next_query(spark):
+    """The bench_full loop discipline (r10 fix): a query's warm re-runs
+    must be DRAINED before the next query's delta, or each query's
+    metrics become cold(self) + warm(previous) — order-sensitive, the
+    exact false signal the channel exists to rule out."""
+    tracker = StageMetricsTracker(spark)
+    tracker.delta()
+
+    n1, n2 = 40_000, 70_000
+    # query 1: cold + metrics, then two warm runs, then DRAIN
+    spark.range(n1).selectExpr("id % 5 as k").groupBy("k").count().count()
+    m1 = tracker.delta()
+    assert m1["rows_read"] == n1
+    for _ in range(2):
+        spark.range(n1).selectExpr("id % 5 as k").groupBy("k").count().count()
+    tracker.delta()  # drain — warm stages belong to query 1
+
+    # query 2's delta must now contain ONLY its own cold pass
+    spark.range(n2).selectExpr("id % 5 as k").groupBy("k").count().count()
+    m2 = tracker.delta()
+    assert m2["rows_read"] == n2, m2
