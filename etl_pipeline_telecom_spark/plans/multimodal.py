@@ -741,7 +741,7 @@ _M9_DIMS = 8  # shared feature space: 8 grid-row sums vs 8 hashed BoW buckets
                CAST((dot * 1000000) // (n_img * n_tok) AS BIGINT) AS score_micro,
                ((dot * 1000000) // (n_img * n_tok)) > thr AS matched
         FROM sc, m""",
-    tags=("multimodal", "cross-modal", "scoring", "filter"),
+    tags=("multimodal", "cross-modal", "scoring", "filter", "headline"),
     doc="Image-text pair scoring — the LAION/CLIP-filter shape with the "
     "real Spark plumbing and a deterministic stand-in scorer: the image "
     "side embeds each doc's decoded BMP grid (the m6 codec round-trip, "

@@ -1125,7 +1125,7 @@ _P10_BINS = 4
               CAST(1 AS BIGINT) AS n_out_files_bin,
               TRUE AS conserved
        FROM r""",
-    tags=("layout", "compaction", "sink", "metadata"),
+    tags=("layout", "compaction", "sink", "metadata", "headline"),
     doc="Small-file compaction EXECUTED and audited — the lakehouse "
     f"OPTIMIZE step: the {_P10_BUCKETS}-file md5-bucketed staging "
     f"(sources/writers.stage_bucketed_events) is bin-packed into "

@@ -1321,7 +1321,7 @@ _SQL_V14 = f"""WITH {_SQL_V7_CTES},
 @register(
     "v14_ivf_pq_recall",
     _SQL_V14,
-    tags=("similarity", "knn", "ivf", "quantization", "pq", "evaluation"),
+    tags=("similarity", "knn", "ivf", "quantization", "pq", "evaluation", "headline"),
     doc="IVF × PQ COMPOSED — completes the composition matrix (v12 proved "
     "IVF×SQ8; production FAISS serves IndexIVFPQ): v7's nprobe=2 "
     "centroid probing bounds the candidate set to the probed cells, "

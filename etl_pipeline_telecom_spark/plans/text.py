@@ -1973,7 +1973,7 @@ _SQL_T25 = f"""WITH norm AS MATERIALIZED (
 @register(
     "t25_langid_train",
     _SQL_T25,
-    tags=("text", "langid", "classifier", "train-eval"),
+    tags=("text", "langid", "classifier", "train-eval", "headline"),
     doc="TRAINED character-bigram language identifier (the fastText/CCNet "
     "front gate, reduced to its deterministic core): docs hash-split "
     "8:2 (doc_id %% 10 — restartable, no rand()), per-language bigram "
