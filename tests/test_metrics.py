@@ -136,3 +136,44 @@ def test_tracker_drain_keeps_warm_runs_out_of_next_query(spark):
     spark.range(n2).selectExpr("id % 5 as k").groupBy("k").count().count()
     m2 = tracker.delta()
     assert m2["rows_read"] == n2, m2
+
+
+def test_bench_stdout_line_fits_recorder_window():
+    """r10: the driver records only the LAST 2000 chars of bench.py stdout
+    and r9's non-JSON tail prefix alone measured ~120 chars — the 69-query
+    r10 line hit 1980 chars after the first two shedding stages and would
+    have truncated from the front (the exact BENCH_r05 failure). Pin the
+    third stage: shortest-unique-prefix query keys keep the line far under
+    the window at worst-case digit widths, keys stay collision-free over
+    the whole catalog, and the one known collision pair (d12_*) resolves
+    at two segments."""
+    import bench
+    from etl_pipeline_telecom_spark import catalog
+
+    names = list(catalog.specs())
+    short = bench._short_keys(names)
+    assert len(set(short.values())) == len(names)  # injective
+    assert short["a4_group_avg"] == "a4"
+    assert short["d12_persisted_lsh_probe"] == "d12_persisted"
+    assert short["d12_index_build"] == "d12_index"
+
+    # worst case: every headline query at a 6-char 2dp value ("999.99")
+    bench_set = [
+        n for n in bench.HEADLINE if n in names
+    ] + [n for n, s in catalog.specs().items() if "headline" in s.tags and n not in bench.HEADLINE]
+    compact = {
+        "metric": f"headline_queries_total_wall_warm_min5_{len(bench_set)}q",
+        "value": 9999.999,
+        "unit": "sec",
+        "n_queries": len(bench_set),
+        "value_20q_r3_compat": 9999.999,
+        "queries": {short[n]: 999.99 for n in bench_set},
+        "sf": 0.1,
+        "shuffle_mb": 99999.9,
+        "rows_read_m": 99999.99,
+        "std_in_side_file": 1,
+        "q_2dp": 1,
+        "q_keys": "uniq_prefix",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1800, (len(line), "headline set grew past the window again")
