@@ -523,3 +523,77 @@ def test_t27_encode_words_matches_python(spark):
 
 def test_t27_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "t27_wordpiece_encode")
+
+
+# ---------------------------------------------------------------------------
+# m6 ADVICE closure: the REGISTERED oracle's LSH banding must stay
+# arithmetically identical to the engine's Horner band keys over ALL 128
+# dHash bits — the r9 oracle silently banded only bits 0-63 and the
+# end-to-end hash gate never noticed (ADVICE r9, medium).
+# ---------------------------------------------------------------------------
+
+
+def test_m6_registered_oracle_bands_match_engine_horner(spark):
+    """Three-way band-key equivalence on crafted vectors, including ones
+    that differ ONLY in bits 64-127 (the region the stale r9 oracle
+    ignored): (1) the bands expression EXTRACTED from the registered
+    oracle SQL, run in DuckDB; (2) the engine's Horner fold as a Spark
+    Column on the same literal bits; (3) an independent python
+    sum(bit<<j). Any regression of the oracle's band width / bit
+    indexing away from _M6_BAND_W turns this red directly, without
+    needing a fixture pair that happens to discriminate."""
+    import re
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.multimodal import _M6_BAND_W
+
+    sql = catalog.oracle_sql()["m6_perceptual_neardup"]
+    m = re.search(
+        r"list_transform\(range\(0,\s*4\),\s*b\s*->\s*\{'band':\s*b,\s*"
+        r"'key':[^}]+\}\)",
+        sql,
+        re.S,
+    )
+    assert m, "bands expression not found in registered m6 oracle SQL"
+    bands_expr = m.group(0)
+    # the expression must cover all 4 bands of width _M6_BAND_W
+    assert f"range(0, {_M6_BAND_W})" in bands_expr, bands_expr
+    assert f"bits[b * {_M6_BAND_W} + j + 1]" in bands_expr, bands_expr
+
+    vectors = [
+        [0] * 64 + [1] * 64,              # differs from zeros ONLY in high bits
+        [1] * 64 + [0] * 64,
+        [(i * 7 + 3) % 2 for i in range(128)],
+        [0] * 127 + [1],                  # the single highest bit
+        [1] + [0] * 127,
+        [int(i >= 96) for i in range(128)],  # only band 3 set
+    ]
+    for bits in vectors:
+        expected = [
+            sum(bits[b * _M6_BAND_W + j] << j for j in range(_M6_BAND_W))
+            for b in range(4)
+        ]
+        # (1) registered-oracle arithmetic in DuckDB
+        got_duck = [
+            r[1]
+            for r in duckdb.sql(
+                f"SELECT band, key FROM (SELECT unnest({bands_expr}, "
+                f"recursive := true) FROM (SELECT {bits}::BIGINT[] AS bits)) "
+                f"ORDER BY band"
+            ).fetchall()
+        ]
+        # (2) engine Horner fold on the same literal
+        horner = F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda b: F.aggregate(
+                F.sequence(F.lit(_M6_BAND_W - 1), F.lit(0), F.lit(-1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, jj: acc * 2
+                + F.element_at(F.lit(bits), (b * _M6_BAND_W + jj + 1).cast("int")),
+            ).cast("bigint"),
+        )
+        got_spark = spark.range(1).select(horner.alias("k")).collect()[0].k
+        assert got_duck == expected, (bits, got_duck, expected)
+        assert list(got_spark) == expected, (bits, got_spark, expected)
