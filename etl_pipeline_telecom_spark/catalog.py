@@ -296,72 +296,74 @@ def _load_all_plans() -> None:
 # unchanged query that has a fresher verdict than any excluded one
 # except through the drift cohort.
 #
-# Round 10 rotations: IN — the 7 new ops (t25/t26/t27/m9/v14/p10/sm9),
-# the full st cohort (streaming-module source hash changed: st13's
-# timeout fix in jobs.py), m6 (oracle bands CTE corrected to 4×32-bit —
-# ADVICE r9 — so its oracle TEXT changed), and the 29 stalest fills
-# (the whole r2-holdover cohort plus the two oldest lw=3 entries).
-# OUT — everything r8/r9-green with unchanged plans and oracles
-# (m7/m8: the arrow_stage_repartitioned refactor is plan-neutral at
-# identical partition counts; v13: the _pq_* helper extraction is
-# plan-neutral and its oracle SQL is byte-identical by construction).
+# Round 11 rotations (the r10-verdict drain tranche — the hard
+# obligation before enforcement starts at r12): IN — the 5 new ops
+# (t28/d21/sm10/p11/m10) and the 45 stalest fills: the ENTIRE lw=3/4/5
+# cohorts (5+12+16) plus the first 12 of the 27-query lw=6 cohort,
+# name-ordered. OUT — everything r7+-green with unchanged plans and
+# oracles, including the full r10 window (the 7 r10 ops, the st cohort
+# — no streaming-module source change this round — and m6). The 15
+# lw=6 stragglers left behind (p2/p3/pipe2/sm5/sm6/t12/t14/t16/t9/
+# v1-v6 tail) drain in r12's own window together with the 13 lw=7
+# entries — 28 of its 50 slots, inside budget.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): 7 new r10 operators, the full
-    # st* cohort (streaming source hash: st13 timeout fix), and m6
-    # (oracle text changed: bands CTE now mirrors _M6_BAND_W=32)
-    "t25_langid_train",
-    "t26_wordpiece_train",
-    "t27_wordpiece_encode",
-    "m9_image_text_score",
-    "v14_ivf_pq_recall",
-    "p10_compaction_exec",
-    "sm9_epoch_mix_schedule",
-    "st10_stream_cdc_apply",
-    "st11_stream_throttle",
-    "st12_stream_stream_outer_join",
-    "st13_exactly_once_sink",
-    "st1_stream_tumbling",
-    "st2_stream_dedup",
-    "st3_stream_sessionize",
-    "st4_stream_stream_join",
-    "st5_stream_static_join",
-    "st6_stream_maintained_rollup",
-    "st7_stream_bloom_refresh",
-    "st8_stream_centroid_drift",
-    "st9_stream_drift_monitor",
-    "m6_perceptual_neardup",
+    # --- drift cohort (MUST re-verdict): the 5 new r11 operators
+    "t28_quality_classifier",
+    "d21_semantic_dedup",
+    "sm10_dupaware_weights",
+    "p11_incremental_compact",
+    "m10_image_meta_gate",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 29 least-recently-windowed queries — the full 27-query r2
-    # holdover cohort, then the two oldest lw=3 entries, name-ordered
-    "f5_segment3",
-    "f6_f8_flags",
-    "f9_dict_encode",
-    "j1_broadcast_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_left_join_agg",
-    "j7_salted_join",
-    "r1_unpivot_measures",
-    "s1_union_distinct",
-    "s2_union_all_counts",
-    "s3_intersect",
-    "s4_except",
-    "t1_token_stats",
-    "t2_quality_score",
-    "t3_langid",
-    "t4_fingerprint",
-    "t5_top_words_per_lang",
-    "w1_rank_topk_per_group",
-    "w2_lag_delta",
-    "w3_running_sum",
-    "w4_dense_rank",
-    "w5_rollup",
-    "w6_cube",
-    "w7_grouping_sets",
-    "w8_pct_rank_cume",
-    "x2_event_type_map",
-    "d6_simhash",
-    "e5_band_range_join",
+    # the 45 least-recently-windowed queries, oldest cohort first —
+    # lw=3 (all 5)
+    "m2_frame_sample",
+    "p1_projection_ops",
+    "r2_orders_by_month",
+    "sm2_stratified_sample",
+    "u1_pandas_udf_score",
+    # lw=4 (all 12)
+    "a11_null_counts",
+    "a8_pivot_rate",
+    "d11_incremental_dedup",
+    "dq2_orders_checks",
+    "g1_grouped_median",
+    "m3_media_type_stats",
+    "pipe1_corpus_clean",
+    "sm1_hash_sample",
+    "t6_repetition_stats",
+    "t7_doc_chunks",
+    "t8_chunk_dedup",
+    "x1_json_extract",
+    # lw=5 (all 16)
+    "a14_approx_distinct",
+    "a15_percentile_approx",
+    "a16_freq_items",
+    "a17_grouped_percentiles",
+    "a18_exact_corr",
+    "a19_grouped_regression",
+    "d14_fuzzy_name_pairs",
+    "dq3_outlier_bands",
+    "e6_gap_fill",
+    "e7_cohort_retention",
+    "e9_windowed_funnel",
+    "j6_star_join",
+    "sm3_split_assign",
+    "sm4_weighted_sample",
+    "t10_bpe_pretokenize",
+    "w9_ntile_buckets",
+    # lw=6 (first 12 of 27, name-ordered)
+    "a20_hll_union",
+    "d15_fuzzy_indel_pairs",
+    "dq1_lineitem_checks",
+    "e10_time_weighted_avg",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "e3b_session_window_skewfree",
+    "e4_asof_join",
+    "e8_funnel_steps",
+    "j8_temporal_snapshot_join",
+    "m1_media_features",
+    "m4_media_exact_dedup",
 )
 
 

@@ -34,6 +34,14 @@ Caveats, by design:
   executed (cold = build + probe; warm = probe only). Bench captures the
   COLD pass, i.e. fresh-session semantics.
 - SKIPPED stages (shuffle reuse) report zeros — correct: nothing ran.
+- ``stage_id_gaps`` can FALSE-POSITIVE (ADVICE r10): the gap check
+  assumes every id below the oldest retained one belonged to a stage
+  that completed, but Spark also burns ids on stages that never run —
+  a cancelled job, or a stage dropped before reaching the status store.
+  Those ids are flagged as "evicted unseen" even though no metrics were
+  lost. The channel is therefore ADVISORY (an undercount UPPER bound):
+  a nonzero value says "inspect this query's stage volume", never
+  "metrics are wrong by N stages".
 """
 
 from __future__ import annotations

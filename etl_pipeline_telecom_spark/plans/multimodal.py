@@ -818,3 +818,96 @@ def m9_image_text_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.cast("bigint").alias("score_micro"),
         (micro > F.col("thr")).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m10: metadata-gate image filter — the LAION-style pre-filter that runs
+# BEFORE m9's cross-modal scoring: dims / aspect-ratio / byte-density
+# gates over the image HEADER metadata (the width/height/nbytes contract
+# m1's stub decode establishes), header-only — no Arrow decode stage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m10_image_meta_gate",
+    """WITH img AS (
+         SELECT doc_id, md5(text) AS m, octet_length(encode(text)) AS nbytes
+         FROM documents WHERE doc_id % 3 = 0),
+       d AS (
+         SELECT doc_id, nbytes,
+                32 + CAST(('0x' || substr(m, 1, 4)) AS BIGINT) % 992 AS width,
+                32 + CAST(('0x' || substr(m, 5, 4)) AS BIGINT) % 992 AS height
+         FROM img),
+       e AS (
+         SELECT doc_id, width, height, nbytes,
+                (nbytes * 1000000) // (width * height) AS density_micro
+         FROM d),
+       t AS (SELECT CAST(SUM(density_micro) AS BIGINT) AS s,
+                    COUNT(*) AS n FROM e)
+       SELECT doc_id,
+              CAST(width AS BIGINT) AS width,
+              CAST(height AS BIGINT) AS height,
+              CAST(nbytes AS BIGINT) AS nbytes,
+              CAST(density_micro AS BIGINT) AS density_micro,
+              (width >= 64 AND height >= 64) AS g_dims,
+              (GREATEST(width, height) * 2 <= LEAST(width, height) * 5)
+                  AS g_aspect,
+              (density_micro * n >= s) AS g_density,
+              (width >= 64 AND height >= 64
+               AND GREATEST(width, height) * 2 <= LEAST(width, height) * 5
+               AND density_micro * n >= s) AS pass_meta
+       FROM e, t""",
+    tags=("multimodal", "quality-filter", "metadata-only", "headline"),
+    doc="Image METADATA gate — the LAION pre-filter that runs before any "
+    "decode or pairing (m9): minimum-dimension, aspect-ratio and "
+    "byte-density rules over the header fields the m1 stub-decode "
+    "contract derives (width = 32 + md5-hex4(1) %% 992, height = hex4(5) "
+    "— the exact values m1 emits as the parsed 'header'), surfaced as "
+    "per-gate flags plus the conjunctive verdict in t19's Gopher form so "
+    "downstream mixes can re-weight rather than hard-drop. Header-only "
+    "by design: production runs this on catalog metadata columns before "
+    "paying for pixel decode, so the plan is a pure narrow projection — "
+    "no Arrow stage, no explode, no shuffle except one 1-row corpus "
+    "aggregate. Gates are integer-exact cross-engine: aspect <= 2.5 as "
+    "the cross-multiplication max*2 <= min*5 (no division), byte density "
+    "as micro-scaled integer division (nbytes*10^6 div w*h), and the "
+    "density threshold is the CORPUS MEAN as a 1-row broadcast compared "
+    "by cross-multiplication density*n >= sum (the t24/m9 data-derived "
+    "threshold pattern — fixed cutoffs saturate across SFs; integer "
+    "cross-mult stays inside BIGINT up to ~4e18/2e6 = 2e12 image rows). "
+    "Reference parity: extends scripts/transform.py's rule-flag family "
+    "(F7/F8 0/1 flags) to the multimodal surface.",
+)
+def m10_image_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    m = F.md5("text")
+
+    def hex4(pos: int) -> Column:
+        return F.conv(F.substring(m, pos, 4), 16, 10).cast("bigint")
+
+    e = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("nbytes"),
+        (F.lit(32) + hex4(1) % 992).alias("width"),
+        (F.lit(32) + hex4(5) % 992).alias("height"),
+    ).withColumn("density_micro", F.expr("(nbytes * 1000000) div (width * height)"))
+    t = e.agg(
+        F.sum("density_micro").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g_dims = (F.col("width") >= 64) & (F.col("height") >= 64)
+    g_aspect = (
+        F.greatest("width", "height") * 2 <= F.least("width", "height") * 5
+    )
+    g_density = F.col("density_micro") * F.col("n") >= F.col("s")
+    return e.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "width",
+        "height",
+        "nbytes",
+        "density_micro",
+        g_dims.alias("g_dims"),
+        g_aspect.alias("g_aspect"),
+        g_density.alias("g_density"),
+        (g_dims & g_aspect & g_density).alias("pass_meta"),
+    )

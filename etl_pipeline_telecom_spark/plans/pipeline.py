@@ -1183,3 +1183,282 @@ def p10_compaction_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows_src") == F.col("n_rows_compacted")).alias("conserved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d21: SemDeDup-style embedding-cluster semantic dedup (Abbas et al. 2023,
+# "SemDeDup"; the D4 recipe) — cluster the corpus into IVF cells, find
+# semantic near-dups ONLY within a cell, keep one doc per semantic
+# cluster. Composes v7's centroid assignment, v4/v6's per-cell GEMM, and
+# d8's component discipline — never all-pairs.
+# ---------------------------------------------------------------------------
+
+_D21_TAU = 0.4  # intra-cell cosine threshold. SemDeDup runs ~0.95+ on real
+# CLIP/LM embeddings; the fixture's quantized synthetic vectors max out
+# near 0.49 within a cell, so the catalog pins the pipeline at a
+# threshold that exercises it (13 pairs at sf0.01) — the dial, not the
+# plumbing, is corpus-specific.
+_D21_GEMM_BLOCK = 4096  # same bounded-tile discipline as similarity._GEMM_BLOCK
+
+
+def _d21_cell_pairs(pdf):
+    """Within ONE IVF cell: pairs with cosine >= _D21_TAU via tiled BLAS
+    matmuls (the _gemm_pairs kernel with d21's threshold). Exact: the
+    quantized vectors are integer-valued float64, so every dot is the
+    same exact integer whichever tile computes it; rounding stays out of
+    python entirely (d21 never emits the cosine — only the pair)."""
+    import numpy as np
+    import pandas as pd
+
+    v = np.stack(pdf["qv"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    n = len(ids)
+    nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+    out = []
+    for i0 in range(0, n, _D21_GEMM_BLOCK):
+        vi, ni, idi = (x[i0 : i0 + _D21_GEMM_BLOCK] for x in (v, nrm, ids))
+        for j0 in range(i0, n, _D21_GEMM_BLOCK):
+            cos = (vi @ v[j0 : j0 + _D21_GEMM_BLOCK].T) / np.outer(
+                ni, nrm[j0 : j0 + _D21_GEMM_BLOCK]
+            )
+            keep = cos >= _D21_TAU
+            if i0 == j0:
+                keep &= ~np.tri(*cos.shape, k=0, dtype=bool)
+            ii, jj = np.nonzero(keep)
+            if not len(ii):
+                continue
+            a, b = idi[ii], ids[j0 + jj]
+            out.append(
+                pd.DataFrame({"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)})
+            )
+    if not out:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def _sql_d21() -> str:
+    from .similarity import _SQL_EMB, _SQL_V7_DIST
+
+    return f"""WITH RECURSIVE
+        q AS ({_SQL_EMB}),
+        cent AS (
+          SELECT label AS cid, list(cv ORDER BY dim) AS cvec
+          FROM (SELECT label, dim, ROUND(SUM(val) / COUNT(*)) AS cv
+                FROM (SELECT label, generate_subscripts(qv, 1) - 1 AS dim,
+                             unnest(qv) AS val
+                      FROM q)
+                GROUP BY label, dim)
+          GROUP BY label),
+        dists AS (
+          SELECT a.vec_id, a.qv, c.cid, {_SQL_V7_DIST} AS dist
+          FROM q a CROSS JOIN cent c),
+        assign AS MATERIALIZED (
+          SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dists) WHERE rn = 1),
+        prs AS MATERIALIZED (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.qv, b.qv)
+                / (sqrt(list_dot_product(a.qv, a.qv))
+                   * sqrt(list_dot_product(b.qv, b.qv))) >= {_D21_TAU}),
+        edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+                  UNION
+                  SELECT vec_b AS src, vec_a AS dst FROM prs),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        cc AS (SELECT src AS vec_id, MIN(dst) AS rep FROM reach GROUP BY src),
+        m AS (
+          SELECT a.vec_id, a.cid, COALESCE(cc.rep, a.vec_id) AS rep
+          FROM assign a LEFT JOIN cc USING (vec_id)),
+        sz AS (SELECT rep, COUNT(*) AS n FROM m GROUP BY rep)
+        SELECT m.vec_id,
+               CAST(m.cid AS INT) AS cid,
+               CAST(m.rep AS BIGINT) AS rep,
+               CAST(sz.n AS BIGINT) AS cluster_size,
+               (m.vec_id = m.rep) AS keep
+        FROM m JOIN sz ON sz.rep = m.rep"""
+
+
+@register(
+    "d21_semantic_dedup",
+    _sql_d21(),
+    tags=("dedup", "similarity", "clustering", "iterative"),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023; the D4 "
+    "pipeline): v7's IVF centroid assignment buckets the corpus into "
+    "cells (one deterministic Lloyd's step, k-row broadcast), semantic "
+    "near-dup pairs (cosine >= 0.4 on the quantized vectors — exact "
+    "integer dots, bit-identical cross-engine) are found ONLY within a "
+    "cell by one tiled BLAS gram per cell (v4/v6's applyInPandas "
+    "kernel, bounded-tile memory), pairs resolve to components via the "
+    "d8 large-star/small-star fixpoint, and keep = (vec_id == rep) — "
+    "one survivor per semantic cluster, min-id deterministic. The "
+    "CELL-BOUNDED guarantee is structural: scoring runs inside "
+    "groupBy(cid).applyInPandas, so a cross-cell pair can never be "
+    "scored (pinned in tests/test_r11_ops.py with a cross-cell "
+    "near-identical pair that must stay unclustered); the only "
+    "corpus-sized shuffles are the assignment window and the cell "
+    "partition. At 100 TB the cell count k is the dial that bounds the "
+    "intra-cell quadratic (SemDeDup runs ~100k clusters); the oracle "
+    "replays centroid -> assignment -> intra-cell pairs -> recursive "
+    "closure -> keep verdicts end-to-end.",
+)
+def d21_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _quantized, _with_norm
+
+    emb = _with_norm(_quantized(spark, sf_dir))
+    exploded = emb.select("label", F.posexplode("qv").alias("dim", "val"))
+    cent = (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1))).alias("cv"))
+        .groupBy(F.col("label").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+    from .similarity import _dot
+
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    dists = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qv", "cid", dist.alias("dist")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid")
+    )
+    assign = assign.localCheckpoint()  # feeds the GEMM, the component
+    # fixpoint's base edges AND the final join — one materialization
+    pairs = assign.groupBy("cid").applyInPandas(
+        _d21_cell_pairs, schema="vec_a long, vec_b long"
+    )
+    cc = connected_components(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), F.col("rep").alias("cc_rep"))
+    m = assign.select("vec_id", "cid").join(cc, "vec_id", "left").select(
+        "vec_id", "cid", F.coalesce("cc_rep", "vec_id").alias("rep")
+    )
+    sz = m.groupBy("rep").agg(F.count(F.lit(1)).alias("n"))
+    return m.join(sz, "rep").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        F.col("rep").cast("bigint").alias("rep"),
+        F.col("n").cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("rep")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p11: INCREMENTAL compaction — p10 rewrites the whole layout; production
+# OPTIMIZE touches only the bins whose small-file count exceeds the
+# budget and leaves the rest physically untouched.
+# ---------------------------------------------------------------------------
+
+_P11_BUCKETS = 16
+_P11_MAX_FILES = 2  # buckets with MORE part files than this are rewritten
+
+
+@register(
+    "p11_incremental_compact",
+    f"""WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events),
+       b AS (SELECT CAST(('0x' || substr(m, 1, 8)) AS BIGINT) % {_P11_BUCKETS}
+                        AS bucket,
+                    CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS fh
+             FROM h),
+       f AS (SELECT bucket, fh % (1 + bucket % 4) AS frag FROM b),
+       c AS (SELECT bucket, COUNT(*) AS n_rows,
+                    COUNT(DISTINCT frag) AS n_frags
+             FROM f GROUP BY bucket)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(n_frags AS BIGINT) AS n_files_before,
+              CAST(n_rows AS BIGINT) AS n_rows_before,
+              (n_frags > {_P11_MAX_FILES}) AS rewritten,
+              CAST(CASE WHEN n_frags > {_P11_MAX_FILES} THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_files_out,
+              CAST(n_rows AS BIGINT) AS n_rows_after,
+              TRUE AS conserved
+       FROM c""",
+    tags=("layout", "compaction", "sink", "metadata", "headline"),
+    doc="INCREMENTAL small-file compaction executed and audited — the "
+    "production form of p10's full-layout OPTIMIZE: the fragmented "
+    f"staging (sources/writers.stage_fragmented_events: bucket k holds "
+    f"1 + k %% 4 part files by construction) is selectively rewritten — "
+    f"ONLY buckets with more than {_P11_MAX_FILES} files (scan members "
+    "-> coalesce(1) -> write, one task per bucket, payload rows never "
+    "shuffle — the p10 no-Exchange discipline, pinned at plan level in "
+    "tests/test_r11_ops.py); compliant buckets are NOT rewritten and "
+    "the output layout contains ONLY the rewritten buckets (the "
+    "add-file half of a Delta OPTIMIZE commit). The audit reads BOTH "
+    "physical layouts back through ``_metadata.file_name`` and emits "
+    "per bucket: before file/row counts, the rewritten verdict AS "
+    "OBSERVED (n_files_out > 0 — a spurious rewrite of a compliant "
+    "bucket or a skipped qualifying bucket flips the hash gate), "
+    "output file count, after rows (rewritten buckets re-counted from "
+    "the compacted files; untouched buckets from their original — "
+    "still-serving — files) and conservation; the oracle predicts "
+    "every column analytically from the two independent md5 windows "
+    "(bucket membership, per-bucket fragment counts, the threshold "
+    "rule, 1-file-per-rewrite, row conservation). At 100 TB this is "
+    "the maintenance pass that runs every few minutes on a streaming "
+    "table — touching only debris keeps its cost proportional to NEW "
+    "small files, not table size; the driver holds only the "
+    f"{_P11_BUCKETS}-row (bucket, n_files) metadata frame.",
+)
+def p11_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.writers import (
+        incremental_compact_fragments,
+        stage_fragmented_events,
+    )
+
+    staged = stage_fragmented_events(spark, sf_dir, _P11_BUCKETS)
+    compacted = incremental_compact_fragments(
+        spark, sf_dir, _P11_BUCKETS, _P11_MAX_FILES
+    )
+    # file_path, not file_name: one task writing two leaf dirs reuses the
+    # same part-file BASENAME in both (same partition id + job UUID)
+    src = spark.read.parquet(staged).select(
+        "bucket", F.col("_metadata.file_path").alias("fname")
+    )
+    per_src = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows_before"),
+        F.countDistinct("fname").alias("n_files_before"),
+    )
+    if any(e.startswith("bucket=") for e in os.listdir(compacted)):
+        out = spark.read.option("basePath", compacted).parquet(compacted).select(
+            "bucket", F.col("_metadata.file_path").alias("fname")
+        )
+        per_out = out.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.countDistinct("fname").alias("n_files_out_raw"),
+        )
+    else:  # zero qualifying buckets — audit still runs (local-FS listing
+        # stands in for the table commit log a lakehouse would consult)
+        per_out = spark.createDataFrame(
+            [], "bucket bigint, n_rows_out bigint, n_files_out_raw bigint"
+        )
+    n_files_out = F.coalesce("n_files_out_raw", F.lit(0))
+    n_rows_after = F.coalesce("n_rows_out", F.col("n_rows_before"))
+    return per_src.join(per_out, "bucket", "left").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_files_before").cast("bigint").alias("n_files_before"),
+        F.col("n_rows_before").cast("bigint").alias("n_rows_before"),
+        (n_files_out > 0).alias("rewritten"),
+        n_files_out.cast("bigint").alias("n_files_out"),
+        n_rows_after.cast("bigint").alias("n_rows_after"),
+        (n_rows_after == F.col("n_rows_before")).alias("conserved"),
+    )

@@ -963,3 +963,103 @@ def sm9_epoch_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm10: duplication-aware sampling weights — the data-constrained-scaling
+# "soft dedup" (Muennighoff et al. 2023): instead of hard-dropping
+# near-duplicates, each dup CLUSTER collectively receives the sampling
+# mass one unique document gets, apportioned integer-exactly across its
+# members. Composes the d5 LSH pair surface + d8's component discipline.
+# ---------------------------------------------------------------------------
+
+_SM10_SCALE = 1_000_000  # micro-scaled integer weights: a singleton doc
+# weighs exactly 10^6; a cluster of n near-dups splits 10^6 across its
+# members by largest-remainder (10^6 div n each, +1 for the first
+# 10^6 mod n members by doc_id) — so SUM(weight) == 10^6 * n_clusters
+# EXACTLY (the conservation pin in tests/test_r11_ops.py)
+
+
+def _sql_sm10() -> str:
+    from ..catalog import REGISTRY
+    from .dedup import _SQL_CORPUS
+
+    d5 = REGISTRY["d5_lsh_jaccard_dedup"].sql
+    return f"""WITH RECURSIVE
+        corpus AS MATERIALIZED ({_SQL_CORPUS}),
+        pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({d5})),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        cc AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+        m AS (
+          SELECT c.doc_id, COALESCE(cc.rep, c.doc_id) AS rep
+          FROM corpus c LEFT JOIN cc USING (doc_id)),
+        sz AS (SELECT rep, COUNT(*) AS n FROM m GROUP BY rep),
+        rn AS (
+          SELECT m.doc_id, m.rep, s.n,
+                 ROW_NUMBER() OVER (PARTITION BY m.rep ORDER BY m.doc_id) AS rn
+          FROM m JOIN sz s ON s.rep = m.rep)
+        SELECT doc_id,
+               CAST(rep AS BIGINT) AS rep,
+               CAST(n AS BIGINT) AS cluster_size,
+               CAST(({_SM10_SCALE} // n)
+                    + CASE WHEN rn <= {_SM10_SCALE} % n THEN 1 ELSE 0 END
+                    AS BIGINT) AS weight_micro
+        FROM rn"""
+
+
+@register(
+    "sm10_dupaware_weights",
+    _sql_sm10(),
+    tags=("sampling", "dedup", "weights", "iterative"),
+    doc="Duplication-aware sampling weights — the 'soft dedup' of "
+    "data-constrained scaling (Muennighoff et al. 2023 treat repeated "
+    "data as worth less than fresh data; production mixes downweight "
+    "dup clusters instead of hard-dropping): near-dup clusters come "
+    "from the d5 MinHash-LSH pair surface resolved to components by "
+    "the d8 large-star/small-star fixpoint (O(log n) rounds), every "
+    "corpus doc outside any pair is its own singleton, and each "
+    "cluster's members split ONE document's sampling mass (10^6 "
+    "micro-units) by largest-remainder apportionment — base = 10^6 "
+    "div n, +1 for the first 10^6 mod n members by doc_id. "
+    "CONSERVATION LAW (pinned in tests/test_r11_ops.py): "
+    "SUM(weight_micro) over any cluster == 10^6 exactly, so the "
+    "corpus' total sampling mass equals its UNIQUE-document count — "
+    "integer apportionment, no drifting float shares. The oracle "
+    "replays the full pipeline (LSH bands -> Jaccard>=0.5 pairs -> "
+    "recursive transitive closure -> apportionment). Plan: everything "
+    "through components is d5/d8's audited shape (shingle-bucketed "
+    "candidates, star rounds on narrow bigint pairs); the weight pass "
+    "adds one size agg plus a per-cluster window whose partitions are "
+    "dup-cluster-sized (tiny by construction — a 100 TB corpus has "
+    "bounded clone-cluster width after d5's banding).",
+)
+def sm10_dupaware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import corpus_with_dups, d5_lsh_jaccard_dedup
+    from .pipeline import connected_components
+
+    pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    corpus = corpus_with_dups(spark, sf_dir).select("doc_id")
+    m = corpus.join(cc.withColumnRenamed("rep", "cc_rep"), "doc_id", "left").select(
+        "doc_id", F.coalesce("cc_rep", "doc_id").alias("rep")
+    )
+    sz = m.groupBy("rep").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("rep").orderBy("doc_id")
+    rn = m.join(sz, "rep").withColumn("rn", F.row_number().over(w))
+    return rn.select(
+        "doc_id",
+        F.col("rep").cast("bigint").alias("rep"),
+        F.col("n").cast("bigint").alias("cluster_size"),
+        (
+            F.expr(f"{_SM10_SCALE} div n")
+            + F.when(F.col("rn") <= _SM10_SCALE % F.col("n"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("weight_micro"),
+    )

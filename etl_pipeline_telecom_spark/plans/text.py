@@ -2401,3 +2401,170 @@ def t27_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("unk").cast("bigint").alias("n_unk_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t28: TRAINED quality classifier — the FineWeb-Edu/DCLM-style gate. The
+# engine has LM-based quality SIGNALS (t16 unigram rarity, t24 bigram
+# surprisal) and a rule gate (t19 Gopher); t28 is the trained-classifier
+# form production curation actually runs: distill the rule gate's verdict
+# into a hashed-bag-of-words Naive Bayes scorer (train on the weak labels,
+# score held-out docs) — t25's hash-split train/eval machinery on a
+# hashed feature space with a binary label.
+# ---------------------------------------------------------------------------
+
+_T28_BUCKETS = 256  # hashed-BoW feature space (the fastText hashing trick).
+# SCALE DIAL: the model is always <= 2 * _T28_BUCKETS rows (broadcast);
+# widen for vocabulary-rich corpora — collision rate, not corpus size,
+# is the only reason to grow it.
+
+
+def _t28_gopher_label() -> Column:
+    """t19_gopher_flags' conjunctive verdict as a 0/1 label column over
+    ``text`` — the weak label t28 distills. Mirrors plans/text.py t19
+    expression-for-expression (kept inline there so t19's registered plan
+    never drifts under a refactor of this op)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    sum_wl = F.aggregate(
+        F.transform(words, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.filter(words, lambda x: F.lower(x).isin(*STOPWORDS)))
+    sym_words = F.size(F.filter(words, lambda x: x.rlike("^[^A-Za-z0-9]+$")))
+    mean_wl = sum_wl.cast("double") / n_words
+    alpha_ppm = F.floor(alpha_words.cast("double") * 1_000_000.0 / n_words)
+    return (
+        n_words.between(20, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (alpha_ppm >= 800000)
+        & (stop_hits >= 2)
+        & (sym_words * 10 <= n_words)
+    ).cast("int")
+
+
+_SQL_T28_LABEL = f"""SELECT doc_id, CAST(
+        (len(w) BETWEEN 20 AND 100000)
+        AND (CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS DOUBLE)
+                 / len(w) BETWEEN 3.0 AND 10.0)
+        AND (FLOOR(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 * 1000000.0 / len(w)) >= 800000)
+        AND (len(list_filter(w, x -> lower(x) IN ({_SQL_STOP_LIST}))) >= 2)
+        AND (len(list_filter(w, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) * 10 <= len(w))
+        AS INT) AS label
+      FROM (SELECT doc_id, {_SQL_RAW_TOKENS} AS w FROM documents)"""
+
+
+@register(
+    "t28_quality_classifier",
+    f"""WITH lab AS MATERIALIZED ({_SQL_T28_LABEL}),
+        tb AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_T28_BUCKETS} AS b
+          FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)),
+        trn AS (
+          SELECT l.label AS c, tb.b, COUNT(*) AS cnt
+          FROM tb JOIN lab l USING (doc_id)
+          WHERE doc_id % 10 < 8
+          GROUP BY c, tb.b),
+        tot AS (SELECT c, SUM(cnt) AS tot FROM trn GROUP BY c),
+        model AS (
+          SELECT c, b, CAST((cnt * 1000000) // tot AS BIGINT) AS mu
+          FROM trn JOIN tot USING (c)),
+        ev AS (
+          SELECT doc_id, b, COUNT(*) AS occ FROM tb
+          WHERE doc_id % 10 >= 8 GROUP BY doc_id, b),
+        sc AS (
+          SELECT e.doc_id,
+                 CAST(SUM(CASE WHEN m.c = 1 THEN e.occ * m.mu ELSE 0 END) AS BIGINT)
+                     AS score_pos_micro,
+                 CAST(SUM(CASE WHEN m.c = 0 THEN e.occ * m.mu ELSE 0 END) AS BIGINT)
+                     AS score_neg_micro
+          FROM ev e JOIN model m USING (b)
+          GROUP BY e.doc_id)
+        SELECT l.doc_id, l.label,
+               CAST(CASE WHEN COALESCE(s.score_pos_micro, 0)
+                              > COALESCE(s.score_neg_micro, 0)
+                         THEN 1 ELSE 0 END AS INT) AS pred,
+               CAST(COALESCE(s.score_pos_micro, 0) AS BIGINT) AS score_pos_micro,
+               CAST(COALESCE(s.score_neg_micro, 0) AS BIGINT) AS score_neg_micro,
+               CAST(l.label = (CASE WHEN COALESCE(s.score_pos_micro, 0)
+                                         > COALESCE(s.score_neg_micro, 0)
+                                    THEN 1 ELSE 0 END) AS INT) AS correct
+        FROM lab l LEFT JOIN sc s USING (doc_id)
+        WHERE l.doc_id % 10 >= 8""",
+    tags=("text", "quality-filter", "classifier", "train-eval", "headline"),
+    doc="TRAINED quality classifier — the FineWeb-Edu/DCLM-style gate "
+    "reduced to its deterministic core: distill t19's Gopher rule "
+    "verdict (the weak label; expression-for-expression identical) into "
+    "a hashed-bag-of-words multinomial Naive Bayes scorer. Docs "
+    "hash-split 8:2 (doc_id %% 10 — restartable, no rand()); every "
+    f"token occurrence hashes into {_T28_BUCKETS} md5 buckets (the "
+    "fastText hashing trick — fixed feature space regardless of "
+    "vocabulary); per-class bucket micro-probabilities mu_c = "
+    "(cnt*10^6) div tot_c learned from the train split; held-out docs "
+    "scored per class as sum(occ*mu_c), pred = positive iff "
+    "score_pos > score_neg (ties and model-miss docs fall to 0, the "
+    "conservative gate). All-integer scoring (the t25 discipline) — "
+    "bit-identical cross-engine. `correct` reports honest held-out "
+    "agreement with the rule gate; tests/test_r11_ops.py pins "
+    "accuracy=1.0 on a crafted separable corpus and the "
+    "criterion-divergence case. Scale: the model is <= 2*buckets rows "
+    "(broadcast); corpus work is one token explode + "
+    "map-side-combinable hash aggs keyed (doc,bucket)/(class,bucket) "
+    "— the t25 shape, no all-pairs stage, label and features both "
+    "scan-side. Reference parity: the trained form of "
+    "scripts/transform.py's rule-flag family.",
+)
+def t28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select("doc_id", _t28_gopher_label().alias("label"))
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % _T28_BUCKETS
+    )
+    tb = docs.select("doc_id", F.explode(tokens("text")).alias("t")).select(
+        "doc_id", bucket.alias("b")
+    )
+    trn = (
+        tb.where(F.col("doc_id") % 10 < 8)
+        .join(lab.where(F.col("doc_id") % 10 < 8), "doc_id")
+        .groupBy(F.col("label").alias("c"), "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = trn.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    model = trn.join(tot, "c").select(
+        "c", "b", F.expr("(cnt * 1000000) div tot").cast("bigint").alias("mu")
+    )
+    ev = (
+        tb.where(F.col("doc_id") % 10 >= 8)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    sc = (
+        ev.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") == 1, F.col("occ") * F.col("mu")).otherwise(0))
+            .cast("bigint")
+            .alias("score_pos_micro"),
+            F.sum(F.when(F.col("c") == 0, F.col("occ") * F.col("mu")).otherwise(0))
+            .cast("bigint")
+            .alias("score_neg_micro"),
+        )
+    )
+    pred = F.when(
+        F.coalesce("score_pos_micro", F.lit(0)) > F.coalesce("score_neg_micro", F.lit(0)),
+        1,
+    ).otherwise(0)
+    return (
+        lab.where(F.col("doc_id") % 10 >= 8)
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            pred.cast("int").alias("pred"),
+            F.coalesce("score_pos_micro", F.lit(0)).cast("bigint").alias("score_pos_micro"),
+            F.coalesce("score_neg_micro", F.lit(0)).cast("bigint").alias("score_neg_micro"),
+            (F.col("label") == pred).cast("int").alias("correct"),
+        )
+    )

