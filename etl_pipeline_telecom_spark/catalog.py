@@ -297,22 +297,24 @@ def _load_all_plans() -> None:
 # except through the drift cohort.
 #
 # Round 11 rotations (the r10-verdict drain tranche — the hard
-# obligation before enforcement starts at r12): IN — the 5 new ops
-# (t28/d21/sm10/p11/m10) and the 45 stalest fills: the ENTIRE lw=3/4/5
-# cohorts (5+12+16) plus the first 12 of the 27-query lw=6 cohort,
-# name-ordered. OUT — everything r7+-green with unchanged plans and
-# oracles, including the full r10 window (the 7 r10 ops, the st cohort
-# — no streaming-module source change this round — and m6). The 15
-# lw=6 stragglers left behind (p2/p3/pipe2/sm5/sm6/t12/t14/t16/t9/
-# v1-v6 tail) drain in r12's own window together with the 13 lw=7
-# entries — 28 of its 50 slots, inside budget.
+# obligation before enforcement starts at r12): IN — the 7 new ops
+# (t28/d21/sm10/p11/m10/t29/m11) and the 43 stalest fills: the ENTIRE
+# lw=3/4/5 cohorts (5+12+16) plus the first 10 of the 27-query lw=6
+# cohort, name-ordered. OUT — everything r7+-green with unchanged
+# plans and oracles, including the full r10 window (the 7 r10 ops, the
+# st cohort — no streaming-module source change this round — and m6).
+# The 17 lw=6 stragglers left behind (m1/m4/p2/p3/pipe2/sm5/sm6/t12/
+# t14/t16/t9/v1-v6 tail) drain in r12's own window together with the
+# 13 lw=7 entries — 30 of its 50 slots, inside budget.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the 5 new r11 operators
+    # --- drift cohort (MUST re-verdict): the 7 new r11 operators
     "t28_quality_classifier",
     "d21_semantic_dedup",
     "sm10_dupaware_weights",
     "p11_incremental_compact",
     "m10_image_meta_gate",
+    "t29_perplexity_buckets",
+    "m11_audio_quality_gate",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # the 45 least-recently-windowed queries, oldest cohort first —
     # lw=3 (all 5)
@@ -351,7 +353,7 @@ DRIVER_WINDOW = (
     "sm4_weighted_sample",
     "t10_bpe_pretokenize",
     "w9_ntile_buckets",
-    # lw=6 (first 12 of 27, name-ordered)
+    # lw=6 (first 10 of 27, name-ordered)
     "a20_hll_union",
     "d15_fuzzy_indel_pairs",
     "dq1_lineitem_checks",
@@ -362,8 +364,6 @@ DRIVER_WINDOW = (
     "e4_asof_join",
     "e8_funnel_steps",
     "j8_temporal_snapshot_join",
-    "m1_media_features",
-    "m4_media_exact_dedup",
 )
 
 

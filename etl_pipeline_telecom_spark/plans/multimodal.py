@@ -911,3 +911,94 @@ def m10_image_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_density.alias("g_density"),
         (g_dims & g_aspect & g_density).alias("pass_meta"),
     )
+
+# ---------------------------------------------------------------------------
+# m11: audio quality gate — the gate that CONSUMES m7's feature table
+# (clipping / activity / energy screens), the audio counterpart of m10's
+# image metadata gate: per-gate flags + conjunctive verdict, with the
+# loudness threshold corpus-derived.
+# ---------------------------------------------------------------------------
+
+_M11_PEAK_CEIL = 30000  # int16 clipping screen: peak at/above this ≈ clipped
+_M11_MIN_CROSSINGS = 8  # activity screen: DC offset / silence / pure rumble
+
+
+@register(
+    "m11_audio_quality_gate",
+    f"""WITH hexes AS (
+          SELECT doc_id,
+                 md5(doc_id || ':a0') || md5(doc_id || ':a1') || md5(doc_id || ':a2')
+                 || md5(doc_id || ':a3') || md5(doc_id || ':a4') || md5(doc_id || ':a5')
+                 || md5(doc_id || ':a6') || md5(doc_id || ':a7') AS hx
+          FROM documents),
+        pcm AS MATERIALIZED (SELECT doc_id, {_M7_SQL_SAMPLE} AS s FROM hexes),
+        f AS (
+          SELECT doc_id,
+                 CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+                 CAST(len(list_filter(list_transform(range(1, 64),
+                      i -> s[i] * s[i + 1]), p -> p < 0)) AS BIGINT)
+                     AS zero_crossings,
+                 CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+                      AS BIGINT) AS energy
+          FROM pcm),
+        t AS (SELECT CAST(SUM(energy) AS BIGINT) AS se, COUNT(*) AS n FROM f)
+        SELECT doc_id, peak, zero_crossings, energy,
+               (peak < {_M11_PEAK_CEIL}) AS g_peak,
+               (zero_crossings >= {_M11_MIN_CROSSINGS}) AS g_active,
+               (energy * n >= se) AS g_energy,
+               (peak < {_M11_PEAK_CEIL}
+                AND zero_crossings >= {_M11_MIN_CROSSINGS}
+                AND energy * n >= se) AS pass_audio
+        FROM f, t""",
+    tags=("multimodal", "audio", "quality-filter", "headline"),
+    doc="Audio quality gate — the screen that consumes m7's feature "
+    "contract, in t19/m10's per-gate-flags + conjunctive-verdict form: "
+    "clipping (peak below the int16 ceiling), activity (zero-crossing "
+    "minimum — the DC-offset/silence screen), and loudness (integer "
+    "sample energy at or above the CORPUS MEAN — the t24/m9/m10 "
+    "data-derived-threshold pattern, compared by cross-multiplication "
+    "energy*n >= sum so no division ever happens; 64-sample int16 "
+    "energy tops out at ~6.9e10, leaving BIGINT headroom past 1e8 "
+    "clips). The Spark side decodes the REAL RIFF/WAVE payloads "
+    "through m7's chunk-walking parser (audio_pcm_samples — the codec "
+    "round-trip stays inside the verified path) and computes the gates "
+    "as codegen'd array expressions; the oracle recomputes the PCM "
+    "from the md5 contract in pure SQL. Plan: one fanout=1 Arrow "
+    "decode stage, one 1-row corpus aggregate broadcast, no other "
+    "shuffle — scan-bound at 100 TB like every pre-decode gate should "
+    "be.",
+)
+def m11_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcm = audio_pcm_samples(spark, sf_dir)
+    energy = F.aggregate(
+        F.col("s"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint") * x
+    )
+    crossings = F.expr(
+        "size(filter(zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), "
+        "(a, b) -> a * b < 0), x -> x))"
+    )
+    f = pcm.select(
+        "doc_id",
+        F.array_max(F.transform("s", lambda x: F.abs(x))).cast("bigint").alias("peak"),
+        crossings.cast("bigint").alias("zero_crossings"),
+        energy.cast("bigint").alias("energy"),
+    ).cache()  # read by BOTH the threshold aggregate and the final
+    # projection: uncached, the Arrow WAV-decode stage runs twice (the
+    # a25 multi-branch lesson — measured 55x -> ~28x at the 100x probe);
+    # the cached frame is 4 ints per doc
+    t = f.agg(
+        F.sum("energy").cast("bigint").alias("se"), F.count(F.lit(1)).alias("n")
+    )
+    g_peak = F.col("peak") < _M11_PEAK_CEIL
+    g_active = F.col("zero_crossings") >= _M11_MIN_CROSSINGS
+    g_energy = F.col("energy") * F.col("n") >= F.col("se")
+    return f.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "peak",
+        "zero_crossings",
+        "energy",
+        g_peak.alias("g_peak"),
+        g_active.alias("g_active"),
+        g_energy.alias("g_energy"),
+        (g_peak & g_active & g_energy).alias("pass_audio"),
+    )

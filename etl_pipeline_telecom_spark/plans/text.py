@@ -2568,3 +2568,141 @@ def t28_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == pred).cast("int").alias("correct"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# t29: CCNet perplexity BUCKETS — t24 flags the above-mean tail; CCNet's
+# actual mechanism (Wenzek et al. 2020 §4.3) splits each language's
+# corpus into head/middle/tail perplexity TERCILES and downstream mixes
+# draw from them at different rates. Exact value-domain terciles, no
+# global sort.
+# ---------------------------------------------------------------------------
+
+# t24's per-doc surprisal pipeline, repeated inline rather than factored
+# out of the registered t24 plan: an extraction that changed t24's plan
+# hash would force it back into the (full) driver window — the t28/t19
+# label-duplication rationale. The expressions mirror t24 line-for-line;
+# tests/test_r11_ops.py pins micro-score equality between the two.
+_SQL_T29_PERDOC = f"""big AS (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                              recursive := true)
+                FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents))),
+        bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc FROM bc GROUP BY w1),
+        scored AS (
+          SELECT b.doc_id,
+                 length(bin(c.cc)) - length(bin(k.cnt)) AS bits
+          FROM big b
+          JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+          JOIN ctx c ON b.w1 = c.w1),
+        perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+          FROM scored GROUP BY doc_id),
+        pd2 AS MATERIALIZED (
+          SELECT doc_id, n_bigrams,
+                 (surprisal_bits * 1000000) // n_bigrams AS micro
+          FROM perdoc)"""
+
+
+@register(
+    "t29_perplexity_buckets",
+    f"""WITH {_SQL_T29_PERDOC},
+        hist AS (SELECT micro, COUNT(*) AS c FROM pd2 GROUP BY micro),
+        cum AS (SELECT micro, SUM(c) OVER (ORDER BY micro) AS cum FROM hist),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pd2),
+        cuts AS (
+          SELECT CAST(MIN(CASE WHEN cum * 3 >= n THEN micro END) AS BIGINT)
+                     AS c_head,
+                 CAST(MIN(CASE WHEN cum * 3 >= 2 * n THEN micro END) AS BIGINT)
+                     AS c_tail
+          FROM cum, tot)
+        SELECT doc_id, n_bigrams,
+               CAST(micro AS BIGINT) AS ppl_micro,
+               CASE WHEN micro <= c_head THEN 'head'
+                    WHEN micro <= c_tail THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               c_head, c_tail
+        FROM pd2, cuts""",
+    tags=("text", "lm", "quality", "surprisal", "buckets", "headline"),
+    doc="CCNet perplexity BUCKETING (Wenzek et al. 2020 §4.3) — the "
+    "mechanism t24's above-mean flag approximates: every scoreable doc "
+    "(>= 1 bigram, t24's domain) lands in the head / middle / tail "
+    "TERCILE of the corpus perplexity distribution, and production "
+    "mixes sample the terciles at different rates (head-heavy for "
+    "quality, tail kept for diversity audits). Per-doc scores are "
+    "t24's integer micro bits-per-bigram (bit-length log2 surrogate — "
+    "hash-exact cross-engine). Terciles are EXACT but computed over "
+    "the VALUE DOMAIN, not by global sort: one hash agg builds the "
+    "(micro, count) histogram, one running sum over the domain-sized "
+    "histogram (a23's mergeable-bins discipline — the window is "
+    "|distinct scores|-sized, never corpus-sized), and the two cutoffs "
+    "(smallest micro with 3*cum >= n / >= 2n — integer cross-mult, no "
+    "division) broadcast as one row. Ties share a value, so bucket "
+    "membership is VALUE-based: every doc with the cutoff score lands "
+    "in the lower bucket — deterministic, no rank tie-break needed. "
+    "At 100 TB: the corpus passes are t24's (one tokenize+lead, "
+    "vocabulary-keyed joins, doc-keyed rollup); bucketing adds only "
+    "histogram-sized work plus a 1-row broadcast.",
+)
+def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("tok", 1).over(w)
+    big = (
+        toks.select("doc_id", F.col("tok").alias("w1"), nxt.alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
+    bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
+    scored = (
+        big.join(bc, ["w1", "w2"]).join(ctx, "w1").select("doc_id", bits.alias("bits"))
+    )
+    pd2 = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(surprisal_bits * 1000000) div n_bigrams").alias("micro"),
+        )
+        .cache()  # read by THREE branches (histogram, doc count, final
+        # projection): uncached, the whole bigram+window pipeline runs
+        # three times (the a25 multi-branch lesson — measured 28x at the
+        # 100x probe); the cached frame is 3 ints per doc
+    )
+    hist = pd2.groupBy("micro").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("micro").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("micro", F.sum("c").over(w_cum).alias("cum"))
+    tot = pd2.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("micro")))
+            .cast("bigint")
+            .alias("c_head"),
+            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("micro")))
+            .cast("bigint")
+            .alias("c_tail"),
+        )
+    )
+    bucket = (
+        F.when(F.col("micro") <= F.col("c_head"), "head")
+        .when(F.col("micro") <= F.col("c_tail"), "middle")
+        .otherwise("tail")
+    )
+    return pd2.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        F.col("micro").cast("bigint").alias("ppl_micro"),
+        bucket.alias("bucket"),
+        "c_head",
+        "c_tail",
+    )

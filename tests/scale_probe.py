@@ -287,6 +287,8 @@ PROBES += [
     "sm10_dupaware_weights",
     "p11_incremental_compact",
     "m10_image_meta_gate",
+    "t29_perplexity_buckets",
+    "m11_audio_quality_gate",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

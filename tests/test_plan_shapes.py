@@ -198,6 +198,13 @@ _BNLJ_ALLOWED = {
     "m10_image_meta_gate",  # 1-row corpus-mean-density scalar crossed
                          # onto the per-image metadata table (t24/m9's
                          # data-derived-threshold broadcast pattern)
+    "t29_perplexity_buckets",  # 1-row doc-count scalar onto the
+                         # |distinct scores|-sized histogram, then the
+                         # 1-row tercile-cutoff row onto the per-doc
+                         # table (a23's aggregated-sides pattern)
+    "m11_audio_quality_gate",  # 1-row corpus-energy scalar crossed
+                         # onto the per-clip feature table (t24/m9/m10
+                         # data-derived-threshold pattern)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -230,6 +237,7 @@ _GUARDED = [
     # their justified bounded BNLJs above
     "t28_quality_classifier", "d21_semantic_dedup", "sm10_dupaware_weights",
     "p11_incremental_compact", "m10_image_meta_gate",
+    "t29_perplexity_buckets", "m11_audio_quality_gate",
 ]
 
 
