@@ -576,3 +576,55 @@ def test_m11_energy_gate_is_discriminative(spark, sf_dir):
 
 def test_m11_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "m11_audio_quality_gate")
+
+
+# ---------------------------------------------------------------------------
+# cross-operator contract pins
+# ---------------------------------------------------------------------------
+
+
+def test_sm10_reps_agree_with_d8_components(spark, sf_dir):
+    """sm10 and d8 both resolve the d5 pair surface to components — their
+    (doc_id, rep) maps must agree exactly on every doc d8 covers (docs in
+    at least one pair); sm10 additionally carries the singletons."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.pipeline import d8_neardup_clusters
+    from etl_pipeline_telecom_spark.plans.semistructured import (
+        sm10_dupaware_weights,
+    )
+
+    d8 = d8_neardup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("rep").alias("rep8")
+    )
+    sm = sm10_dupaware_weights(spark, sf_dir).select("doc_id", "rep")
+    joined = d8.join(sm, "doc_id", "left")
+    assert joined.where(
+        F.col("rep").isNull() | (F.col("rep") != F.col("rep8"))
+    ).count() == 0
+
+
+def test_m10_dims_match_m1_header_contract(spark, sf_dir):
+    """m10's doc claims it consumes the header fields m1's stub decode
+    emits — pin width/height equality doc-for-doc on the image rows so
+    the two can never drift apart."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.multimodal import (
+        m1_media_features,
+        m10_image_meta_gate,
+    )
+
+    m1 = (
+        m1_media_features(spark, sf_dir)
+        .where(F.col("media_type") == "image")
+        .select("doc_id", F.col("width").alias("w1"), F.col("height").alias("h1"))
+    )
+    m10 = m10_image_meta_gate(spark, sf_dir).select("doc_id", "width", "height")
+    joined = m1.join(m10, "doc_id", "full")
+    assert joined.where(
+        F.col("w1").isNull()
+        | F.col("width").isNull()
+        | (F.col("w1") != F.col("width"))
+        | (F.col("h1") != F.col("height"))
+    ).count() == 0

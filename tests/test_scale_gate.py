@@ -132,3 +132,20 @@ def test_cc_crafted_rounds_stay_flat():
     assert row["rounds_big"] <= row["rounds_small"] + 9, row  # log2(100)+slack
     assert row["rounds_big"] <= 2 * row["rounds_small"], row  # not diameter-bound
     assert row["ratio"] <= MAX_RATIO, row
+
+
+def test_fresh_probe_rows_carry_adjudication_fields():
+    """r11+: rows probed with the hardened probe must carry the
+    denominator-floored ratio and the plan fingerprint — the fields that
+    make round-over-round ratio moves self-adjudicating (--prev). Only
+    checked when the record has any such row (older carried rows are
+    grandfathered verbatim)."""
+    rec = _latest_record()
+    fresh = [q for q in rec["queries"] if "ratio_adj" in q]
+    if not fresh:
+        pytest.skip("record predates the hardened probe (r11)")
+    for q in fresh:
+        assert q["ratio_adj"] <= q["ratio"] + 1e-9, q["query"]  # floor only lowers
+        assert isinstance(q.get("plan_hash"), str) and len(q["plan_hash"]) >= 8, (
+            f"{q['query']}: fresh probe row missing plan_hash"
+        )
