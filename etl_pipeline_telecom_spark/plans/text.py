@@ -2416,7 +2416,11 @@ def t27_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T28_BUCKETS = 256  # hashed-BoW feature space (the fastText hashing trick).
 # SCALE DIAL: the model is always <= 2 * _T28_BUCKETS rows (broadcast);
 # widen for vocabulary-rich corpora — collision rate, not corpus size,
-# is the only reason to grow it.
+# is the only reason to grow it. SECOND DIAL (the t26/sm9 discipline):
+# mu = (cnt * 10^6) div tot keeps cnt*10^6 inside BIGINT up to ~9e12
+# bucket occurrences per class; past ~1e13 training tokens drop the
+# micro scale a factor of 1000 (mu resolution is ppm of a class — at
+# that corpus mass per-bucket probabilities are >= 1e3 micro anyway).
 
 
 def _t28_gopher_label() -> Column:
