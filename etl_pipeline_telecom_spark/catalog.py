@@ -316,7 +316,7 @@ DRIVER_WINDOW = (
     "t29_perplexity_buckets",
     "m11_audio_quality_gate",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 45 least-recently-windowed queries, oldest cohort first —
+    # the 43 least-recently-windowed queries, oldest cohort first —
     # lw=3 (all 5)
     "m2_frame_sample",
     "p1_projection_ops",

@@ -477,7 +477,7 @@ def audio_pcm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _M7_SQL_SAMPLE = (
-    "list_transform(range(0, 64), i -> CASE WHEN "
+    f"list_transform(range(0, {_M7_N}), i -> CASE WHEN "
     "CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) >= 32768 "
     "THEN CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) - 65536 "
     "ELSE CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) END)"
@@ -497,7 +497,7 @@ _M7_SQL_SAMPLE = (
                CAST(len(s) AS BIGINT) AS n_samples,
                CAST(len(s) * 1000000 // {_M7_RATE} AS BIGINT) AS duration_us,
                CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
-               CAST(len(list_filter(list_transform(range(1, 64),
+               CAST(len(list_filter(list_transform(range(1, {_M7_N}),
                     i -> s[i] * s[i + 1]), p -> p < 0)) AS BIGINT) AS zero_crossings,
                ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
                           / len(s)), 6) AS rms
@@ -935,7 +935,7 @@ _M11_MIN_CROSSINGS = 8  # activity screen: DC offset / silence / pure rumble
         f AS (
           SELECT doc_id,
                  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
-                 CAST(len(list_filter(list_transform(range(1, 64),
+                 CAST(len(list_filter(list_transform(range(1, {_M7_N}),
                       i -> s[i] * s[i + 1]), p -> p < 0)) AS BIGINT)
                      AS zero_crossings,
                  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))

@@ -579,10 +579,15 @@ def adjudicate_vs_prev(results: list[dict], prev_path: str) -> None:
             continue
         row["prev_t_big_warm_sec"] = p["t_big_warm_sec"]
         row["prev_ratio"] = p["ratio"]
-        if p["t_big_warm_sec"]:
+        # explicit degenerate-denominator marker (ADVICE r11): a prior big
+        # wall recorded as 0.0 emits delta=None so the omission is VISIBLE
+        # in the artifact instead of silently absent
+        if p["t_big_warm_sec"] is not None and p["t_big_warm_sec"] > 0:
             row["big_wall_delta_pct"] = round(
                 100.0 * (row["t_big_warm_sec"] - p["t_big_warm_sec"]) / p["t_big_warm_sec"], 1
             )
+        else:
+            row["big_wall_delta_pct"] = None
         if "plan_hash" in p and "plan_hash" in row:
             row["plan_unchanged"] = p["plan_hash"] == row["plan_hash"]
 
@@ -613,8 +618,11 @@ def probe(
     for name in names:
         fn = qs[name]
         timings = {}
+        cold = {}
         for label, sf_dir in (("sf0.1", SRC), ("big", big_dir)):
+            t0 = time.perf_counter()
             fn(spark, sf_dir).count()  # cold
+            cold[label] = time.perf_counter() - t0
             # min-of-2 warm (the bench_full discipline): a single warm
             # sample on a ~0.3 s small side wobbles the RATIO across the
             # gate for linear scan-bound ops (r9: p4 measured 48.8× and
@@ -638,6 +646,11 @@ def probe(
                 "query": name + tag,
                 "t_small_warm_sec": round(timings["sf0.1"], 3),
                 "t_big_warm_sec": round(timings["big"], 3),
+                # first-run wall (VERDICT r11 advice 1): for ops whose plan
+                # caches an expensive upstream, the warm wall measures a
+                # cache read — the cold wall is the honest full-pipeline
+                # cost and rides in the row, not in note prose
+                "t_big_cold_sec": round(cold["big"], 3),
                 "ratio": round(ratio, 1),
                 # denominator-floored ratio (the number the artifact gate
                 # judges): immune to sub-second sf0.1 wall flapping
