@@ -1002,3 +1002,152 @@ def m11_audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_energy.alias("g_energy"),
         (g_peak & g_active & g_energy).alias("pass_audio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m12: video SCENE-level near-dup detection — m8 finds shot boundaries
+# WITHIN a clip; m12 finds clips that SHARE scenes (re-uploads, compilation
+# edits, stock-footage reuse — the video-dedup pass a multimodal curation
+# run needs before training). Composes m8's per-scene synthesis/decode
+# discipline with d4's bucket-join candidate shape: one signature per
+# SCENE (the coarsest shared md5 grid granularity — never per frame), an
+# equi-self-join on the signature, and a scene-set Jaccard verdict.
+# ---------------------------------------------------------------------------
+
+_M12_SCENES = "CAST(2 + doc_id % 3 AS INT)"  # = m8's (8 + doc_id%3*4) / 4
+# scene-content key: docs 4k and 4k+1 share scenes 0-1 (doc 4k+1 "borrows"
+# its opening from doc 4k — the compilation-edit case); every other scene
+# is unique to its doc. Keyed ':s' so m12's synthetic scene space can
+# never collide with m8's frame space.
+_M12_SQL_HX = " || ".join(
+    f"md5(ck || ':s' || s || ':{k}')" for k in range(9)
+)
+_M12_SQL_GRID = (
+    f"list_transform(range(0, {_M8_PX}), i -> "
+    "CAST(('0x' || substr(hx, 2*i + 1, 2)) AS INT) % 250)"
+)
+
+
+def video_scene_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, g): each clip's scene-LEADING frames, synthesized as
+    real 24bpp BMPs and round-tripped through the library-free decoder
+    (the m6/m8 verified-path discipline). One row per scene, not per
+    frame — the coarsest granularity that identifies scene content (the
+    m8 fan-out lesson: derive shared md5 grids per scene)."""
+    import pandas as pd
+
+    from ..functions.multimodal import bmp_from_gray, bmp_gray_grid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_M12_SCENES).alias("ns")
+    )
+
+    def batches(pdfs):
+        import hashlib
+
+        for pdf in pdfs:
+            out_doc, out_s, out_g = [], [], []
+            for doc, ns in zip(pdf["doc_id"], pdf["ns"]):
+                doc, ns = int(doc), int(ns)
+                for s in range(ns):
+                    ck = doc - 1 if (doc % 4 == 1 and s < 2) else doc
+                    raw = b"".join(
+                        hashlib.md5(f"{ck}:s{s}:{k}".encode()).digest()
+                        for k in range(9)
+                    )[:_M8_PX]
+                    payload = bmp_from_gray([b % 250 for b in raw], _M6_W, _M6_H)
+                    w, h, g = bmp_gray_grid(payload)
+                    assert (w, h) == (_M6_W, _M6_H)
+                    out_doc.append(doc)
+                    out_s.append(s)
+                    out_g.append(g)
+            yield pd.DataFrame({"doc_id": out_doc, "s": out_s, "g": out_g})
+
+    # fan-out stage (2-4 scene rows per doc): the m8 parallelism rule —
+    # never the m6 min(par, 8) cap
+    docs = arrow_stage_repartitioned(docs, fanout=3)
+    return docs.mapInPandas(batches, schema="doc_id long, s int, g array<int>")
+
+
+@register(
+    "m12_video_scene_dedup",
+    f"""WITH clips AS (SELECT doc_id, {_M12_SCENES} AS ns FROM documents),
+        sc AS (
+          SELECT doc_id, CAST(t.s AS INT) AS s,
+                 CASE WHEN doc_id % 4 = 1 AND t.s < 2
+                      THEN doc_id - 1 ELSE doc_id END AS ck
+          FROM clips c, UNNEST(range(0, c.ns)) AS t(s)),
+        hx AS (SELECT doc_id, s, {_M12_SQL_HX} AS hx FROM sc),
+        sig AS MATERIALIZED (
+          SELECT doc_id, s,
+                 md5(array_to_string({_M12_SQL_GRID}, ',')) AS sig
+          FROM hx),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.shared AS BIGINT) AS shared_scenes,
+               CAST(ca.ns AS BIGINT) AS n_scenes_a,
+               CAST(cb.ns AS BIGINT) AS n_scenes_b,
+               (p.shared * 2 >= ca.ns + cb.ns - p.shared) AS is_neardup
+        FROM p
+        JOIN clips ca ON ca.doc_id = p.doc_a
+        JOIN clips cb ON cb.doc_id = p.doc_b""",
+    tags=("multimodal", "video", "dedup", "headline"),
+    doc="Video scene-level near-dup detection (VERDICT r11 item 7) — the "
+    "clip-vs-clip member of the media-dedup family (m4 hashes whole "
+    "payloads, m6 near-dups stills, m8 cuts clips into scenes): every "
+    "scene-LEADING frame is synthesized as a real 24bpp BMP and decoded "
+    "through the library-free pixel parser (the m6/m8 verified-path "
+    "discipline — a codec bug changes the grays, the signature, and the "
+    "pair set), each scene gets ONE content signature (md5 over the "
+    "comma-joined decoded grid — computed by the engine's native md5, "
+    "the d4 bucket-key shape), clips sharing a signature become "
+    "candidate pairs via an equi-self-join, and the verdict is scene-"
+    "set Jaccard >= 1/2 by integer cross-multiplication (shared*2 >= "
+    "union). The synthetic corpus plants compilation edits — doc 4k+1 "
+    "opens with doc 4k's first two scenes — so both verdicts occur "
+    "(pinned in tests/test_r12_ops.py, including the scenes-shared-but-"
+    "distinct-elsewhere case). Plan: one Arrow fan-out decode stage "
+    "(2-4 scene rows per doc, the m8 defaultParallelism*2 rule — never "
+    "the m6 cap), the signature in codegen, ONE equi-join on the "
+    "signature (bucket-sized collision groups, d4's scaling argument: "
+    "pairs track true scene reuse, never all-pairs), and bounded "
+    "metadata joins for the scene counts. The signature frame is "
+    "cached — BOTH sides of the self-join read it (the a25 lesson). At "
+    "100 TB: scene count ~ corpus minutes / scene length; the join key "
+    "space is content-sized, so skewed reuse (a viral intro scene) is "
+    "the d4 hot-bucket case — salt or cap collision groups there.",
+)
+def m12_video_scene_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grids = video_scene_grids(spark, sf_dir)
+    sig = F.md5(F.concat_ws(",", F.transform("g", lambda x: x.cast("string"))))
+    sigs = grids.select("doc_id", "s", sig.alias("sig")).cache()
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig"))
+    p = (
+        a.join(b, "sig")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    clips = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_M12_SCENES).alias("ns")
+    )
+    ca = clips.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"))
+    cb = clips.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"))
+    return (
+        p.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared_scenes"),
+            F.col("ns_a").cast("bigint").alias("n_scenes_a"),
+            F.col("ns_b").cast("bigint").alias("n_scenes_b"),
+            (
+                F.col("shared") * 2 >= F.col("ns_a") + F.col("ns_b") - F.col("shared")
+            ).alias("is_neardup"),
+        )
+    )

@@ -2710,3 +2710,195 @@ def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_head",
         "c_tail",
     )
+
+
+# ---------------------------------------------------------------------------
+# t30: BACKOFF-smoothed LM scoring — t24/t29 score with a bigram MLE
+# trained on the SAME corpus they score, so "unseen bigram" cannot happen
+# and their inner joins are safe. Production (CCNet's KenLM) scores
+# held-out text with a model trained elsewhere: unseen bigrams are the
+# NORM, and an inner-join MLE replay silently drops them (scoring a doc by
+# only the n-grams the model happens to know — the optimistic-perplexity
+# bug). t30 is the honest form: a stupid-backoff bigram→unigram LM
+# (Brants et al. 2007) with train/eval hash split, every eval bigram
+# scored through exactly one of three paths.
+# ---------------------------------------------------------------------------
+
+# Stupid backoff with α = 1/2, in floor-log2 bit-length surrogate space
+# (the t24 discipline — ln()/log2() can flip last-ulp cross-engine):
+#   seen bigram:      bits = bl(cc(w1)) − bl(cnt(w1,w2))      (t24's MLE)
+#   backoff (w2 known): bits = 1 + bl(T) − bl(ucnt(w2))       (α=1/2 → +1 bit)
+#   OOV (w2 unknown):   bits = 1 + bl(T)                       (p ≈ 1/(2T))
+# where bl(x) = length(bin(x)) and T = total train tokens. α = 1/2 keeps
+# the discount an exact integer bit; bl(T) ≥ bl(ucnt) makes every path
+# non-negative. The per-bigram T-dependence is factored to the PER-DOC
+# level (bits_total = bits_seen + (n_backoff + n_oov)·(1 + bl(T)) −
+# Σ bl(ucnt)), so the 1-row bl(T) scalar broadcasts onto the doc-sized
+# frame, never the bigram-sized one.
+
+_SQL_T30_BIGRAMS = (
+    "unnest(list_transform(range(1, len(t)), "
+    "i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)"
+)
+
+
+@register(
+    "t30_backoff_lm",
+    f"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        big AS MATERIALIZED (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id, {_SQL_T30_BIGRAMS} FROM toks)),
+        bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM big
+               WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc FROM bc GROUP BY w1),
+        uni AS (SELECT w2 AS w, COUNT(*) AS ucnt
+                FROM (SELECT doc_id, unnest(t) AS w2 FROM toks)
+                WHERE doc_id % 10 < 8 GROUP BY w2),
+        tt AS (SELECT length(bin(CAST(SUM(ucnt) AS BIGINT))) AS blt FROM uni),
+        j AS (
+          SELECT e.doc_id, b.cnt, c.cc, u.ucnt
+          FROM (SELECT * FROM big WHERE doc_id % 10 >= 8) e
+          LEFT JOIN bc b ON e.w1 = b.w1 AND e.w2 = b.w2
+          LEFT JOIN ctx c ON e.w1 = c.w1
+          LEFT JOIN uni u ON e.w2 = u.w),
+        pd AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_bigrams,
+                 COUNT(cnt) AS n_seen,
+                 COUNT(CASE WHEN cnt IS NULL AND ucnt IS NOT NULL THEN 1 END)
+                     AS n_backoff,
+                 COUNT(CASE WHEN cnt IS NULL AND ucnt IS NULL THEN 1 END)
+                     AS n_oov,
+                 CAST(COALESCE(SUM(CASE WHEN cnt IS NOT NULL
+                          THEN length(bin(cc)) - length(bin(cnt)) END), 0)
+                      AS BIGINT) AS bits_seen,
+                 CAST(COALESCE(SUM(CASE WHEN cnt IS NULL AND ucnt IS NOT NULL
+                          THEN length(bin(ucnt)) END), 0)
+                      AS BIGINT) AS bl_bo
+          FROM j GROUP BY doc_id),
+        pd2 AS MATERIALIZED (
+          SELECT doc_id, n_bigrams, n_seen, n_backoff, n_oov,
+                 bits_seen + (n_backoff + n_oov) * (1 + blt) - bl_bo
+                     AS bits_total
+          FROM pd, tt),
+        corpus AS (
+          SELECT (CAST(SUM(bits_total) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_bigrams) AS BIGINT) AS corpus_micro
+          FROM pd2)
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_seen AS BIGINT) AS n_seen,
+               CAST(n_backoff AS BIGINT) AS n_backoff,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST(bits_total AS BIGINT) AS bits_total,
+               CAST((bits_total * 1000000) // n_bigrams AS BIGINT)
+                   AS micro_bits_per_bigram,
+               ((bits_total * 1000000) // n_bigrams) > corpus_micro AS flagged
+        FROM pd2, corpus""",
+    tags=("text", "lm", "quality", "surprisal", "train-eval", "headline"),
+    doc="Backoff-smoothed LM perplexity scoring — the held-out form of "
+    "t24/t29 (VERDICT r11 item 4): a stupid-backoff bigram→unigram LM "
+    "(Brants et al. 2007, α = 1/2 so the discount is exactly +1 bit in "
+    "the floor-log2 bit-length surrogate space) trained on the "
+    "doc_id %% 10 < 8 hash split and scoring the held-out 20%%. Every "
+    "eval bigram takes exactly one path — seen (t24's MLE bits), "
+    "backoff to the unigram (1 + bl(T) − bl(ucnt(w2))), or OOV "
+    "(1 + bl(T)) — so unseen n-grams RAISE the doc's surprisal instead "
+    "of silently vanishing from an inner join (the optimistic-"
+    "perplexity bug tests/test_r12_ops.py pins with a crafted "
+    "unseen-bigram doc; it also pins seen-path equality against the "
+    "inner-join replay). All-integer scoring (counts, bit lengths, "
+    "micro division) — bit-identical cross-engine. Output per eval doc "
+    "(≥1 bigram): path counts, total bits, micro bits/bigram, and the "
+    "above-eval-corpus-mean flag (t24's 1-row broadcast discipline). "
+    "Plan: ONE tokenize+lead pass builds all bigrams (train and eval "
+    "filter from it), model counts are three stacked map-side-"
+    "combinable aggs, the eval⋈model joins are vocabulary-keyed LEFT "
+    "joins with no broadcast hint (the t9/t24 discipline), and the two "
+    "1-row scalars (bl(T), corpus mean) broadcast onto the DOC-sized "
+    "frame only. The per-doc frame is cached: it feeds the corpus-mean "
+    "aggregate AND the final projection (the a25/t29 multi-branch "
+    "lesson). At 100 TB: corpus passes = 1, everything else vocabulary- "
+    "or doc-keyed with map-side combine — t24's cost shape plus two "
+    "cheap left joins.",
+)
+def t30_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    is_train = F.col("doc_id") % 10 < 8
+    bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
+    uni = (
+        toks.where(is_train)
+        .groupBy(F.col("tok").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tt = uni.agg(F.length(F.bin(F.sum("ucnt").cast("bigint"))).alias("blt"))
+    seen = F.col("cnt").isNotNull()
+    known_w2 = F.col("ucnt").isNotNull()
+    j = (
+        big.where(~is_train)
+        .join(bc, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(uni, ["w2"], "left")
+    )
+    pd = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("cnt").alias("n_seen"),
+        F.count(F.when(~seen & known_w2, 1)).alias("n_backoff"),
+        F.count(F.when(~seen & ~known_w2, 1)).alias("n_oov"),
+        F.coalesce(
+            F.sum(F.when(seen, F.length(F.bin("cc")) - F.length(F.bin("cnt")))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("bits_seen"),
+        F.coalesce(
+            F.sum(F.when(~seen & known_w2, F.length(F.bin("ucnt")))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("bl_bo"),
+    )
+    pd2 = (
+        pd.crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_seen",
+            "n_backoff",
+            "n_oov",
+            (
+                F.col("bits_seen")
+                + (F.col("n_backoff") + F.col("n_oov")) * (1 + F.col("blt"))
+                - F.col("bl_bo")
+            ).alias("bits_total"),
+        )
+        .cache()  # read by the corpus-mean aggregate AND the final
+        # projection: uncached, the whole bigram+join pipeline runs twice
+        # (the a25/t29 multi-branch lesson); the cached frame is 6 ints/doc
+    )
+    corpus = pd2.agg(
+        F.expr(
+            "(CAST(SUM(bits_total) AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_bigrams) AS BIGINT)"
+        ).alias("corpus_micro")
+    )
+    micro = F.expr("(bits_total * 1000000) div n_bigrams")
+    return pd2.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.col("n_backoff").cast("bigint").alias("n_backoff"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.col("bits_total").cast("bigint").alias("bits_total"),
+        micro.cast("bigint").alias("micro_bits_per_bigram"),
+        (micro > F.col("corpus_micro")).alias("flagged"),
+    )
