@@ -1462,3 +1462,107 @@ def p11_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows_after.cast("bigint").alias("n_rows_after"),
         (n_rows_after == F.col("n_rows_before")).alias("conserved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sm11: cluster-balanced domain mixing — the D4 follow-up (Tirumala et al.
+# 2023: dedup, THEN rebalance the semantic space). sm5/sm9 mix by the
+# fixture's language column; d21 now emits semantic CELLS, and sm11
+# apportions the post-dedup sampling budget across those cells with a
+# temperature that flattens the head (dense cells are mostly redundancy).
+# ---------------------------------------------------------------------------
+
+_SM11_SCALE = 1_000_000  # micro-scaled budget: one survivor = 10^6 units.
+# SCALE DIAL (the sm9 discipline): largest-remainder computes budget*s with
+# s = milli-scaled sqrt weights; BIGINT holds it up to ~10^12 survivors —
+# past that drop the micro scale a factor of 1000 (quantization loss is
+# ppm of a cell's quota there). Both engines overflow LOUDLY, never wrap.
+
+
+def _sql_sm11() -> str:
+    return f"""WITH d21 AS MATERIALIZED (SELECT cid, keep FROM ({_sql_d21()})),
+        per AS (
+          SELECT cid, COUNT(*) AS n_members,
+                 SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_surv
+          FROM d21 GROUP BY cid),
+        tot AS (SELECT CAST(SUM(n_surv) AS BIGINT) * {_SM11_SCALE} AS b FROM per),
+        w AS (
+          SELECT cid, n_members, n_surv,
+                 CAST(FLOOR(SQRT(CAST(n_surv AS DOUBLE)) * 1000) AS BIGINT) AS s
+          FROM per),
+        sw AS (SELECT *, SUM(s) OVER () AS s_tot FROM w),
+        q AS (SELECT cid, n_members, n_surv, s, b,
+                     (b * s) // s_tot AS base,
+                     (b * s) % s_tot AS rem
+              FROM sw, tot),
+        d AS (SELECT *,
+                     b - SUM(base) OVER () AS deficit,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, cid) AS rr
+              FROM q)
+        SELECT CAST(cid AS INT) AS cid,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_surv AS BIGINT) AS n_survivors,
+               CAST(s AS BIGINT) AS weight_milli,
+               CAST(b AS BIGINT) AS budget_micro,
+               CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+                   AS quota_micro
+        FROM d"""
+
+
+@register(
+    "sm11_cluster_balanced_mix",
+    _sql_sm11(),
+    tags=("sampling", "mixing", "similarity", "clustering", "iterative"),
+    doc="Cluster-balanced domain mixing (VERDICT r11 item 5) — the D4 "
+    "recipe's second half (Tirumala et al. 2023: semantic dedup, THEN "
+    "rebalance): d21's IVF cells carry the corpus's semantic domains, "
+    "and the post-dedup sampling budget (10^6 micro-units per surviving "
+    "doc, so the budget equals the deduped corpus mass exactly) is "
+    "apportioned across cells by temperature-0.5 weights — milli-scaled "
+    "floor(sqrt(survivors)*1000), sm9's nested-sqrt discipline (sqrt is "
+    "IEEE-identical cross-engine; pow() is not) — via LARGEST-REMAINDER: "
+    "base = (B*s) div s_tot, the deficit goes +1 to the largest "
+    "(rem DESC, cid) ranks. CONSERVATION LAWS (pinned in "
+    "tests/test_r12_ops.py): sum(quota_micro) == budget_micro EXACTLY, "
+    "and budget_micro == 10^6 * sum(n_survivors) — integer "
+    "apportionment, no drifting float shares. Every downstream stage "
+    "after d21 operates on the k-row per-cell frame (k = the IVF "
+    "parameter): one hash agg, then k-row windows (the sm9/a23 "
+    "bounded-window discipline — the 'no partition' windows are k-sized, "
+    "never corpus-sized). The oracle replays d21's full recursive "
+    "pipeline, then the apportionment. At 100 TB the only corpus-sized "
+    "work is d21's own audited shape; sm11 adds metadata-scale "
+    "arithmetic.",
+)
+def sm11_cluster_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d21 = d21_semantic_dedup(spark, sf_dir).select("cid", "keep")
+    per = d21.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_surv"),
+    )
+    tot = per.agg(
+        (F.sum("n_surv").cast("bigint") * _SM11_SCALE).alias("b")
+    )
+    w = per.withColumn(
+        "s", F.floor(F.sqrt(F.col("n_surv").cast("double")) * 1000).cast("bigint")
+    )
+    wall = Window.partitionBy()  # k-row frame: bounded by the IVF cell count
+    sw = w.withColumn("s_tot", F.sum("s").over(wall))
+    q = (
+        sw.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr("(b * s) div s_tot"))
+        .withColumn("rem", (F.col("b") * F.col("s")) % F.col("s_tot"))
+    )
+    d = q.withColumn("deficit", F.col("b") - F.sum("base").over(wall)).withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "cid"))
+    )
+    return d.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n_surv").cast("bigint").alias("n_survivors"),
+        F.col("s").cast("bigint").alias("weight_milli"),
+        F.col("b").cast("bigint").alias("budget_micro"),
+        (F.col("base") + F.when(F.col("rr") <= F.col("deficit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("quota_micro"),
+    )

@@ -1063,3 +1063,4 @@ def sm10_dupaware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_micro"),
     )
+
