@@ -1417,3 +1417,294 @@ def v14_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v15: INCREMENTAL ANN index maintenance (VERDICT r11 item 3) — d11/d12
+# proved incremental LSH dedup against a persisted index; the v-family
+# still rebuilt IVF from scratch every run. v15 is the production form:
+# the base corpus's centroids + cell assignments persist once, an
+# arriving batch assigns to the EXISTING centroids (k-row broadcast,
+# zero index-side shuffle) and lands as a delta partition set, and the
+# serving set (base ∪ delta, read back from the files) is graded by the
+# v9 recall harness against the exact brute-force ground truth.
+# ---------------------------------------------------------------------------
+
+_V15_NEW_MOD = 7  # arriving batch = vec_id % 7 == 3 (d11/d12's split)
+
+
+def _v15_centroids(base: DataFrame) -> DataFrame:
+    """v7's one deterministic Lloyd's step, computed over the BASE split
+    only — the persisted model an incremental maintenance pass must NOT
+    recompute (centroid drift is monitored, not chased, between rebuilds;
+    st8 is the drift monitor)."""
+    exploded = base.select("label", F.posexplode("qv").alias("dim", "val"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1))).alias("cv"))
+        .groupBy(F.col("label").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _v15_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, qv, cid): nearest-centroid assignment against a k-row
+    broadcast — v7's rule (dist, cid tie-break), zero corpus-side state."""
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    dists = vectors.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qv", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid")
+    )
+
+
+def persisted_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF index for the BASE split (vec_id % 7 != 3): the
+    centroid model at ``<dir>/cent`` and the cell assignments at
+    ``<dir>/assign``, PARTITIONED BY cid so a probe reads only its
+    probed cells (partition pruning — the IVF read contract). Keyed on
+    the fixture's (abspath, size, mtime_ns) like every staged layout, so
+    a regenerated fixture auto-invalidates; atomic rename publish."""
+    import os
+    import time
+
+    from ..sources.writers import _publish_stage, _stage_key, _sweep_stale_stage_work
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out_dir = f"/tmp/spark_graft_v15_base_{_stage_key(src, 'v15base')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_v15_base_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    base = _quantized(spark, sf_dir).where(F.col("vec_id") % _V15_NEW_MOD != 3)
+    cent = _v15_centroids(base)
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    cent.coalesce(1).write.parquet(os.path.join(work, "cent"))
+    (
+        _v15_assign(base, spark.read.parquet(os.path.join(work, "cent")))
+        .repartition("cid")
+        .write.partitionBy("cid")
+        .parquet(os.path.join(work, "assign"))
+    )
+    return _publish_stage(work, out_dir)
+
+
+def staged_ivf_delta(spark: SparkSession, sf_dir: str, base_dir: str) -> str:
+    """The INCREMENTAL maintenance pass: the arriving batch (vec_id % 7
+    == 3) assigns against the PERSISTED centroid model (read back from
+    the index — never recomputed) and lands as its own cid-partitioned
+    delta layout. The base index files are never opened for write — the
+    physical untouched-files pin in tests/test_r12_ops.py holds byte
+    sizes and mtimes across this call."""
+    import os
+    import time
+
+    from ..sources.writers import _publish_stage, _stage_key, _sweep_stale_stage_work
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out_dir = f"/tmp/spark_graft_v15_delta_{_stage_key(src, 'v15delta')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_v15_delta_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    cent = spark.read.parquet(os.path.join(base_dir, "cent"))
+    new = _quantized(spark, sf_dir).where(F.col("vec_id") % _V15_NEW_MOD == 3)
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    _v15_assign(new, cent).repartition("cid").write.partitionBy("cid").parquet(work)
+    return _publish_stage(work, out_dir)
+
+
+_SQL_V15 = f"""WITH q AS ({_SQL_EMB}),
+        bse AS (SELECT * FROM q WHERE vec_id % {_V15_NEW_MOD} <> 3),
+        cent AS (
+          SELECT label AS cid, list(cv ORDER BY dim) AS cvec
+          FROM (SELECT label, dim, ROUND(SUM(val) / COUNT(*)) AS cv
+                FROM (SELECT label, generate_subscripts(qv, 1) - 1 AS dim,
+                             unnest(qv) AS val
+                      FROM bse)
+                GROUP BY label, dim)
+          GROUP BY label),
+        dists AS (
+          SELECT a.vec_id, a.qv, c.cid, {_SQL_V7_DIST} AS dist
+          FROM q a CROSS JOIN cent c),
+        assign AS MATERIALIZED (
+          SELECT vec_id, qv, cid FROM (
+            SELECT vec_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dists) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, qv AS qa, cid FROM (
+            SELECT vec_id, qv, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dists WHERE vec_id < 10) WHERE rn <= 2),
+        cand AS MATERIALIZED (
+          SELECT p.query_id, p.qa, s.vec_id AS neighbor_id, s.qv,
+                 s.vec_id % {_V15_NEW_MOD} = 3 AS is_new
+          FROM probes p JOIN assign s ON s.cid = p.cid AND s.vec_id <> p.query_id),
+        ann AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {_SQL_V7_COS} DESC, neighbor_id) AS rn
+            FROM cand)
+          WHERE rn <= 3),
+        pc AS (
+          SELECT query_id, COUNT(*) AS n_cand,
+                 CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_new_cand
+          FROM cand GROUP BY query_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_SQL_COS} DESC, b.vec_id) AS rn
+            FROM q a, q b
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+          WHERE rn <= 3)
+        SELECT a.query_id,
+               CAST(pc.n_cand AS BIGINT) AS n_cand,
+               pc.n_new_cand,
+               COUNT(*) AS n_ann,
+               COUNT(e.neighbor_id) AS n_hits,
+               ROUND(CAST(COUNT(e.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+        FROM ann a
+        JOIN pc ON pc.query_id = a.query_id
+        LEFT JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id, pc.n_cand, pc.n_new_cand"""
+
+
+@register(
+    "v15_incremental_ann",
+    _SQL_V15,
+    tags=("similarity", "knn", "ivf", "incremental", "index", "headline"),
+    doc="Incremental ANN index maintenance (VERDICT r11 item 3) — the "
+    "d11/d12 persisted-index discipline applied to the IVF surface: the "
+    "base split's centroids + cid-partitioned cell assignments persist "
+    "ONCE (build skipped when present, fixture-keyed like every staged "
+    "layout); the arriving batch (vec_id %% 7 == 3, d11's split) "
+    "assigns against the PERSISTED centroid model — a k-row broadcast, "
+    "zero index-side shuffle, base files never opened for write (the "
+    "untouched-files physical pin in tests/test_r12_ops.py) — and "
+    "lands as its own cid-partitioned delta layout. The SERVING set "
+    "(base ∪ delta, read back from the files so the write path itself "
+    "is what the hash gate checks — the d12_index_build discipline) "
+    "answers nprobe=2 probes for the v7 query sample, graded by the v9 "
+    "harness against the exact brute-force top-3 over the full "
+    "corpus: per query, candidate counts (n_new_cand > 0 proves delta "
+    "rows actually serve), ANN hits, recall@3. Stale-centroid recall "
+    "is the REAL quantity a production IVF runs on between rebuilds — "
+    "st8 monitors the drift that eventually forces one. Plan: the "
+    "only corpus-sized work is the one-time build and the exact "
+    "ground-truth pass (v1/v9's guarded Q=10 broadcast); maintenance "
+    "itself is |batch| × k broadcast compare + one partitioned write; "
+    "probes read ONLY their probed cid partitions (partition pruning "
+    "— the IVF read contract). The candidate frame is cached: the "
+    "count aggregate and the rank window both read it (a25 lesson).",
+)
+def v15_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..guards import assert_bounded_input
+
+    base_dir = persisted_ivf_index(spark, sf_dir)
+    delta_dir = staged_ivf_delta(spark, sf_dir, base_dir)
+    cent = spark.read.parquet(os.path.join(base_dir, "cent"))
+    serving = _with_norm(
+        spark.read.parquet(os.path.join(base_dir, "assign"))
+        .unionByName(spark.read.parquet(delta_dir))
+        .select("vec_id", "qv", F.col("cid").cast("int").alias("cid"))
+    )
+    emb = _with_norm(_quantized(spark, sf_dir))
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
+    )
+    qd = (
+        emb.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "nrm", "cid", dist.alias("dist"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qa"),
+            F.col("nrm").alias("qn"),
+            "cid",
+        )
+    )
+    cand = (
+        probes.join(serving, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .cache()  # read by the count aggregate AND the rank window —
+        # uncached, the file scan + broadcast probe runs twice (a25 lesson)
+    )
+    pc = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.when(F.col("vec_id") % _V15_NEW_MOD == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_cand"),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias(
+            "cos_raw"
+        ),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    ann = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("qn"),
+    )
+    assert_bounded_input(queries, 64, "v15_incremental_ann query side")
+    ex_scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    exact = (
+        ex_scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ann.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ann"), F.count("hit").alias("n_hits"))
+        .join(pc, "query_id")
+        .select(
+            "query_id",
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            "n_new_cand",
+            F.col("n_ann").cast("bigint").alias("n_ann"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits").cast("double") / 3, 6).alias("recall_at_3"),
+        )
+    )
