@@ -23,11 +23,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import REGISTRY, register
-from ..functions.text import quality_score
+from ..functions.text import quality_score, tokens
 from ..sources import load_table
-from .dedup import _DUP_OFFSET, d5_lsh_jaccard_dedup
+from .dedup import _DUP_OFFSET, corpus_with_dups, d5_lsh_jaccard_dedup
 from .similarity import v5_lsh_bucketed_neardup
-from .text import _SQL_STOP_LIST, _SQL_TOKENS
+from .text import (
+    _LANG_MARKERS,
+    _SQL_RAW_TOKENS,
+    _SQL_STOP_LIST,
+    _SQL_TOKENS,
+    _sql_lang_score,
+    _t28_gopher_label,
+)
 
 # d5's full oracle SQL (registered before this module imports) — d8's oracle
 # clusters exactly the pairs d5 emits, so reuse its text verbatim
@@ -1565,4 +1572,281 @@ def sm11_cluster_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("base") + F.when(F.col("rr") <= F.col("deficit"), 1).otherwise(0))
         .cast("bigint")
         .alias("quota_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe4: the END-TO-END curation funnel (VERDICT r11 item 2) — the gate
+# set is complete (langid, Gopher rules, perplexity, exact + fuzzy dedup,
+# dup-aware weights); pipe4 composes them into the ONE operator a real
+# curation run executes, with per-stage attrition counts as the auditable
+# output — the FineWeb/CCNet "funnel table". Each stage applies to the
+# SURVIVORS of the previous one (the perplexity LM trains on the
+# gate-survivor corpus, the dedup pair graph is restricted to the
+# perplexity survivors), so the numbers are the real sequential-run
+# numbers, not per-gate marginals.
+# ---------------------------------------------------------------------------
+
+_PIPE4_MASS = 1_000_000  # micro-units of sampling mass per document
+_PIPE4_LANGS = ("en", "es", "de", "fr")
+
+
+def _pipe4_lang_keep() -> Column:
+    """t3_langid's marker-vote prediction lands in the allowed set — the
+    CCNet front gate (docs whose language can't be identified, or is out
+    of scope, drop first). Mirrors t3 expression-for-expression (kept
+    inline there so t3's registered plan never drifts under a refactor —
+    the t28/t19 label-duplication rationale; doc-for-doc equality with
+    t3's lang_pred is pinned in tests/test_r12_ops.py)."""
+    t = tokens("text")
+    s = {
+        lang: F.size(F.filter(t, lambda tok: tok.isin(*markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(s["en"] + s["es"] + s["de"] + s["fr"] + s["zh"] == 0, "und")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return pred.isin(*_PIPE4_LANGS)
+
+
+def _sql_pipe4() -> str:
+    lang_case = f"""CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END IN ({", ".join(f"'{lang}'" for lang in _PIPE4_LANGS)})"""
+    gopher = f"""(len(w) BETWEEN 20 AND 100000)
+          AND (CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS DOUBLE)
+                   / len(w) BETWEEN 3.0 AND 10.0)
+          AND (FLOOR(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   * 1000000.0 / len(w)) >= 800000)
+          AND (len(list_filter(w, x -> lower(x) IN ({_SQL_STOP_LIST}))) >= 2)
+          AND (len(list_filter(w, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) * 10 <= len(w))"""
+    stages = [
+        ("0", "'ingest'", "n0", "n0", "n0"),
+        ("1", "'langid'", "n0", "n1", "n1"),
+        ("2", "'gopher_rules'", "n1", "n2", "n2"),
+        ("3", "'perplexity'", "n2", "n3", "n3"),
+        ("4", "'exact_dedup'", "n3", "n4", "n4"),
+        ("5", "'fuzzy_dedup'", "n4", "n5", "n5"),
+        ("6", "'dupaware_weights'", "n5", "n5", "n4"),
+    ]
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({o} AS INT) AS stage_ord, {s} AS stage, "
+        f"CAST({i} AS BIGINT) AS docs_in, CAST({u} AS BIGINT) AS docs_out, "
+        f"CAST({i} - {u} AS BIGINT) AS dropped, "
+        f"CAST({m} * {_PIPE4_MASS} AS BIGINT) AS mass_micro FROM n"
+        for o, s, i, u, m in stages
+    )
+    return f"""WITH RECURSIVE
+        corpus AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0),
+        fl AS MATERIALIZED (
+          SELECT doc_id,
+                 {lang_case} AS lang_keep,
+                 {gopher} AS gk,
+                 md5(lower(trim(text))) AS fp
+          FROM (SELECT doc_id, text, {_SQL_RAW_TOKENS} AS w,
+                       {_sql_lang_score('en')} AS s_en,
+                       {_sql_lang_score('es')} AS s_es,
+                       {_sql_lang_score('de')} AS s_de,
+                       {_sql_lang_score('fr')} AS s_fr,
+                       {_sql_lang_score('zh')} AS s_zh
+                FROM corpus)),
+        s1 AS (SELECT doc_id, gk, fp FROM fl WHERE lang_keep),
+        s2 AS MATERIALIZED (SELECT doc_id, fp FROM s1 WHERE gk),
+        big AS (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                              recursive := true)
+                FROM (SELECT c.doc_id, {_SQL_TOKENS} AS t
+                      FROM corpus c JOIN s2 USING (doc_id)))),
+        bc AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc FROM bc GROUP BY w1),
+        scored AS (
+          SELECT b.doc_id,
+                 length(bin(c.cc)) - length(bin(k.cnt)) AS bits
+          FROM big b
+          JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+          JOIN ctx c ON b.w1 = c.w1),
+        perdoc AS MATERIALIZED (
+          SELECT doc_id, COUNT(*) AS nb, CAST(SUM(bits) AS BIGINT) AS sb
+          FROM scored GROUP BY doc_id),
+        cm AS (SELECT (CAST(SUM(sb) AS BIGINT) * 1000000)
+                      // CAST(SUM(nb) AS BIGINT) AS corpus_micro
+               FROM perdoc),
+        s3 AS MATERIALIZED (
+          SELECT s2.doc_id, s2.fp
+          FROM s2 JOIN perdoc p USING (doc_id), cm
+          WHERE (p.sb * 1000000) // p.nb <= cm.corpus_micro),
+        s4 AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM s3)
+          WHERE doc_id = canon),
+        prs AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({_SQL_D5_PAIRS})
+          WHERE doc_a IN (SELECT doc_id FROM s4)
+            AND doc_b IN (SELECT doc_id FROM s4)),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION
+                  SELECT doc_b AS src, doc_a AS dst FROM prs),
+        reach(src, dst) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        ccl AS (SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src),
+        s5 AS (
+          SELECT s4.doc_id FROM s4 LEFT JOIN ccl USING (doc_id)
+          WHERE COALESCE(ccl.rep, s4.doc_id) = s4.doc_id),
+        n AS (SELECT (SELECT COUNT(*) FROM corpus) AS n0,
+                     (SELECT COUNT(*) FROM s1) AS n1,
+                     (SELECT COUNT(*) FROM s2) AS n2,
+                     (SELECT COUNT(*) FROM s3) AS n3,
+                     (SELECT COUNT(*) FROM s4) AS n4,
+                     (SELECT COUNT(*) FROM s5) AS n5)
+        {rows}"""
+
+
+@register(
+    "pipe4_curation_funnel",
+    _sql_pipe4(),
+    tags=("pipeline", "curation", "funnel", "text", "dedup", "iterative"),
+    doc="END-TO-END curation funnel — the flagship composition proving the "
+    "gate set composes (VERDICT r11 item 2): raw corpus (with the "
+    "deterministic dup re-insertions) → language-ID (t3's marker vote, "
+    "prediction must land in the allowed set — the CCNet front gate) → "
+    "Gopher rule gate (t19's conjunctive verdict, expression-identical) "
+    "→ perplexity gate (t24's bigram-LM above-corpus-mean cut, the LM "
+    "TRAINED ON THE GATE SURVIVORS — the CCNet ordering: quality-gate "
+    "first, then score with a model of the surviving distribution) → "
+    "exact dedup (fingerprint canonical-min) → fuzzy dedup (d5's LSH "
+    "pair surface RESTRICTED to the survivor set — per-doc signatures "
+    "make restriction ≡ rerunning LSH on the subset — resolved by the "
+    "d8 star fixpoint, keep = component rep) → dup-aware weights (each "
+    "surviving rep carries its cluster's mass, so the funnel ends with "
+    "the sm10 conservation law). Output: ONE row per stage with "
+    "docs_in/docs_out/dropped/mass_micro — docs_in chains exactly from "
+    "the previous stage's docs_out, dropped = in − out, and the weights "
+    "stage's mass equals 10^6 × the fuzzy stage's docs_in (dedup "
+    "removed DOCUMENTS but conserved MASS — the soft-dedup accounting; "
+    "all pinned per-stage in tests/test_r12_ops.py with a crafted "
+    "corpus where every stage drops a known doc). Plan: stages 1-2 and "
+    "the fingerprint come from ONE corpus scan projection (cached "
+    "narrow flags frame); the perplexity sub-pipeline is t24's audited "
+    "shape over the survivor join, its 3-ints-per-doc frame cached "
+    "(a25/t29); the pair graph reuses the globally-cached shingle "
+    "table; every count is a 1-row aggregate and the funnel table is a "
+    "stack() over their bounded crossJoin (e6/a16 aggregated-sides "
+    "pattern). At 100 TB each stage is scan- or vocabulary-bound "
+    "exactly like its standalone op; the funnel adds only count "
+    "aggregates — and the attrition table is what the curation run "
+    "publishes as its datasheet.",
+)
+def pipe4_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_with_dups(spark, sf_dir)
+    flags = corpus.select(
+        "doc_id",
+        _pipe4_lang_keep().alias("lang_keep"),
+        (_t28_gopher_label() == 1).alias("gk"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    ).cache()  # one corpus-scan projection feeds s1/s2 and the exact-dedup
+    # fingerprints — 2 bools + 1 hash per doc
+    s1 = flags.where(F.col("lang_keep"))
+    s2 = s1.where(F.col("gk")).select("doc_id", "fp")
+    docs2 = corpus.join(s2.select("doc_id"), "doc_id")
+    toks = docs2.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
+    bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
+    perdoc = (
+        big.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(bits).cast("bigint").alias("sb"),
+        )
+        .cache()  # feeds the corpus-mean aggregate AND the keep filter
+        # (a25/t29 multi-branch lesson); 3 ints per doc
+    )
+    cm = perdoc.agg(
+        F.expr(
+            "(CAST(SUM(sb) AS BIGINT) * 1000000) div CAST(SUM(nb) AS BIGINT)"
+        ).alias("corpus_micro")
+    )
+    ppl_keep = (
+        perdoc.crossJoin(F.broadcast(cm))
+        .where(F.expr("(sb * 1000000) div nb") <= F.col("corpus_micro"))
+        .select("doc_id")
+    )
+    s3 = s2.join(ppl_keep, "doc_id").cache()  # (doc_id, fp) survivors
+    s4 = (
+        s3.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id")
+        .cache()  # feeds both pair-restriction semi-joins, the rep join
+        # and its own count
+    )
+    pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs_s = (
+        pairs.join(s4.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi")
+        .join(s4.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi")
+    )
+    ccl = connected_components(pairs_s).select(
+        "doc_id", F.col("rep").alias("cc_rep")
+    )
+    s5 = (
+        s4.join(ccl, "doc_id", "left")
+        .where(F.coalesce("cc_rep", "doc_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    n = (
+        cnt(corpus, "n0")
+        .crossJoin(F.broadcast(cnt(s1, "n1")))
+        .crossJoin(F.broadcast(cnt(s2, "n2")))
+        .crossJoin(F.broadcast(cnt(s3, "n3")))
+        .crossJoin(F.broadcast(cnt(s4, "n4")))
+        .crossJoin(F.broadcast(cnt(s5, "n5")))
+    )
+    m = _PIPE4_MASS
+    funnel = n.selectExpr(
+        f"""stack(7,
+            0, 'ingest',           n0, n0, n0 * {m},
+            1, 'langid',           n0, n1, n1 * {m},
+            2, 'gopher_rules',     n1, n2, n2 * {m},
+            3, 'perplexity',       n2, n3, n3 * {m},
+            4, 'exact_dedup',      n3, n4, n4 * {m},
+            5, 'fuzzy_dedup',      n4, n5, n5 * {m},
+            6, 'dupaware_weights', n5, n5, n4 * {m}
+        ) AS (stage_ord, stage, docs_in, docs_out, mass_micro)"""
+    )
+    return funnel.select(
+        F.col("stage_ord").cast("int").alias("stage_ord"),
+        "stage",
+        F.col("docs_in").cast("bigint").alias("docs_in"),
+        F.col("docs_out").cast("bigint").alias("docs_out"),
+        (F.col("docs_in") - F.col("docs_out")).cast("bigint").alias("dropped"),
+        F.col("mass_micro").cast("bigint").alias("mass_micro"),
     )
