@@ -205,6 +205,22 @@ _BNLJ_ALLOWED = {
     "m11_audio_quality_gate",  # 1-row corpus-energy scalar crossed
                          # onto the per-clip feature table (t24/m9/m10
                          # data-derived-threshold pattern)
+    "t30_backoff_lm",    # two 1-row scalars (bl(T), eval-corpus mean)
+                         # crossed onto the DOC-sized per-doc frame —
+                         # t24's data-derived-threshold pattern, never
+                         # the bigram-sized frame
+    "pipe4_curation_funnel",  # the perplexity stage's 1-row corpus-mean
+                         # scalar (t24 pattern) plus the funnel table
+                         # itself: six 1-row count aggregates crossed
+                         # into one stack() row (e6/a16 aggregated-sides
+                         # pattern) — nothing corpus-sized meets a BNLJ
+    "sm11_cluster_balanced_mix",  # d21's k-row centroid broadcast for
+                         # cell assignment plus the 1-row budget scalar
+                         # onto the k-row per-cell frame (sm9 pattern)
+    "v15_incremental_ann",  # the persisted k-row centroid broadcast
+                         # (v7's adjudication) and v1/v9's guarded Q=10
+                         # query-sample broadcast for the exact
+                         # ground-truth pass — every BNLJ side bounded
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -238,6 +254,12 @@ _GUARDED = [
     "t28_quality_classifier", "d21_semantic_dedup", "sm10_dupaware_weights",
     "p11_incremental_compact", "m10_image_meta_gate",
     "t29_perplexity_buckets", "m11_audio_quality_gate",
+    # r12 additions: t30's model joins must stay vocabulary-keyed equi-
+    # joins (its two scalars are justified above), m12's self-join is a
+    # pure equi-join on the scene signature, and pipe4/sm11/v15 carry
+    # their justified bounded BNLJs above
+    "t30_backoff_lm", "m12_video_scene_dedup", "pipe4_curation_funnel",
+    "sm11_cluster_balanced_mix", "v15_incremental_ann",
 ]
 
 
@@ -342,3 +364,24 @@ def test_outlier_bands_broadcast_bounds_no_fact_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in plan, f"bounds join stopped broadcasting: {bad}"
+
+
+def test_v15_probe_scan_is_partition_pruned(spark, sf_dir):
+    """v15's IVF read contract: the serving-set scan is cid-PARTITIONED
+    and the probe join prunes it — the plan must carry a dynamic-pruning
+    partition filter on the index scan (reading every cell for a 2-cell
+    probe is the regression this pins out)."""
+    from etl_pipeline_telecom_spark.plans.similarity import v15_incremental_ann
+
+    df = v15_incremental_ann(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cid partition pruning lost"
+
+
+def test_m12_pair_join_is_signature_equijoin(spark, sf_dir):
+    """m12's candidate generation must stay an equi-join on the scene
+    signature (d4's bucket shape) — a theta-join or cartesian over the
+    scene table is the all-pairs regression."""
+    plan = _plan(spark, sf_dir, "m12_video_scene_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
