@@ -306,64 +306,73 @@ def _load_all_plans() -> None:
 # The 17 lw=6 stragglers left behind (m1/m4/p2/p3/pipe2/sm5/sm6/t12/
 # t14/t16/t9/v1-v6 tail) drain in r12's own window together with the
 # 13 lw=7 entries — 30 of its 50 slots, inside budget.
+#
+# Round 12 rotations (ENFORCEMENT ROUND — test_rotation_staleness_bound_
+# enforced is live from this round): IN — the 5 new ops (t30/m12/v15/
+# sm11/pipe4) and 45 stalest fills: the ENTIRE lw=6 remainder (17, the
+# r11 verdict's named obligation) + the ENTIRE lw=7 cohort (13) + the
+# first 15 of the 38-query lw=8 cohort, name-ordered. That drains the
+# backlog to ZERO (backlog map: 17 → 0) and leaves the oldest excluded
+# cohort at lw=8 — 4 rounds stale, inside the K=5 bound. OUT —
+# everything r8+-green with unchanged plans and oracles, including the
+# full r11 window.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the 7 new r11 operators
-    "t28_quality_classifier",
-    "d21_semantic_dedup",
-    "sm10_dupaware_weights",
-    "p11_incremental_compact",
-    "m10_image_meta_gate",
-    "t29_perplexity_buckets",
-    "m11_audio_quality_gate",
+    # --- drift cohort (MUST re-verdict): the 5 new r12 operators
+    "t30_backoff_lm",
+    "m12_video_scene_dedup",
+    "v15_incremental_ann",
+    "sm11_cluster_balanced_mix",
+    "pipe4_curation_funnel",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 43 least-recently-windowed queries, oldest cohort first —
-    # lw=3 (all 5)
-    "m2_frame_sample",
-    "p1_projection_ops",
-    "r2_orders_by_month",
-    "sm2_stratified_sample",
-    "u1_pandas_udf_score",
-    # lw=4 (all 12)
-    "a11_null_counts",
-    "a8_pivot_rate",
-    "d11_incremental_dedup",
-    "dq2_orders_checks",
-    "g1_grouped_median",
-    "m3_media_type_stats",
-    "pipe1_corpus_clean",
-    "sm1_hash_sample",
-    "t6_repetition_stats",
-    "t7_doc_chunks",
-    "t8_chunk_dedup",
-    "x1_json_extract",
-    # lw=5 (all 16)
-    "a14_approx_distinct",
-    "a15_percentile_approx",
-    "a16_freq_items",
-    "a17_grouped_percentiles",
-    "a18_exact_corr",
-    "a19_grouped_regression",
-    "d14_fuzzy_name_pairs",
-    "dq3_outlier_bands",
-    "e6_gap_fill",
-    "e7_cohort_retention",
-    "e9_windowed_funnel",
-    "j6_star_join",
-    "sm3_split_assign",
-    "sm4_weighted_sample",
-    "t10_bpe_pretokenize",
-    "w9_ntile_buckets",
-    # lw=6 (first 10 of 27, name-ordered)
-    "a20_hll_union",
-    "d15_fuzzy_indel_pairs",
-    "dq1_lineitem_checks",
-    "e10_time_weighted_avg",
-    "e1_tumbling_window",
-    "e3_session_window",
-    "e3b_session_window_skewfree",
-    "e4_asof_join",
-    "e8_funnel_steps",
-    "j8_temporal_snapshot_join",
+    # the 45 least-recently-windowed queries, oldest cohort first —
+    # lw=6 (all 17 — the r11 verdict's named drain obligation)
+    "m1_media_features",
+    "m4_media_exact_dedup",
+    "p2_upsert_latest",
+    "p3_scd2_intervals",
+    "pipe2_ingest_gate",
+    "sm5_temperature_mix",
+    "sm6_fixed_k_per_group",
+    "t12_pack_sequences",
+    "t14_cdc_chunks",
+    "t16_unigram_rarity",
+    "t9_tfidf_topterms",
+    "v1_knn_brute",
+    "v2_knn_partitioned",
+    "v3_label_centroids",
+    "v4_embedding_neardup",
+    "v5_lsh_bucketed_neardup",
+    "v6_gemm_neardup",
+    # lw=7 (all 13)
+    "a21_poisson_bootstrap",
+    "d10_contamination_check",
+    "d16_ngram_overlap",
+    "d9_mllib_minhash",
+    "dq5_freshness",
+    "dq6_referential_integrity",
+    "e11_max_concurrency",
+    "m5_shard_manifest",
+    "pipe3_dataset_card",
+    "r3_pivot_latest_value",
+    "t19_gopher_flags",
+    "w10_rolling_stats",
+    "x4_jsonl_source_scan",
+    # lw=8 (first 15 of 38, name-ordered)
+    "a22_countmin_heavy_hitters",
+    "a23_histogram_quantiles",
+    "a24_decayed_counts",
+    "a4_group_avg",
+    "d12_index_build",
+    "d12_persisted_lsh_probe",
+    "d13_contamination_bloom",
+    "d17_semantic_dedup",
+    "d1_exact_dedup",
+    "d5_lsh_jaccard_dedup",
+    "d8_neardup_clusters",
+    "dq4_distribution_drift",
+    "dq7_schema_evolution",
+    "dq8_split_leakage",
+    "g2_throttle_debounce",
 )
 
 

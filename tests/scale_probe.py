@@ -291,6 +291,21 @@ PROBES += [
     "m11_audio_quality_gate",
 ]
 
+# r12 additions: backoff LM scoring (t24's corpus shape + two left
+# joins), scene-level video dedup (Arrow fan-out decode + signature
+# equi-join), incremental ANN maintenance (persisted-index probe, the
+# d12 read-path claim at vector scale), cluster-balanced mixing (d21's
+# audited shape + k-row arithmetic), and the end-to-end curation funnel
+# (each stage scan/vocab-bound like its standalone op; the probe watches
+# the COMPOSITION for an accidental recompute blow-up)
+PROBES += [
+    "t30_backoff_lm",
+    "m12_video_scene_dedup",
+    "v15_incremental_ann",
+    "sm11_cluster_balanced_mix",
+    "pipe4_curation_funnel",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
