@@ -149,3 +149,18 @@ def test_fresh_probe_rows_carry_adjudication_fields():
         assert isinstance(q.get("plan_hash"), str) and len(q["plan_hash"]) >= 8, (
             f"{q['query']}: fresh probe row missing plan_hash"
         )
+
+
+def test_fresh_probe_rows_carry_cold_walls():
+    """r12+: probe rows record t_big_cold_sec so a cached op's honest
+    full-pipeline cost rides in the artifact (VERDICT r11 advice 1) —
+    the warm wall alone would grade a cache read. Grandfathered for
+    records predating the field."""
+    rec = _latest_record()
+    fresh = [q for q in rec["queries"] if "t_big_cold_sec" in q]
+    if not fresh:
+        pytest.skip("record predates the cold-wall field (r12)")
+    for q in fresh:
+        assert isinstance(q["t_big_cold_sec"], (int, float)) and q["t_big_cold_sec"] > 0, (
+            q["query"]
+        )
