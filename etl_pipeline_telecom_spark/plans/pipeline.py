@@ -1480,10 +1480,14 @@ def p11_incremental_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SM11_SCALE = 1_000_000  # micro-scaled budget: one survivor = 10^6 units.
-# SCALE DIAL (the sm9 discipline): largest-remainder computes budget*s with
-# s = milli-scaled sqrt weights; BIGINT holds it up to ~10^12 survivors —
-# past that drop the micro scale a factor of 1000 (quantization loss is
-# ppm of a cell's quota there). Both engines overflow LOUDLY, never wrap.
+# SCALE DIAL (the sm9 discipline): largest-remainder computes budget*s,
+# and with one dominant cell that is ~1e9 * S^1.5 (budget = 1e6*S, s <=
+# 1000*sqrt(S)) — BIGINT holds it up to ~4.4e6 survivors, NOT the budget
+# term's own ~9e12. Past that drop the micro scale a factor of 1000
+# (quantization loss is ppm of a cell's quota there). Both engines
+# overflow LOUDLY, never wrap: DuckDB raises on BIGINT multiply, and the
+# session runs Spark 4's default ANSI mode (spark.sql.ansi.enabled=true,
+# verified), so Multiply uses multiplyExact and raises ARITHMETIC_OVERFLOW.
 
 
 def _sql_sm11() -> str:
@@ -1765,6 +1769,14 @@ def pipe4_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = flags.where(F.col("lang_keep"))
     s2 = s1.where(F.col("gk")).select("doc_id", "fp")
     docs2 = corpus.join(s2.select("doc_id"), "doc_id")
+    # t24's tokenize→lead→count plumbing, repeated inline like the lang
+    # and gopher gates above (and like t29/t30's copies): extracting a
+    # shared bigram helper would touch the registered t11/t24/t29/t30
+    # plans' source, and the funnel's LM trains on the SURVIVOR subset,
+    # so no registered op's frame can be reused directly anyway. The
+    # doc-for-doc gate-agreement pins in tests/test_r12_ops.py keep the
+    # gate copies honest; the bigram copy is pinned by the crafted
+    # funnel's hand-computed surprisal drop.
     toks = docs2.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
     w = Window.partitionBy("doc_id").orderBy("p")
     big = (

@@ -1063,4 +1063,3 @@ def sm10_dupaware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_micro"),
     )
-

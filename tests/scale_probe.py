@@ -661,10 +661,16 @@ def probe(
                 "query": name + tag,
                 "t_small_warm_sec": round(timings["sf0.1"], 3),
                 "t_big_warm_sec": round(timings["big"], 3),
-                # first-run wall (VERDICT r11 advice 1): for ops whose plan
-                # caches an expensive upstream, the warm wall measures a
-                # cache read — the cold wall is the honest full-pipeline
-                # cost and rides in the row, not in note prose
+                # first-run wall WITHIN THIS PROBE PROCESS (VERDICT r11
+                # advice 1): for ops whose plan caches an expensive
+                # upstream, the warm wall measures a cache read — the
+                # cold wall carries the full-pipeline cost in the row,
+                # not in note prose. Two honest caveats: ops with a
+                # PERSISTED layout (v15/d12 family) include the build
+                # only when the layout wasn't already published under
+                # /tmp, and ops sharing a session cache (the shingle
+                # table) pay its build only if probed first — cross-round
+                # cold-wall deltas are advisory, not a gate
                 "t_big_cold_sec": round(cold["big"], 3),
                 "ratio": round(ratio, 1),
                 # denominator-floored ratio (the number the artifact gate
