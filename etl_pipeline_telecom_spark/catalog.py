@@ -308,23 +308,26 @@ def _load_all_plans() -> None:
 # 13 lw=7 entries — 30 of its 50 slots, inside budget.
 #
 # Round 12 rotations (ENFORCEMENT ROUND — test_rotation_staleness_bound_
-# enforced is live from this round): IN — the 5 new ops (t30/m12/v15/
-# sm11/pipe4) and 45 stalest fills: the ENTIRE lw=6 remainder (17, the
-# r11 verdict's named obligation) + the ENTIRE lw=7 cohort (13) + the
-# first 15 of the 38-query lw=8 cohort, name-ordered. That drains the
-# backlog to ZERO (backlog map: 17 → 0) and leaves the oldest excluded
-# cohort at lw=8 — 4 rounds stale, inside the K=5 bound. OUT —
-# everything r8+-green with unchanged plans and oracles, including the
-# full r11 window.
+# enforced is live from this round): IN — the 6 new ops (t30/m12/v15/
+# sm11/pipe4, plus dq9 added late in the round) and 44 stalest fills:
+# the ENTIRE lw=6 remainder (17, the r11 verdict's named obligation) +
+# the ENTIRE lw=7 cohort (13) + the first 14 of the 38-query lw=8
+# cohort, name-ordered (dq9's drift slot displaced the 15th,
+# g2_throttle_debounce, which stays lw=8 — 4 rounds stale, inside the
+# K=5 bound). That drains the backlog to ZERO (backlog map: 17 → 0)
+# and leaves the oldest excluded cohort at lw=8. OUT — everything
+# r8+-green with unchanged plans and oracles, including the full r11
+# window.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the 5 new r12 operators
+    # --- drift cohort (MUST re-verdict): the 6 new r12 operators
     "t30_backoff_lm",
     "m12_video_scene_dedup",
     "v15_incremental_ann",
     "sm11_cluster_balanced_mix",
     "pipe4_curation_funnel",
+    "dq9_neardup_split_leakage",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 45 least-recently-windowed queries, oldest cohort first —
+    # the 44 least-recently-windowed queries, oldest cohort first —
     # lw=6 (all 17 — the r11 verdict's named drain obligation)
     "m1_media_features",
     "m4_media_exact_dedup",
@@ -357,7 +360,8 @@ DRIVER_WINDOW = (
     "t19_gopher_flags",
     "w10_rolling_stats",
     "x4_jsonl_source_scan",
-    # lw=8 (first 15 of 38, name-ordered)
+    # lw=8 (first 14 of 38, name-ordered — g2_throttle_debounce, the
+    # 15th, gave its slot to dq9's drift entry and stays lw=8)
     "a22_countmin_heavy_hitters",
     "a23_histogram_quantiles",
     "a24_decayed_counts",
@@ -372,7 +376,6 @@ DRIVER_WINDOW = (
     "dq4_distribution_drift",
     "dq7_schema_evolution",
     "dq8_split_leakage",
-    "g2_throttle_debounce",
 )
 
 

@@ -543,3 +543,118 @@ def dq8_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit("by_event", "split_event").unionByName(audit("by_user", "split_user"))
+
+
+# ---------------------------------------------------------------------------
+# dq9: near-duplicate leakage across train/val/test DOCUMENT splits —
+# dq8 audits entity leakage (the same user in two splits); this audits
+# CONTENT leakage (two near-identical documents in two splits), the
+# benchmark-contamination failure mode Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") measured: a hash split
+# scatters near-dup clusters across train and eval, so eval docs have
+# verbatim-ish twins in train and metrics overstate generalization.
+# ---------------------------------------------------------------------------
+
+
+def _dq9_sql_rank(col: str) -> str:
+    """Split RANK (train=0, val=1, test=2) for a doc-id column — sm3's
+    portable md5-mod-100 split rule (90/5/5), as a DuckDB expression."""
+    b = (
+        f"CAST(('0x' || SUBSTRING(md5(CAST({col} AS VARCHAR)), 1, 8))::UBIGINT "
+        f"AS BIGINT) % 100"
+    )
+    return f"CASE WHEN {b} < 90 THEN 0 WHEN {b} < 95 THEN 1 ELSE 2 END"
+
+
+def _sql_dq9() -> str:
+    from ..catalog import REGISTRY
+
+    d5 = REGISTRY["d5_lsh_jaccard_dedup"].sql
+    return f"""WITH pairs AS (SELECT doc_a, doc_b FROM ({d5})),
+        rk AS (SELECT doc_a, doc_b,
+                      {_dq9_sql_rank('doc_a')} AS rk_a,
+                      {_dq9_sql_rank('doc_b')} AS rk_b
+               FROM pairs),
+        o AS (SELECT LEAST(rk_a, rk_b) AS rk_lo,
+                     GREATEST(rk_a, rk_b) AS rk_hi,
+                     CASE WHEN rk_a <= rk_b THEN doc_a ELSE doc_b END AS doc_lo,
+                     CASE WHEN rk_a <= rk_b THEN doc_b ELSE doc_a END AS doc_hi
+              FROM rk)
+        SELECT CASE rk_lo WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END
+                   AS split_lo,
+               CASE rk_hi WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END
+                   AS split_hi,
+               rk_lo <> rk_hi AS is_leak,
+               COUNT(*) AS n_pairs,
+               CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+               CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi
+        FROM o GROUP BY rk_lo, rk_hi"""
+
+
+@register(
+    "dq9_neardup_split_leakage",
+    _sql_dq9(),
+    tags=("quality", "dedup", "split", "leakage", "headline"),
+    doc="Near-duplicate CONTENT leakage across train/val/test splits — "
+    "the evaluation-validity audit dq8's entity check cannot see: a "
+    "row-hash split (sm3's 90/5/5 md5 rule) assigns near-identical "
+    "documents independently, so ~10% of every near-dup cluster lands "
+    "outside train and eval metrics grade memorization (Lee et al. "
+    "2022 measured exactly this on C4/RealNews validation sets). The "
+    "pair surface is d5's audited MinHash-LSH pipeline (banded bucket "
+    "join -> exact Jaccard >= 0.5 -> never all-pairs); each pair's two "
+    "split ranks derive PURELY from the doc-id hash as row-local "
+    "expressions, so the audit adds ZERO joins and zero corpus-sized "
+    "shuffles on top of d5 — only a <=6-row aggregate. Each pair is "
+    "oriented lo->hi by split rank (train<val<test; ties keep d5's "
+    "doc_a<doc_b order) and the audit reports, per (split_lo, "
+    "split_hi) class: is_leak (the classes a release gate must be "
+    "zero on, or route through decontamination), n_pairs, and the "
+    "distinct doc counts per side — for cross rows n_docs_hi IS the "
+    "headline 'eval documents with a train-side near-twin' count. "
+    "CONSERVATION LAW (pinned in tests/test_r12_ops.py): "
+    "SUM(n_pairs) over all classes == |d5 pairs| exactly. At 100 TB "
+    "the cost IS d5's cost: the split ranks are codegen'd md5 "
+    "expressions on the pair rows, and within one session the shingle "
+    "cache is shared with d5/sm10 (corpus_shingled's documented "
+    "materialization).",
+)
+def dq9_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import d5_lsh_jaccard_dedup
+
+    def rk(col: str):
+        b = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint") % 100
+        return F.when(b < 90, 0).when(b < 95, 1).otherwise(2)
+
+    pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b", rk("doc_a").alias("rk_a"), rk("doc_b").alias("rk_b")
+    )
+    fwd = F.col("rk_a") <= F.col("rk_b")  # ties keep d5's doc_a < doc_b order
+    o = pairs.select(
+        F.least("rk_a", "rk_b").alias("rk_lo"),
+        F.greatest("rk_a", "rk_b").alias("rk_hi"),
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_lo"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_hi"),
+    )
+
+    def name(c):
+        return F.when(F.col(c) == 0, "train").when(F.col(c) == 1, "val").otherwise("test")
+
+    return (
+        o.groupBy("rk_lo", "rk_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_lo").alias("n_docs_lo"),
+            F.countDistinct("doc_hi").alias("n_docs_hi"),
+        )
+        .select(
+            name("rk_lo").alias("split_lo"),
+            name("rk_hi").alias("split_hi"),
+            (F.col("rk_lo") != F.col("rk_hi")).alias("is_leak"),
+            "n_pairs",
+            "n_docs_lo",
+            "n_docs_hi",
+        )
+    )

@@ -304,6 +304,9 @@ PROBES += [
     "v15_incremental_ann",
     "sm11_cluster_balanced_mix",
     "pipe4_curation_funnel",
+    # dq9 costs d5 plus row-local hash expressions and a <=6-row agg;
+    # the probe watches that the audit stays pair-surface-bound
+    "dq9_neardup_split_leakage",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

@@ -260,6 +260,9 @@ _GUARDED = [
     # their justified bounded BNLJs above
     "t30_backoff_lm", "m12_video_scene_dedup", "pipe4_curation_funnel",
     "sm11_cluster_balanced_mix", "v15_incremental_ann",
+    # dq9 rides d5's audited pair surface; its own contract (zero added
+    # joins) is pinned separately below
+    "dq9_neardup_split_leakage",
 ]
 
 
@@ -385,3 +388,15 @@ def test_m12_pair_join_is_signature_equijoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "m12_video_scene_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq9_adds_no_joins_over_d5(spark, sf_dir):
+    """dq9's contract: the split-leakage audit is d5's pair pipeline plus
+    ROW-LOCAL hash expressions and one <=6-row aggregate — a corpus-sized
+    split-assignment JOIN sneaking in (the naive implementation) would
+    show as extra join nodes over d5's own plan."""
+    d5 = _plan(spark, sf_dir, "d5_lsh_jaccard_dedup")
+    dq9 = _plan(spark, sf_dir, "dq9_neardup_split_leakage")
+    assert dq9.count("Join") == d5.count("Join"), (
+        "dq9 grew a join beyond d5's pair surface"
+    )

@@ -588,3 +588,75 @@ def test_pipe4_oracle_roundtrip_crafted(spark, tmp_path):
 
 def test_pipe4_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "pipe4_curation_funnel")
+
+
+# ---------------------------------------------------------------------------
+# dq9_neardup_split_leakage — near-dup content leakage across hash splits
+# ---------------------------------------------------------------------------
+
+# Split membership under sm3's md5-mod-100 rule (90/5/5), precomputed:
+# bucket(1)=60 bucket(2)=5 bucket(3)=10 -> train; bucket(8)=93 -> val;
+# bucket(37)=96 bucket(43)=98 -> test. None are %10==0, so
+# corpus_with_dups re-inserts nothing.
+_DQ9_X = "alpha beta gamma delta epsilon zeta"
+_DQ9_Y = "quick brown fox jumps over dog"
+_DQ9_ROWS = [
+    (1, _DQ9_X, "en", "web"),    # train  ─┐ identical text X: pairs
+    (37, _DQ9_X, "en", "web"),   # test    ├ (1,37) (1,43) (37,43)
+    (43, _DQ9_X, "en", "web"),   # test   ─┘
+    (2, _DQ9_Y, "en", "web"),    # train  ─┬ identical text Y: pair (2,3)
+    (3, _DQ9_Y, "en", "web"),    # train  ─┘
+    (8, "solo unique words only here now", "en", "web"),  # val, no twin
+]
+
+
+def test_dq9_crafted_split_classes(spark, tmp_path):
+    """Hand-derived audit: X spans train{1}/test{37,43}, Y sits inside
+    train{2,3}. Expected classes — within-train (2,3); train<->test
+    pairs (1,37),(1,43) sharing the single train-side doc; within-test
+    (37,43). The val doc has no near-twin and must appear nowhere."""
+    from etl_pipeline_telecom_spark.plans.quality import dq9_neardup_split_leakage
+
+    d = _write_docs(tmp_path, _DQ9_ROWS)
+    rows = {
+        (r.split_lo, r.split_hi): r
+        for r in dq9_neardup_split_leakage(spark, d).collect()
+    }
+    assert set(rows) == {("train", "train"), ("train", "test"), ("test", "test")}
+    expect = {
+        ("train", "train"): (False, 1, 1, 1),
+        ("train", "test"): (True, 2, 1, 2),
+        ("test", "test"): (False, 1, 1, 1),
+    }
+    for k, (leak, n_pairs, n_lo, n_hi) in expect.items():
+        r = rows[k]
+        assert (r.is_leak, r.n_pairs, r.n_docs_lo, r.n_docs_hi) == (
+            leak, n_pairs, n_lo, n_hi,
+        ), k
+
+
+def test_dq9_pair_conservation_and_fixture_leaks(spark, sf_dir):
+    """SUM(n_pairs) over all classes == |d5 pairs| exactly (every near-dup
+    pair lands in exactly one class), and the fixture corpus genuinely
+    exercises the leak rows (the ~10% dup re-insertions hash across
+    splits by construction)."""
+    from etl_pipeline_telecom_spark.plans.dedup import d5_lsh_jaccard_dedup
+    from etl_pipeline_telecom_spark.plans.quality import dq9_neardup_split_leakage
+
+    rows = dq9_neardup_split_leakage(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == d5_lsh_jaccard_dedup(spark, sf_dir).count()
+    assert any(r.is_leak and r.n_pairs > 0 for r in rows), (
+        "fixture produced no cross-split near-dup pair — the audit's "
+        "raison d'etre is unexercised"
+    )
+    for r in rows:
+        assert r.is_leak == (r.split_lo != r.split_hi)
+        assert r.n_docs_lo <= r.n_pairs and r.n_docs_hi <= r.n_pairs
+
+
+def test_dq9_oracle_roundtrip_crafted(spark, tmp_path):
+    _roundtrip(spark, _write_docs(tmp_path, _DQ9_ROWS), "dq9_neardup_split_leakage")
+
+
+def test_dq9_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "dq9_neardup_split_leakage")
