@@ -318,6 +318,16 @@ def _load_all_plans() -> None:
 # and leaves the oldest excluded cohort at lw=8. OUT — everything
 # r8+-green with unchanged plans and oracles, including the full r11
 # window.
+#
+# r12 POLICY GENERALIZATION (the NOTES_r12 forward flag, resolved in
+# round): the feasibility law is now written in its schedulability form
+# 50·K ≥ N + 8·K — the original "+40 churn headroom" was the 8-slot
+# per-round drift budget × K=5 in disguise. K stays the MINIMAL bound
+# the window can guarantee: K = max(5, ceil(N/42)), self-describing in
+# window_history.json (k_rule) and asserted by test_catalog_meta, so
+# the catalog can grow past 210 (K becomes 6 at 211, covering up to
+# 252) without ad-hoc constant surgery, and K can never be loosened as
+# a convenience dial.
 DRIVER_WINDOW = (
     # --- drift cohort (MUST re-verdict): the 6 new r12 operators
     "t30_backoff_lm",

@@ -102,9 +102,23 @@ def test_rotation_policy_consistent_with_current_window():
 
 
 def test_rotation_k_is_arithmetically_feasible():
+    """Schedulability law (r12 generalization of the original ``50·K ≥
+    N + 40``, whose +40 was the drift budget 8 × K=5 in disguise): over
+    any K-round cycle the 50-slot window issues 50·K verdicts, the
+    drift cohort (new/changed queries; historical max 7/round, budgeted
+    8) consumes up to 8·K of them, and the rest must cover the whole
+    registry once — N ≤ (50−8)·K. The policy keeps K MINIMAL under
+    that law (``k_rule`` in window_history.json): the staleness
+    guarantee stays as tight as the window arithmetic allows, and
+    loosening K without registry growth forcing it fails here."""
+    import math
+
     pol = catalog.rotation_policy()
-    # 50 slots × K rounds must cover the catalog with churn headroom
-    assert pol["rotation_k"] * 50 >= len(SPECS) + 40
+    k = pol["rotation_k"]
+    assert k * 50 >= len(SPECS) + 8 * k
+    assert k == max(5, math.ceil(len(SPECS) / 42)), (
+        "rotation_k must be the MINIMAL feasible K, not a convenience dial"
+    )
 
 
 def test_rotation_backlog_recorded_and_shrinking():
