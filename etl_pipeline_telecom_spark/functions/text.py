@@ -69,6 +69,19 @@ def hash32(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def hash_bucket(col: Column | str, mod: int = 100) -> Column:
+    """Deterministic bucket in ``[0, mod)``: :func:`hash32` of the key's
+    STRING form, mod ``mod`` — the one cross-engine sampling/split idiom
+    (sm1/sm2 sample cuts, sm3's 90/5/5 split, sm4's 1000-bucket form,
+    dq8's entity split, dq9's leakage ranks). Bucket membership depends
+    only on the key, so reruns, engine changes, and repartitioning never
+    move a row across buckets — and because every operator shares THIS
+    expression, a future change to the rule moves the samplers and their
+    audits together instead of silently diverging them."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hash32(c.cast("string")) % mod
+
+
 def stopword_ratio(tokens_col: Column) -> Column:
     """Fraction of tokens that are stopwords (int÷int — oracle-exact)."""
     hits = F.size(F.filter(tokens_col, lambda t: t.isin(*STOPWORDS)))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..functions.text import hash_bucket
 from ..sources import load_table
 from ..validation import (
     expect_domain,
@@ -510,9 +511,7 @@ def dq8_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def bucket(col):
-        return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        ) % 100
+        return hash_bucket(col)
 
     def split(b):
         return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
@@ -610,8 +609,12 @@ def _sql_dq9() -> str:
     "doc_a<doc_b order) and the audit reports, per (split_lo, "
     "split_hi) class: is_leak (the classes a release gate must be "
     "zero on, or route through decontamination), n_pairs, and the "
-    "distinct doc counts per side — for cross rows n_docs_hi IS the "
-    "headline 'eval documents with a train-side near-twin' count. "
+    "distinct doc counts per side — on the cross rows whose split_lo "
+    "is 'train', n_docs_hi IS the headline 'eval documents with a "
+    "train-side near-twin' count (the val<->test row counts test docs "
+    "whose twin sits in VAL — still leakage, but not train "
+    "contamination; sum only the split_lo='train' rows for the "
+    "headline). "
     "CONSERVATION LAW (pinned in tests/test_r12_ops.py): "
     "SUM(n_pairs) over all classes == |d5 pairs| exactly. At 100 TB "
     "the cost IS d5's cost: the split ranks are codegen'd md5 "
@@ -623,9 +626,7 @@ def dq9_neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import d5_lsh_jaccard_dedup
 
     def rk(col: str):
-        b = F.conv(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
-        ).cast("bigint") % 100
+        b = hash_bucket(col)
         return F.when(b < 90, 0).when(b < 95, 1).otherwise(2)
 
     pairs = d5_lsh_jaccard_dedup(spark, sf_dir).select(

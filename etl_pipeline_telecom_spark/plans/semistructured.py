@@ -29,6 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..catalog import register
+from ..functions.text import hash_bucket
 from ..sources import load_table
 
 
@@ -66,9 +67,7 @@ _HASH_MOD = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT
 )
 def sm1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = hash_bucket("doc_id")
     return docs.where(bucket < 20).select("doc_id", "lang")
 
 
@@ -83,9 +82,7 @@ def sm1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sm2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = hash_bucket("doc_id")
     return docs.where(bucket < 50).groupBy("lang").agg(F.count(F.lit(1)).alias("sampled"))
 
 
@@ -110,9 +107,7 @@ def sm2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sm3_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = hash_bucket("doc_id")
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
@@ -240,9 +235,7 @@ _SQL_BUCKET1000 = (
 )
 def sm4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 1000
+    bucket = hash_bucket("doc_id", 1000)
     keep_p = F.least(F.lit(0.9), F.greatest(F.lit(0.1), F.col("n_chars") / F.lit(2000.0)))
     return (
         docs.where(bucket < keep_p * F.lit(1000.0))
@@ -313,9 +306,7 @@ def sm5_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keep_ppm"),
     )
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % _PPM
+    bucket = hash_bucket("doc_id", _PPM)
     kept = (
         docs.join(F.broadcast(rates.select("lang", "keep_ppm")), "lang")
         .where(bucket < F.col("keep_ppm"))
