@@ -328,64 +328,73 @@ def _load_all_plans() -> None:
 # the catalog can grow past 210 (K becomes 6 at 211, covering up to
 # 252) without ad-hoc constant surgery, and K can never be loosened as
 # a convenience dial.
+# Round 13 rotations (K rises 5 → 6 exactly as the k_rule prescribes:
+# the registry crossed 210, and ceil(N/42) now binds — no constant
+# surgery, the r12 generalization paying off). IN — the new r13
+# operators (the drift cohort, recorded per-round in
+# window_history.json's "drift" map and capped at 8 by
+# test_rotation_drift_cohort_within_budget, ADVICE r12 item 2), then
+# the stalest fill: the ENTIRE lw=8 remainder (24, incl.
+# g2_throttle_debounce — the r12 displacement repaid) and the first
+# name-ordered slice of the 36-query lw=9 cohort. OUT — everything
+# r10+-green with unchanged plans and oracles, including the full r12
+# window. The lw=9 remainder is 4 rounds stale, inside the K=6 bound,
+# and drains across r14-r15.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the 6 new r12 operators
-    "t30_backoff_lm",
-    "m12_video_scene_dedup",
-    "v15_incremental_ann",
-    "sm11_cluster_balanced_mix",
-    "pipe4_curation_funnel",
-    "dq9_neardup_split_leakage",
+    # --- drift cohort (MUST re-verdict): the new r13 operators
+    "pipe5_incremental_curation",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # the 44 least-recently-windowed queries, oldest cohort first —
-    # lw=6 (all 17 — the r11 verdict's named drain obligation)
-    "m1_media_features",
-    "m4_media_exact_dedup",
-    "p2_upsert_latest",
-    "p3_scd2_intervals",
-    "pipe2_ingest_gate",
-    "sm5_temperature_mix",
-    "sm6_fixed_k_per_group",
-    "t12_pack_sequences",
-    "t14_cdc_chunks",
-    "t16_unigram_rarity",
-    "t9_tfidf_topterms",
-    "v1_knn_brute",
-    "v2_knn_partitioned",
-    "v3_label_centroids",
-    "v4_embedding_neardup",
-    "v5_lsh_bucketed_neardup",
-    "v6_gemm_neardup",
-    # lw=7 (all 13)
-    "a21_poisson_bootstrap",
-    "d10_contamination_check",
-    "d16_ngram_overlap",
-    "d9_mllib_minhash",
-    "dq5_freshness",
-    "dq6_referential_integrity",
-    "e11_max_concurrency",
-    "m5_shard_manifest",
-    "pipe3_dataset_card",
-    "r3_pivot_latest_value",
-    "t19_gopher_flags",
-    "w10_rolling_stats",
-    "x4_jsonl_source_scan",
-    # lw=8 (first 14 of 38, name-ordered — g2_throttle_debounce, the
-    # 15th, gave its slot to dq9's drift entry and stays lw=8)
-    "a22_countmin_heavy_hitters",
-    "a23_histogram_quantiles",
-    "a24_decayed_counts",
-    "a4_group_avg",
-    "d12_index_build",
-    "d12_persisted_lsh_probe",
-    "d13_contamination_bloom",
-    "d17_semantic_dedup",
-    "d1_exact_dedup",
-    "d5_lsh_jaccard_dedup",
-    "d8_neardup_clusters",
-    "dq4_distribution_drift",
-    "dq7_schema_evolution",
-    "dq8_split_leakage",
+    # lw=8 (all 24)
+    "g2_throttle_debounce",
+    "g2b_throttle_skewfree",
+    "j10_bloom_pruned_join",
+    "j2_revenue_topk",
+    "j9_interval_bucket_join",
+    "p4_cdc_apply",
+    "p5_partitioned_sink_audit",
+    "p7_compaction_plan",
+    "s5_bag_setops",
+    "sm7_token_budget_cut",
+    "sm8_epoch_replication_mix",
+    "t13_line_dedup",
+    "t15_bpe_merges",
+    "t17_bpe_encode",
+    "t18_pii_scrub",
+    "t20_script_mix",
+    "t21_bpe_batched_merges",
+    "v10_sq8_ann_recall",
+    "v11_matryoshka_refine",
+    "v7_ivf_probe",
+    "v8_embedding_decontam",
+    "v9_ann_recall_eval",
+    "w11_value_window_ops",
+    "x3_json_schema_audit",
+    # lw=9 (first 25 of 36, name-ordered)
+    "a10_histogram",
+    "a12_domain",
+    "a13_median",
+    "a1_count",
+    "a25_kmv_theta_setops",
+    "a2_distinct_count",
+    "a3_global_rate",
+    "a5_value_counts",
+    "a6_pct_of_total",
+    "a7_pivot_counts",
+    "a9_group_rate_sorted",
+    "d18_substring_dedup",
+    "d19_url_dedup",
+    "d20_domain_blocklist",
+    "d2_dedup_stats",
+    "d3_minhash_signatures",
+    "d4_lsh_candidates",
+    "d7_ngram_jaccard_pairs",
+    "e2_sliding_window",
+    "f10_to_flag",
+    "f11_f12_round_cast",
+    "f1_coerce_numeric",
+    "f2_median_fill",
+    "f3_const_fill",
+    "f4_bucketize",
 )
 
 

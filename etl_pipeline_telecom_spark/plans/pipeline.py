@@ -1862,3 +1862,588 @@ def pipe4_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("docs_in") - F.col("docs_out")).cast("bigint").alias("dropped"),
         F.col("mass_micro").cast("bigint").alias("mass_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe5: STREAMING incremental curation — pipe4's gate chain applied to an
+# ARRIVING batch against PERSISTED dedup state (VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+
+_PIPE5_SLICES = 4
+
+
+def _pipe5_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_keep, gk, fp) for ANY (doc_id, text) frame — pipe4's
+    per-doc gate columns, reusable on a micro-batch inside foreachBatch."""
+    return docs.select(
+        "doc_id",
+        _pipe4_lang_keep().alias("lang_keep"),
+        (_t28_gopher_label() == 1).alias("gk"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
+
+
+def _pipe5_bigram_scores(docs2: DataFrame, bc: DataFrame, ctx: DataFrame) -> DataFrame:
+    """(doc_id, nb, sb) — integer micro-bit surprisal of each doc's bigrams
+    under a FROZEN (bc, ctx) bigram model (t24's tokenize→lead→join shape;
+    inner join, so only model-seen bigrams score and a doc with zero seen
+    bigrams gets no row — such docs fail the quality gate conservatively)."""
+    toks = docs2.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum(bits).cast("bigint").alias("sb"))
+    )
+
+
+def _pipe5_frozen_lm(spark: SparkSession, sf_dir: str):
+    """The FROZEN quality model: a bigram LM trained ONCE on the BASE
+    corpus's langid+gopher survivors, plus the corpus-mean micro-bit
+    threshold over those same training docs (CCNet discipline: arrivals
+    are scored by a model of the reference distribution — the model is
+    a published artifact, never retrained per batch). Returns
+    (bc, ctx, thr_df); the model joins are plain shuffles (the model is
+    vocabulary-bounded, not corpus-bounded — AQE broadcasts it when it
+    fits)."""
+    corpus = corpus_with_dups(spark, sf_dir)
+    base = corpus.where(~(F.col("doc_id") % 7 == 3))
+    fl = _pipe5_flags(base)
+    surv = base.join(
+        fl.where(F.col("lang_keep") & F.col("gk")).select("doc_id"), "doc_id"
+    )
+    toks = surv.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
+    perdoc = _pipe5_bigram_scores(surv, bc, ctx)
+    thr = perdoc.agg(
+        F.expr(
+            "(CAST(SUM(sb) AS BIGINT) * 1000000) div CAST(SUM(nb) AS BIGINT)"
+        ).alias("thr_micro")
+    )
+    return bc, ctx, thr
+
+
+def _pipe5_exact_survivors(g3s: DataFrame, prior_fps: DataFrame) -> DataFrame:
+    """(doc_id, fp): drop slice docs whose fingerprint is already STORED
+    (base corpus or a previously admitted arrival); within the slice keep
+    the min-id doc per fingerprint group."""
+    fresh = g3s.join(prior_fps, "fp", "left_anti")
+    return (
+        fresh.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "fp")
+    )
+
+
+def _pipe5_jaccard_pairs(cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs from ``cand`` whose exact shingle Jaccard ≥ 0.5
+    — d5/d11's verification shape (arrays attached per side, array_intersect);
+    cost tracks the candidate count, never the corpus."""
+    aa = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    bb = sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    both = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = both.cast("double") / (F.size("sh_a") + F.size("sh_b") - both)
+    return cand.join(aa, "doc_a").join(bb, "doc_b").where(j >= 0.5).select("doc_a", "doc_b")
+
+
+def _pipe5_fuzzy_resolve(ex: DataFrame, edges: DataFrame, ext: DataFrame) -> DataFrame:
+    """Admitted doc ids for one slice: connected components over the
+    WITHIN-slice near-dup edges; every component touching a prior match
+    (``ext``: docs with a stored near-twin) is dropped whole; surviving
+    components admit their min-id rep (singletons admit themselves).
+    A one-probe empty-edge fast path skips the star alternation when the
+    slice has no internal pairs (the common case — most near-dup mass is
+    batch-vs-stored, not intra-batch), saving ~6 driver-round jobs."""
+    if edges.isEmpty():
+        co = ex.select("doc_id").withColumn("rep", F.col("doc_id"))
+    else:
+        comp = connected_components(edges)
+        co = (
+            ex.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .withColumn("rep", F.coalesce("rep", F.col("doc_id")))
+        )
+    anch = co.join(ext, "doc_id", "semi").select("rep").distinct()
+    return (
+        co.where(F.col("doc_id") == F.col("rep"))
+        .join(anch, "rep", "left_anti")
+        .select("doc_id")
+    )
+
+
+def _pipe5_replay_dir(sf_dir: str) -> str:
+    """Stage the ARRIVING batch — corpus_with_dups docs with
+    doc_id % 7 == 3, d11/d12's arrival convention, so the SAME persisted
+    base band index serves both — as ``_PIPE5_SLICES`` parquet files with
+    ascending mtimes (slice = (doc_id // 7) % 4, a deterministic rule the
+    DuckDB oracle replays), so a maxFilesPerTrigger=1 stream delivers the
+    batch as ordered micro-batches. Atomic publish via rename, keyed by
+    source path+mtime (replay_table_slices' discipline, re-derived here so
+    pipe5 never touches the streaming module's source hash)."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{_PIPE5_SLICES}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"spark_graft_pipe5_replay_{key}")
+    if os.path.isdir(out_dir):
+        return out_dir
+    work = f"{out_dir}.stage-{os.getpid()}-{_time.monotonic_ns()}"
+    os.makedirs(work)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    dups = t.filter(pa.array(ids % 10 == 0))
+    dups = dups.set_column(0, "doc_id", pc.add(dups.column("doc_id"), _DUP_OFFSET))
+    cwd = pa.concat_tables([t, dups])
+    cids = cwd.column("doc_id").to_numpy()
+    batch = cwd.filter(pa.array(cids % 7 == 3))
+    sl = (batch.column("doc_id").to_numpy() // 7) % _PIPE5_SLICES
+    base_t = _time.time() - 3600
+    for s in range(_PIPE5_SLICES):
+        part = batch.filter(pa.array(sl == s)).sort_by("doc_id")
+        path = os.path.join(work, f"{s:02d}_batch.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (base_t + 10 * s, base_t + 10 * s))
+    try:
+        os.rename(work, out_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return out_dir
+
+
+def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
+    """The production path: replay the arriving batch as micro-batches;
+    each ``foreachBatch`` gates the slice against FROZEN base-side state
+    (cached fp set + the bucket-sorted persisted band index + the frozen
+    LM — at 100 TB all three are published artifacts a curation service
+    reads, not per-batch recomputes) and APPENDS admitted docs to the
+    delta store the next micro-batch probes. Base index files are never
+    rewritten (p11's physical pin, asserted in tests)."""
+    import os
+
+    from .dedup import (
+        _band_buckets,
+        _signatures_from_shingled,
+        corpus_shingled,
+        persisted_band_index,
+        shingled_from_docs,
+    )
+
+    replay = _pipe5_replay_dir(sf_dir)
+    adm_path = os.path.join(state_dir, "admitted")
+    cnt_path = os.path.join(state_dir, "counts")
+    is_new = F.col("doc_id") % 7 == 3
+    corpus = corpus_with_dups(spark, sf_dir)
+    base_fps = (
+        corpus.where(~is_new)
+        .select(F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .distinct()
+        .cache()
+    )
+    base_sh = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0).where(~is_new)
+    base_idx = persisted_band_index(spark, sf_dir)  # read-only; never rewritten
+    bc, ctx, thr_df = _pipe5_frozen_lm(spark, sf_dir)
+    bc = bc.cache()
+    ctx = ctx.cache()
+    # the 1-row published threshold — bounded collect, like st7's bloom bytes
+    thr = thr_df.collect()[0]["thr_micro"]
+    empty = spark.createDataFrame(
+        [], "slice_id int, doc_id bigint, fp string, sh array<string>"
+    )
+    empty.write.mode("overwrite").parquet(adm_path)
+
+    slice_expr = F.expr(f"(doc_id div 7) % {_PIPE5_SLICES}").cast("int")
+
+    def gate_batch(bdf: DataFrame, epoch_id: int) -> None:
+        docs = bdf.select("doc_id", "text").cache()
+        # slice id + arrival count: ONE 1-row bounded collect per batch
+        head = docs.agg(
+            F.count(F.lit(1)).alias("n0"), F.min(slice_expr).alias("s")
+        ).collect()[0]
+        if head["n0"] == 0:
+            return
+        s, n0 = int(head["s"]), int(head["n0"])
+        fl = _pipe5_flags(docs).cache()
+        g1 = fl.where("lang_keep")
+        g2 = g1.where("gk").select("doc_id", "fp")
+        scores = _pipe5_bigram_scores(docs.join(g2.select("doc_id"), "doc_id"), bc, ctx)
+        g3 = g2.join(
+            scores.where(F.expr(f"(sb * 1000000) div nb <= {thr}")).select("doc_id"),
+            "doc_id",
+        ).cache()
+        state = spark.read.parquet(adm_path)
+        prior_fps = base_fps.union(state.select("fp")).distinct()
+        ex = _pipe5_exact_survivors(g3, prior_fps).cache()
+        sh_b = shingled_from_docs(docs.join(ex.select("doc_id"), "doc_id")).cache()
+        bands_b = _band_buckets(_signatures_from_shingled(sh_b)).cache()
+        a, b = bands_b.alias("a"), bands_b.alias("b")
+        cand_in = (
+            a.join(b, ["band", "k1", "k2"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        edges = _pipe5_jaccard_pairs(cand_in, sh_b, sh_b)
+        delta_sh = state.select("doc_id", "sh")
+        delta_bands = _band_buckets(_signatures_from_shingled(delta_sh)).selectExpr(
+            "doc_id AS old_doc", "band", "k1", "k2"
+        )
+        cand_ext = (
+            bands_b.join(base_idx.unionByName(delta_bands), ["band", "k1", "k2"])
+            .select(F.col("doc_id").alias("doc_a"), F.col("old_doc").alias("doc_b"))
+            .distinct()
+        )
+        prior_sh = base_sh.unionByName(delta_sh)
+        ext = (
+            _pipe5_jaccard_pairs(cand_ext, sh_b, prior_sh)
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        adm = _pipe5_fuzzy_resolve(ex, edges, ext).cache()
+        (
+            ex.join(adm, "doc_id", "semi")
+            .join(sh_b, "doc_id")
+            .select(F.lit(s).alias("slice_id"), "doc_id", "fp", "sh")
+            .write.mode("append")
+            .parquet(adm_path)
+        )
+
+        # the slice's funnel row, published in ONE job (broadcast crossJoin
+        # of 1-row aggregates — pipe4's count pattern)
+        def cnt(df: DataFrame, name: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+        (
+            spark.range(1)
+            .select(F.lit(s).alias("slice_id"), F.lit(n0).cast("bigint").alias("n0"))
+            .crossJoin(F.broadcast(cnt(g1, "n1")))
+            .crossJoin(F.broadcast(cnt(g2, "n2")))
+            .crossJoin(F.broadcast(cnt(g3, "n3")))
+            .crossJoin(F.broadcast(cnt(ex, "n4")))
+            .crossJoin(F.broadcast(cnt(adm, "n5")))
+            .write.mode("append")
+            .parquet(cnt_path)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    q = stream.writeStream.foreachBatch(gate_batch).trigger(availableNow=True).start()
+    q.awaitTermination(600)
+
+
+def _pipe5_audit(
+    spark: SparkSession, sf_dir: str, state_dir: str, admitted_out: dict | None = None
+) -> DataFrame:
+    """The batch recompute the driver's oracle verifies: re-derive every
+    slice's funnel from the raw tables, with each slice's PRIOR sides
+    (stored fingerprints / stored near-dup anchors) taken from the state
+    the stream just wrote — any wrong admit/reject in any micro-batch
+    shifts a downstream slice's counts and fails the oracle hash. Fuzzy
+    edges come from d5's pair surface restricted per slice (per-doc
+    signatures make restriction ≡ re-running LSH on the subset — dq9's
+    argument), which is provably the same candidate set the stream's
+    index probe generates. ``admitted_out`` (tests) receives each slice's
+    recomputed admitted-id frame for set-equality pins against the state."""
+    import os
+
+    adm_state = (
+        spark.read.parquet(os.path.join(state_dir, "admitted"))
+        .select("slice_id", "doc_id")
+        .cache()
+    )
+    corpus = corpus_with_dups(spark, sf_dir)
+    is_new = F.col("doc_id") % 7 == 3
+    batch = corpus.where(is_new).withColumn(
+        "sl", F.expr(f"(doc_id div 7) % {_PIPE5_SLICES}")
+    )
+    fl = _pipe5_flags(corpus).cache()
+    base_ids = corpus.where(~is_new).select("doc_id")
+    base_fps = fl.join(base_ids, "doc_id").select("fp").distinct()
+    bc, ctx, thr_df = _pipe5_frozen_lm(spark, sf_dir)
+    bf = batch.join(fl, "doc_id").cache()
+    g1 = bf.where("lang_keep")
+    g2 = g1.where("gk")
+    scores = _pipe5_bigram_scores(corpus.join(g2.select("doc_id"), "doc_id"), bc, ctx)
+    g3 = (
+        g2.join(scores, "doc_id")
+        .crossJoin(F.broadcast(thr_df))
+        .where(F.expr("(sb * 1000000) div nb") <= F.col("thr_micro"))
+        .select("doc_id", "sl", "fp")
+        .cache()
+    )
+    jp = d5_lsh_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    jps = jp.union(
+        jp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    funnels = []
+    for s in range(_PIPE5_SLICES):
+        prior_adm = adm_state.where(F.col("slice_id") < s).select("doc_id")
+        prior_fps = base_fps.union(fl.join(prior_adm, "doc_id").select("fp"))
+        ex = _pipe5_exact_survivors(g3.where(F.col("sl") == s), prior_fps).cache()
+        ex_a = ex.select(F.col("doc_id").alias("doc_a"))
+        ex_b = ex.select(F.col("doc_id").alias("doc_b"))
+        edges = jps.join(ex_a, "doc_a", "semi").join(ex_b, "doc_b", "semi")
+        prior_ids = base_ids.union(prior_adm)
+        ext = (
+            jps.join(ex_a, "doc_a", "semi")
+            .join(prior_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "semi")
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        adm = _pipe5_fuzzy_resolve(ex, edges, ext).cache()
+        if admitted_out is not None:
+            admitted_out[s] = adm
+        n = (
+            cnt(batch.where(F.col("sl") == s), "n0")
+            .crossJoin(F.broadcast(cnt(g1.where(F.col("sl") == s), "n1")))
+            .crossJoin(F.broadcast(cnt(g2.where(F.col("sl") == s), "n2")))
+            .crossJoin(F.broadcast(cnt(g3.where(F.col("sl") == s), "n3")))
+            .crossJoin(F.broadcast(cnt(ex, "n4")))
+            .crossJoin(F.broadcast(cnt(adm, "n5")))
+        )
+        funnels.append(
+            n.selectExpr(
+                """stack(6,
+                0, 'arrived',      n0, n0,
+                1, 'langid',       n0, n1,
+                2, 'gopher_rules', n1, n2,
+                3, 'perplexity',   n2, n3,
+                4, 'exact_dedup',  n3, n4,
+                5, 'fuzzy_dedup',  n4, n5
+            ) AS (stage_ord, stage, docs_in, docs_out)"""
+            ).select(
+                F.lit(s).cast("int").alias("slice_id"),
+                F.col("stage_ord").cast("int").alias("stage_ord"),
+                "stage",
+                F.col("docs_in").cast("bigint").alias("docs_in"),
+                F.col("docs_out").cast("bigint").alias("docs_out"),
+                (F.col("docs_in") - F.col("docs_out")).cast("bigint").alias("dropped"),
+            )
+        )
+    out = funnels[0]
+    for f in funnels[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _sql_pipe5() -> str:
+    S = _PIPE5_SLICES
+    lang_case = f"""CASE WHEN s_en + s_es + s_de + s_fr + s_zh = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END IN ({", ".join(f"'{lang}'" for lang in _PIPE4_LANGS)})"""
+    gopher = f"""(len(w) BETWEEN 20 AND 100000)
+          AND (CAST(list_aggregate(list_transform(w, x -> len(x)), 'sum') AS DOUBLE)
+                   / len(w) BETWEEN 3.0 AND 10.0)
+          AND (FLOOR(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   * 1000000.0 / len(w)) >= 800000)
+          AND (len(list_filter(w, x -> lower(x) IN ({_SQL_STOP_LIST}))) >= 2)
+          AND (len(list_filter(w, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) * 10 <= len(w))"""
+
+    def bigrams(src_ids: str) -> str:
+        return f"""SELECT doc_id, w1, w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                              recursive := true)
+                FROM (SELECT c.doc_id, {_SQL_TOKENS} AS t
+                      FROM corpus c JOIN ({src_ids}) ids USING (doc_id)))"""
+
+    parts = [f"""WITH RECURSIVE
+        corpus AS MATERIALIZED (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0),
+        fl AS MATERIALIZED (
+          SELECT doc_id, {lang_case} AS lang_keep, {gopher} AS gk,
+                 md5(lower(trim(text))) AS fp
+          FROM (SELECT doc_id, text, {_SQL_RAW_TOKENS} AS w,
+                       {_sql_lang_score('en')} AS s_en,
+                       {_sql_lang_score('es')} AS s_es,
+                       {_sql_lang_score('de')} AS s_de,
+                       {_sql_lang_score('fr')} AS s_fr,
+                       {_sql_lang_score('zh')} AS s_zh
+                FROM corpus)),
+        batch AS MATERIALIZED (
+          SELECT doc_id, (doc_id // 7) % {S} AS sl FROM corpus WHERE doc_id % 7 = 3),
+        base_ids AS MATERIALIZED (SELECT doc_id FROM corpus WHERE doc_id % 7 <> 3),
+        bsurv AS (SELECT f.doc_id FROM fl f JOIN base_ids b USING (doc_id)
+                  WHERE f.lang_keep AND f.gk),
+        tbig AS ({bigrams("SELECT doc_id FROM bsurv")}),
+        bc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cnt FROM tbig GROUP BY w1, w2),
+        ctx AS MATERIALIZED (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc FROM bc GROUP BY w1),
+        tsc AS (SELECT b.doc_id, length(bin(c.cc)) - length(bin(k.cnt)) AS bits
+                FROM tbig b JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+                JOIN ctx c ON b.w1 = c.w1),
+        tpd AS (SELECT doc_id, COUNT(*) AS nb, CAST(SUM(bits) AS BIGINT) AS sb
+                FROM tsc GROUP BY doc_id),
+        thr AS (SELECT (CAST(SUM(sb) AS BIGINT) * 1000000) // CAST(SUM(nb) AS BIGINT)
+                       AS t FROM tpd),
+        g2 AS MATERIALIZED (SELECT b.doc_id, b.sl, f.fp FROM batch b JOIN fl f USING (doc_id)
+                            WHERE f.lang_keep AND f.gk),
+        gbig AS ({bigrams("SELECT doc_id FROM g2")}),
+        gsc AS (SELECT b.doc_id, length(bin(c.cc)) - length(bin(k.cnt)) AS bits
+                FROM gbig b JOIN bc k ON b.w1 = k.w1 AND b.w2 = k.w2
+                JOIN ctx c ON b.w1 = c.w1),
+        gpd AS (SELECT doc_id, COUNT(*) AS nb, CAST(SUM(bits) AS BIGINT) AS sb
+                FROM gsc GROUP BY doc_id),
+        g3 AS MATERIALIZED (
+          SELECT g2.doc_id, g2.sl, g2.fp
+          FROM g2 JOIN gpd USING (doc_id), thr
+          WHERE (gpd.sb * 1000000) // gpd.nb <= thr.t),
+        base_fps AS MATERIALIZED (
+          SELECT DISTINCT f.fp FROM fl f JOIN base_ids b USING (doc_id)),
+        jp AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_SQL_D5_PAIRS})),
+        jps AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp
+                             UNION ALL SELECT doc_b AS a, doc_a AS b FROM jp)"""]
+    for s in range(S):
+        prior_fp_union = "".join(
+            f"\n                   UNION SELECT f.fp FROM adm_{t} a JOIN fl f ON f.doc_id = a.doc_id"
+            for t in range(s)
+        )
+        prior_id_union = "".join(
+            f"\n                   UNION ALL SELECT doc_id FROM adm_{t}" for t in range(s)
+        )
+        parts.append(f""",
+        pf_{s} AS (SELECT fp FROM base_fps{prior_fp_union}),
+        pr_{s} AS (SELECT doc_id FROM base_ids{prior_id_union}),
+        ex_{s} AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT g.doc_id, MIN(g.doc_id) OVER (PARTITION BY g.fp) AS canon
+            FROM g3 g
+            WHERE g.sl = {s} AND g.fp NOT IN (SELECT fp FROM pf_{s}))
+          WHERE doc_id = canon),
+        ed_{s} AS (SELECT j.a AS src, j.b AS dst FROM jps j
+                   WHERE j.a IN (SELECT doc_id FROM ex_{s})
+                     AND j.b IN (SELECT doc_id FROM ex_{s})),
+        ext_{s} AS (SELECT DISTINCT j.a AS doc_id FROM jps j
+                    WHERE j.a IN (SELECT doc_id FROM ex_{s})
+                      AND j.b IN (SELECT doc_id FROM pr_{s})),
+        reach_{s}(src, dst) AS (
+          SELECT src, src FROM ed_{s}
+          UNION
+          SELECT r.src, e.dst FROM reach_{s} r JOIN ed_{s} e ON e.src = r.dst),
+        co_{s} AS (SELECT e.doc_id, COALESCE(r.m, e.doc_id) AS rep
+                   FROM ex_{s} e LEFT JOIN
+                        (SELECT src, MIN(dst) AS m FROM reach_{s} GROUP BY src) r
+                        ON r.src = e.doc_id),
+        anch_{s} AS (SELECT DISTINCT c.rep FROM co_{s} c
+                     JOIN ext_{s} x ON x.doc_id = c.doc_id),
+        adm_{s} AS MATERIALIZED (
+          SELECT c.doc_id FROM co_{s} c
+          WHERE c.doc_id = c.rep AND c.rep NOT IN (SELECT rep FROM anch_{s})),
+        n_{s} AS (SELECT
+          (SELECT COUNT(*) FROM batch WHERE sl = {s}) AS n0,
+          (SELECT COUNT(*) FROM batch b JOIN fl f USING (doc_id) WHERE b.sl = {s} AND f.lang_keep) AS n1,
+          (SELECT COUNT(*) FROM g2 WHERE sl = {s}) AS n2,
+          (SELECT COUNT(*) FROM g3 WHERE sl = {s}) AS n3,
+          (SELECT COUNT(*) FROM ex_{s}) AS n4,
+          (SELECT COUNT(*) FROM adm_{s}) AS n5)""")
+    stages = [
+        ("0", "'arrived'", "n0", "n0"),
+        ("1", "'langid'", "n0", "n1"),
+        ("2", "'gopher_rules'", "n1", "n2"),
+        ("3", "'perplexity'", "n2", "n3"),
+        ("4", "'exact_dedup'", "n3", "n4"),
+        ("5", "'fuzzy_dedup'", "n4", "n5"),
+    ]
+    rows = []
+    for s in range(S):
+        for o, st, i, u in stages:
+            rows.append(
+                f"SELECT CAST({s} AS INT) AS slice_id, CAST({o} AS INT) AS stage_ord, "
+                f"{st} AS stage, CAST({i} AS BIGINT) AS docs_in, "
+                f"CAST({u} AS BIGINT) AS docs_out, CAST({i} - {u} AS BIGINT) AS dropped "
+                f"FROM n_{s}"
+            )
+    parts.append("\n        " + "\n        UNION ALL ".join(rows))
+    return "".join(parts)
+
+
+@register(
+    "pipe5_incremental_curation",
+    _sql_pipe5(),
+    tags=("pipeline", "curation", "streaming-incremental", "dedup", "funnel", "iterative"),
+    doc="STREAMING incremental curation — pipe4's production twin "
+    "(VERDICT r12 item 1): the arriving batch (doc_id % 7 == 3, d11/d12's "
+    "arrival convention) is replayed as 4 ordered micro-batch slices "
+    "(slice = (doc_id // 7) % 4); each foreachBatch gates its slice "
+    "through langid → Gopher → a FROZEN bigram-LM perplexity cut (model "
+    "AND threshold trained once on the BASE corpus's gate survivors — "
+    "the CCNet discipline: score arrivals against the reference "
+    "distribution, never retrain per batch) → exact dedup against the "
+    "stored fingerprint set → LSH fuzzy dedup probing the PERSISTED "
+    "bucket-sorted base band index (d12's zero-index-shuffle discipline; "
+    "base files never rewritten — p11's physical pin, test-asserted) "
+    "PLUS the delta bands of previously admitted arrivals, resolving "
+    "within-slice near-dup components by min-id rep and dropping whole "
+    "components anchored to a stored near-twin. Admitted docs APPEND "
+    "(doc_id, fp, shingles) to the delta store the next micro-batch "
+    "probes — first-arrival-wins, the honest incremental semantics (a "
+    "later near-twin can never evict an already-admitted doc). Output: "
+    "the per-(slice, stage) attrition funnel. The returned frame is the "
+    "batch AUDIT recompute: each slice's prior sides are read from the "
+    "state the stream JUST WROTE, so any wrong admit/reject in any "
+    "micro-batch shifts a later slice's counts and fails the oracle "
+    "hash; audit-vs-state set equality per slice is additionally pinned "
+    "in tests/test_r13_ops.py. The built-in dup re-insertions make the "
+    "batch carry exact copies of base docs (orig % 70 == 0): the "
+    "exact-dedup stage provably fires against the persisted state. At "
+    "100 TB: per-batch cost is |batch| gate scans + a bucketed index "
+    "probe + |batch|-bounded jaccard verifications — never a corpus "
+    "rescan; the funnel is the datasheet each ingestion cycle publishes.",
+)
+def pipe5_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:10]
+    state_dir = os.path.join("/tmp", f"spark_graft_pipe5_state_{key}")
+    if os.path.isdir(state_dir):
+        shutil.rmtree(state_dir)  # a fresh curation run, not a resume
+    # micro-batch jobs and the audit's star-alternation rounds shuffle a
+    # few hundred narrow rows each — run them at 8 partitions
+    # (run_available_now's state_partitions rationale), restore after.
+    # The returned funnel executes under the session setting.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        _pipe5_run_stream(spark, sf_dir, state_dir)
+        return _pipe5_audit(spark, sf_dir, state_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

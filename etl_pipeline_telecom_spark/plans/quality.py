@@ -566,6 +566,7 @@ def _dq9_sql_rank(col: str) -> str:
 
 
 def _sql_dq9() -> str:
+    from . import dedup  # noqa: F401  (registers d5; keeps this module import-independent)
     from ..catalog import REGISTRY
 
     d5 = REGISTRY["d5_lsh_jaccard_dedup"].sql

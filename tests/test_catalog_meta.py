@@ -168,3 +168,22 @@ def test_window_fill_is_stalest_first():
     # oldest cohort was BEFORE this round only if backlog is zero.
     if pol["backlog"][str(pol["current_round"])] == 0:
         assert pol["current_round"] - excluded_oldest <= pol["rotation_k"]
+
+
+def test_rotation_drift_cohort_within_budget():
+    """The k_rule's PREMISE, pinned at the round that would break it
+    (ADVICE r12): the schedulability law 50·K ≥ N + 8·K budgets at most
+    8 window slots per round for the drift cohort (new/changed queries).
+    The cohort is recorded per-round in window_history.json's "drift"
+    map from r13 on; a round needing 9+ drift slots must split across
+    rounds or revisit the law — this fails HERE, not K rounds later via
+    the staleness bound."""
+    pol = catalog.rotation_policy()
+    drift = pol.get("drift", {})
+    cur = str(pol["current_round"])
+    assert cur in drift, "current round's drift cohort is not recorded"
+    cohort = drift[cur]
+    assert len(cohort) <= 8, f"drift cohort {len(cohort)} exceeds the 8-slot budget"
+    # the cohort leads the window verbatim (window construction rule:
+    # new/changed first, then stalest fill)
+    assert list(catalog.DRIVER_WINDOW[: len(cohort)]) == list(cohort)
