@@ -343,6 +343,10 @@ def _load_all_plans() -> None:
 DRIVER_WINDOW = (
     # --- drift cohort (MUST re-verdict): the new r13 operators
     "pipe5_incremental_curation",
+    "sm12_epoch_shard_shuffle",
+    "m13_phash_neardup",
+    "t31_trigram_backoff_lm",
+    "v16_index_rebuild_trigger",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # lw=8 (all 24)
     "g2_throttle_debounce",
@@ -369,7 +373,7 @@ DRIVER_WINDOW = (
     "v9_ann_recall_eval",
     "w11_value_window_ops",
     "x3_json_schema_audit",
-    # lw=9 (first 25 of 36, name-ordered)
+    # lw=9 (first 21 of 36, name-ordered)
     "a10_histogram",
     "a12_domain",
     "a13_median",
@@ -391,10 +395,6 @@ DRIVER_WINDOW = (
     "e2_sliding_window",
     "f10_to_flag",
     "f11_f12_round_cast",
-    "f1_coerce_numeric",
-    "f2_median_fill",
-    "f3_const_fill",
-    "f4_bucketize",
 )
 
 

@@ -608,7 +608,7 @@ _G2B_HOT_THRESHOLD = 1_000_000
 @register(
     "g2b_throttle_skewfree",
     _G2_SQL,
-    tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle", "skew"),
+    tags=("applyInPandas", "grouped-map", "stateful-batch", "throttle", "skew", "headline"),
     doc="Skew-robust greedy throttle — the (user, month) pre-split with "
     "carry-in state that g2's scale notes promise, IMPLEMENTED and "
     "bit-identical to g2 (same recursive-CTE oracle verbatim), with "

@@ -1708,3 +1708,208 @@ def v15_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits").cast("double") / 3, 6).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v16: index-rebuild trigger — st8's drift monitor composed with v15's
+# persisted index (VERDICT r12 item 6; closes the ANN lifecycle
+# build → serve → maintain → rebuild)
+# ---------------------------------------------------------------------------
+
+_V16_MIS_PPM = 100_000    # rebuild when >10% of a cell's members sit closer
+#                           to ANOTHER cell's live centroid (misassignment is
+#                           what actually costs probe recall: a vector in the
+#                           wrong cell is invisible to probes of its true cell)
+_V16_DELTA_PPM = 300_000  # ...or when arrivals exceed 30% of the cell (the
+#                           model has never seen that much of its data)
+
+
+def _v16_live_centroids(members: DataFrame) -> DataFrame:
+    """(cid, lvec): the LIVE centroid of each cell's current membership
+    (base ∪ delta), st8's exact-integer moment sums over the quantized
+    vectors — the monitored quantity a maintenance pass derives without
+    touching the persisted model."""
+    exploded = members.select("cid", F.posexplode("qv").alias("dim", "val"))
+    return (
+        exploded.groupBy("cid", "dim")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1))).alias("lv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "lv"))), lambda s: s["lv"]
+            ).alias("lvec")
+        )
+    )
+
+
+def _v16_misassigned(members: DataFrame, live: DataFrame) -> DataFrame:
+    """(cid, n_mis): members whose nearest LIVE centroid is another cell
+    — v7's assignment rule (squared-L2, cid tie-break) against the k-row
+    broadcast of live centroids."""
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("lvec"))
+        + _dot(F.col("lvec"), F.col("lvec"))
+    )
+    dists = members.crossJoin(
+        F.broadcast(live.select(F.col("cid").alias("lcid"), "lvec"))
+    ).select("vec_id", "cid", "lcid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "lcid")
+    nearest = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "lcid")
+    )
+    return nearest.groupBy("cid").agg(
+        F.sum(F.when(F.col("lcid") != F.col("cid"), 1).otherwise(0)).alias("n_mis")
+    )
+
+
+_SQL_V16 = f"""WITH q AS ({_SQL_EMB}),
+        bse AS (SELECT * FROM q WHERE vec_id % {_V15_NEW_MOD} <> 3),
+        cent AS (
+          SELECT label AS cid, list(cv ORDER BY dim) AS cvec
+          FROM (SELECT label, dim, ROUND(SUM(val) / COUNT(*)) AS cv
+                FROM (SELECT label, generate_subscripts(qv, 1) - 1 AS dim,
+                             unnest(qv) AS val
+                      FROM bse)
+                GROUP BY label, dim)
+          GROUP BY label),
+        assign AS MATERIALIZED (
+          SELECT vec_id, qv, cid,
+                 vec_id % {_V15_NEW_MOD} = 3 AS is_new
+          FROM (
+            SELECT a.vec_id, a.qv, c.cid, {_SQL_V7_DIST} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_SQL_V7_DIST}, c.cid) AS rn
+            FROM q a CROSS JOIN cent c) WHERE rn = 1),
+        live AS MATERIALIZED (
+          SELECT cid, list(lv ORDER BY dim) AS lvec
+          FROM (SELECT cid, dim, ROUND(SUM(val) / COUNT(*)) AS lv
+                FROM (SELECT cid, generate_subscripts(qv, 1) - 1 AS dim,
+                             unnest(qv) AS val
+                      FROM assign)
+                GROUP BY cid, dim)
+          GROUP BY cid),
+        drift AS (
+          SELECT c.cid,
+                 CAST(list_sum(list_transform(range(1, len(c.cvec) + 1),
+                      i -> (c.cvec[i] - l.lvec[i]) * (c.cvec[i] - l.lvec[i])))
+                      AS BIGINT) AS drift_sq
+          FROM cent c JOIN live l ON l.cid = c.cid),
+        near AS (
+          SELECT vec_id, cid, lcid FROM (
+            SELECT a.vec_id, a.cid, l.cid AS lcid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                     list_dot_product(a.qv, a.qv)
+                     - 2 * list_dot_product(a.qv, l.lvec)
+                     + list_dot_product(l.lvec, l.lvec), l.cid) AS rn
+            FROM assign a CROSS JOIN live l) WHERE rn = 1),
+        mis AS (
+          SELECT cid, CAST(SUM(CASE WHEN lcid <> cid THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_mis
+          FROM near GROUP BY cid),
+        sizes AS (
+          SELECT cid,
+                 CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_base,
+                 CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_delta
+          FROM assign GROUP BY cid)
+        SELECT CAST(s.cid AS INT) AS cid, s.n_base, s.n_delta,
+               (s.n_delta * 1000000) // (s.n_base + s.n_delta) AS delta_ppm,
+               d.drift_sq,
+               (m.n_mis * 1000000) // (s.n_base + s.n_delta) AS misassign_ppm,
+               CASE WHEN (m.n_mis * 1000000) // (s.n_base + s.n_delta)
+                         > {_V16_MIS_PPM}
+                      OR (s.n_delta * 1000000) // (s.n_base + s.n_delta)
+                         > {_V16_DELTA_PPM}
+                    THEN 'rebuild' ELSE 'keep' END AS decision
+        FROM sizes s
+        JOIN drift d ON d.cid = s.cid
+        JOIN mis m ON m.cid = s.cid"""
+
+
+@register(
+    "v16_index_rebuild_trigger",
+    _SQL_V16,
+    tags=("similarity", "ivf", "index", "drift-monitor", "maintenance", "headline"),
+    doc="ANN index-rebuild trigger — st8's centroid-drift monitor composed "
+    "with v15's persisted index (VERDICT r12 item 6), closing the "
+    "lifecycle build → serve → maintain → REBUILD: per cell of the "
+    "persisted IVF model, read the base assignments and the staged "
+    "delta back from their files (the serving state — base files never "
+    "opened for write, v15's physical pin re-asserted in "
+    "tests/test_r13_ops.py), derive the LIVE centroid of the current "
+    "membership (st8's exact quantized moment sums), and emit: sizes, "
+    "the squared persisted-vs-live centroid drift, the MISASSIGNMENT "
+    "rate — members now closer to another cell's live centroid, which "
+    "is the quantity that actually costs probe recall (a vector in the "
+    "wrong cell is invisible to probes of its true cell; the crafted "
+    "test grades exactly that with the v9 recall harness before/after "
+    "rebuild) — and the keep/rebuild decision (misassign > 10%% or "
+    "delta fraction > 30%%, both integer-ppm comparisons). All "
+    "arithmetic is exact cross-engine: quantized integer-valued "
+    "doubles, ROUND on identical operands, integer micro divisions. "
+    "Plan: one pass over the serving files for the moment sums, one "
+    "k-row broadcast compare for misassignment (k = cells, never "
+    "corpus-sized), 1-row-per-cell output — at 100 TB this is the "
+    "cheap periodic health check that decides when to pay the "
+    "expensive rebuild, not the rebuild itself.",
+)
+def v16_index_rebuild_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base_dir = persisted_ivf_index(spark, sf_dir)
+    delta_dir = staged_ivf_delta(spark, sf_dir, base_dir)
+    cent = spark.read.parquet(os.path.join(base_dir, "cent"))
+    base = (
+        spark.read.parquet(os.path.join(base_dir, "assign"))
+        .select("vec_id", "qv", F.col("cid").cast("int").alias("cid"))
+        .withColumn("is_new", F.lit(False))
+    )
+    delta = (
+        spark.read.parquet(delta_dir)
+        .select("vec_id", "qv", F.col("cid").cast("int").alias("cid"))
+        .withColumn("is_new", F.lit(True))
+    )
+    members = base.unionByName(delta).cache()
+    live = _v16_live_centroids(members).cache()
+    drift = (
+        cent.select(F.col("cid").cast("int").alias("cid"), "cvec")
+        .join(live, "cid")
+        .select(
+            "cid",
+            F.aggregate(
+                F.zip_with("cvec", "lvec", lambda c, l: (c - l) * (c - l)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("bigint")
+            .alias("drift_sq"),
+        )
+    )
+    mis = _v16_misassigned(members, live)
+    sizes = members.groupBy("cid").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint").alias("n_base"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint").alias("n_delta"),
+    )
+    delta_ppm = F.expr("(n_delta * 1000000) div (n_base + n_delta)")
+    mis_ppm = F.expr("(n_mis * 1000000) div (n_base + n_delta)")
+    return (
+        sizes.join(drift, "cid")
+        .join(mis, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_base",
+            "n_delta",
+            delta_ppm.cast("bigint").alias("delta_ppm"),
+            "drift_sq",
+            mis_ppm.cast("bigint").alias("misassign_ppm"),
+            F.when(
+                (mis_ppm > _V16_MIS_PPM) | (delta_ppm > _V16_DELTA_PPM), "rebuild"
+            )
+            .otherwise("keep")
+            .alias("decision"),
+        )
+    )

@@ -2902,3 +2902,227 @@ def t30_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.cast("bigint").alias("micro_bits_per_bigram"),
         (micro > F.col("corpus_micro")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t31: TRIGRAM stupid backoff — t30's ladder grown one level
+# (VERDICT r12 item 5)
+# ---------------------------------------------------------------------------
+
+# Same surrogate space and split as t30; each eval TRIGRAM takes exactly
+# one of four paths, each backoff level paying α = 1/2 → +1 bit:
+#   seen trigram:                  bits = bl(cc3(w1,w2)) − bl(cnt3(w1,w2,w3))
+#   backoff→bigram ((w2,w3) seen): bits = 1 + bl(cc2(w2)) − bl(cnt2(w2,w3))
+#   backoff→unigram (w3 known):    bits = 2 + bl(T) − bl(ucnt(w3))
+#   OOV (w3 unknown):              bits = 2 + bl(T)
+# cnt2/cc2 are EXACTLY t30's bigram model (bc/ctx), so the →bigram rung
+# is "1 + t30's seen-bigram bits" by construction — pinned relationally
+# in tests/test_r13_ops.py. Only the 1-row bl(T) scalar is factored to
+# the doc level (t30's discipline); the bigram-rung bits are per-row
+# computable from the joined counts.
+
+_SQL_T31_TRIGRAMS = (
+    "unnest(list_transform(range(1, len(t) - 1), "
+    "i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}), recursive := true)"
+)
+
+
+@register(
+    "t31_trigram_backoff_lm",
+    f"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        tri AS MATERIALIZED (
+          SELECT doc_id, w1, w2, w3
+          FROM (SELECT doc_id, {_SQL_T31_TRIGRAMS} FROM toks)),
+        tc3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt3 FROM tri
+                WHERE doc_id % 10 < 8 GROUP BY w1, w2, w3),
+        c3 AS (SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS cc3
+               FROM tc3 GROUP BY w1, w2),
+        big AS (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id, {_SQL_T30_BIGRAMS} FROM toks)),
+        bc2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM big
+                WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        c2 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cc2 FROM bc2 GROUP BY w1),
+        uni AS (SELECT w2 AS w, COUNT(*) AS ucnt
+                FROM (SELECT doc_id, unnest(t) AS w2 FROM toks)
+                WHERE doc_id % 10 < 8 GROUP BY w2),
+        tt AS (SELECT length(bin(CAST(SUM(ucnt) AS BIGINT))) AS blt FROM uni),
+        j AS (
+          SELECT e.doc_id, t3.cnt3, x3.cc3, b2.cnt2, x2.cc2, u.ucnt
+          FROM (SELECT * FROM tri WHERE doc_id % 10 >= 8) e
+          LEFT JOIN tc3 t3 ON e.w1 = t3.w1 AND e.w2 = t3.w2 AND e.w3 = t3.w3
+          LEFT JOIN c3 x3 ON e.w1 = x3.w1 AND e.w2 = x3.w2
+          LEFT JOIN bc2 b2 ON e.w2 = b2.w1 AND e.w3 = b2.w2
+          LEFT JOIN c2 x2 ON e.w2 = x2.w1
+          LEFT JOIN uni u ON e.w3 = u.w),
+        pd AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_trigrams,
+                 COUNT(cnt3) AS n_seen3,
+                 COUNT(CASE WHEN cnt3 IS NULL AND cnt2 IS NOT NULL THEN 1 END)
+                     AS n_backoff2,
+                 COUNT(CASE WHEN cnt3 IS NULL AND cnt2 IS NULL
+                            AND ucnt IS NOT NULL THEN 1 END) AS n_backoff1,
+                 COUNT(CASE WHEN cnt3 IS NULL AND cnt2 IS NULL
+                            AND ucnt IS NULL THEN 1 END) AS n_oov,
+                 CAST(COALESCE(SUM(CASE WHEN cnt3 IS NOT NULL
+                          THEN length(bin(cc3)) - length(bin(cnt3)) END), 0)
+                      AS BIGINT) AS bits_seen3,
+                 CAST(COALESCE(SUM(CASE WHEN cnt3 IS NULL AND cnt2 IS NOT NULL
+                          THEN 1 + length(bin(cc2)) - length(bin(cnt2)) END), 0)
+                      AS BIGINT) AS bits_b2,
+                 CAST(COALESCE(SUM(CASE WHEN cnt3 IS NULL AND cnt2 IS NULL
+                          AND ucnt IS NOT NULL
+                          THEN length(bin(ucnt)) END), 0)
+                      AS BIGINT) AS bl_b1
+          FROM j GROUP BY doc_id),
+        pd2 AS MATERIALIZED (
+          SELECT doc_id, n_trigrams, n_seen3, n_backoff2, n_backoff1, n_oov,
+                 bits_seen3 + bits_b2
+                 + (n_backoff1 + n_oov) * (2 + blt) - bl_b1 AS bits_total
+          FROM pd, tt),
+        corpus AS (
+          SELECT (CAST(SUM(bits_total) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_trigrams) AS BIGINT) AS corpus_micro
+          FROM pd2)
+        SELECT doc_id,
+               CAST(n_trigrams AS BIGINT) AS n_trigrams,
+               CAST(n_seen3 AS BIGINT) AS n_seen3,
+               CAST(n_backoff2 AS BIGINT) AS n_backoff2,
+               CAST(n_backoff1 AS BIGINT) AS n_backoff1,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST(bits_total AS BIGINT) AS bits_total,
+               CAST((bits_total * 1000000) // n_trigrams AS BIGINT)
+                   AS micro_bits_per_trigram,
+               ((bits_total * 1000000) // n_trigrams) > corpus_micro AS flagged
+        FROM pd2, corpus""",
+    tags=("text", "lm", "quality", "surprisal", "train-eval", "headline"),
+    doc="Trigram stupid backoff — t30's ladder grown one level (VERDICT "
+    "r12 item 5): a trigram→bigram→unigram LM (Brants et al. 2007, "
+    "α = 1/2 per rung → +1 exact bit each) trained on the doc_id %% 10 "
+    "< 8 split, scoring every held-out trigram through exactly one of "
+    "four paths — seen trigram (MLE bits), backoff to the bigram "
+    "(1 + bl(cc2(w2)) − bl(cnt2(w2,w3)) — cnt2/cc2 ARE t30's bigram "
+    "model, so this rung is provably 1 + t30's seen-bigram bits, "
+    "pinned relationally in tests/test_r13_ops.py), backoff to the "
+    "unigram (2 + bl(T) − bl(ucnt)), or OOV (2 + bl(T)). All-integer "
+    "surrogate space (t24/t30 discipline) — bit-identical cross-"
+    "engine. Output per eval doc (≥1 trigram): the four path counts, "
+    "total bits, micro bits/trigram, above-corpus-mean flag. Plan: ONE "
+    "tokenize pass feeds trigram (two leads) and bigram (one lead) "
+    "frames; model counts are map-side-combinable aggs; the eval side "
+    "takes five vocabulary-keyed LEFT joins (no broadcast hint — the "
+    "t9/t24 discipline) and the 1-row bl(T)/corpus-mean scalars "
+    "broadcast onto the doc-sized frame only; the per-doc frame is "
+    "cached (a25/t29 lesson). At 100 TB: the trigram model table is "
+    "the new cost center — it grows with distinct trigrams, which is "
+    "why production LMs prune counts < k; the plan's count tables "
+    "accept a HAVING cut without reshaping anything else.",
+)
+def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    tri = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+            F.lead("tok", 2).over(w).alias("w3"),
+        )
+        .where(F.col("w3").isNotNull())
+    )
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    is_train = F.col("doc_id") % 10 < 8
+    tc3 = tri.where(is_train).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("cnt3")
+    )
+    c3 = tc3.groupBy("w1", "w2").agg(F.sum("cnt3").cast("bigint").alias("cc3"))
+    bc2 = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c2 = bc2.groupBy("w1").agg(F.sum("cnt2").cast("bigint").alias("cc2"))
+    uni = (
+        toks.where(is_train)
+        .groupBy(F.col("tok").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tt = uni.agg(F.length(F.bin(F.sum("ucnt").cast("bigint"))).alias("blt"))
+    e = tri.where(~is_train)
+    j = (
+        e.join(tc3, ["w1", "w2", "w3"], "left")
+        .join(c3, ["w1", "w2"], "left")
+        .join(
+            bc2.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), "cnt2"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c2.select(F.col("w1").alias("w2"), "cc2"), ["w2"], "left")
+        .join(uni, ["w3"], "left")
+    )
+    seen3 = F.col("cnt3").isNotNull()
+    b2 = ~seen3 & F.col("cnt2").isNotNull()
+    b1 = ~seen3 & F.col("cnt2").isNull() & F.col("ucnt").isNotNull()
+    oov = ~seen3 & F.col("cnt2").isNull() & F.col("ucnt").isNull()
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731
+    pd = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count("cnt3").alias("n_seen3"),
+        F.count(F.when(b2, 1)).alias("n_backoff2"),
+        F.count(F.when(b1, 1)).alias("n_backoff1"),
+        F.count(F.when(oov, 1)).alias("n_oov"),
+        F.coalesce(F.sum(F.when(seen3, bl(F.col("cc3")) - bl(F.col("cnt3")))), F.lit(0))
+        .cast("bigint")
+        .alias("bits_seen3"),
+        F.coalesce(
+            F.sum(F.when(b2, 1 + bl(F.col("cc2")) - bl(F.col("cnt2")))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("bits_b2"),
+        F.coalesce(F.sum(F.when(b1, bl(F.col("ucnt")))), F.lit(0))
+        .cast("bigint")
+        .alias("bl_b1"),
+    )
+    pd2 = (
+        pd.crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_seen3",
+            "n_backoff2",
+            "n_backoff1",
+            "n_oov",
+            (
+                F.col("bits_seen3")
+                + F.col("bits_b2")
+                + (F.col("n_backoff1") + F.col("n_oov")) * (2 + F.col("blt"))
+                - F.col("bl_b1")
+            ).alias("bits_total"),
+        )
+        .cache()  # read by the corpus-mean aggregate AND the final
+        # projection (t30's cache rationale); 7 ints per eval doc
+    )
+    corpus = pd2.agg(
+        F.expr(
+            "(CAST(SUM(bits_total) AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_trigrams) AS BIGINT)"
+        ).alias("corpus_micro")
+    )
+    micro = F.expr("(bits_total * 1000000) div n_trigrams")
+    return pd2.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+        F.col("n_seen3").cast("bigint").alias("n_seen3"),
+        F.col("n_backoff2").cast("bigint").alias("n_backoff2"),
+        F.col("n_backoff1").cast("bigint").alias("n_backoff1"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.col("bits_total").cast("bigint").alias("bits_total"),
+        micro.cast("bigint").alias("micro_bits_per_trigram"),
+        (micro > F.col("corpus_micro")).alias("flagged"),
+    )

@@ -309,6 +309,22 @@ PROBES += [
     "dq9_neardup_split_leakage",
 ]
 
+# r13 additions: streaming incremental curation (pipe4's gates per
+# micro-batch against the persisted band index — the probe watches that
+# per-batch cost stays batch- and index-probe-bound, never a corpus
+# rescan), the epoch shuffle (two-pass bucketed global rank — the probe
+# watches for a single-partition sort sneaking back in), pHash dedup
+# (m6's banded shape with the DCT in the Arrow stage), the trigram LM
+# (the trigram count table is the new cost center), and the rebuild
+# trigger (per-cell moment sums + a k-row broadcast compare)
+PROBES += [
+    "pipe5_incremental_curation",
+    "sm12_epoch_shard_shuffle",
+    "m13_phash_neardup",
+    "t31_trigram_backoff_lm",
+    "v16_index_rebuild_trigger",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
