@@ -221,6 +221,20 @@ _BNLJ_ALLOWED = {
                          # (v7's adjudication) and v1/v9's guarded Q=10
                          # query-sample broadcast for the exact
                          # ground-truth pass — every BNLJ side bounded
+    "pipe5_incremental_curation",  # pipe4's funnel pattern per slice:
+                         # six 1-row count aggregates crossed into one
+                         # stack() row, plus the frozen LM's 1-row
+                         # threshold scalar (t24 pattern) — nothing
+                         # corpus-sized meets a BNLJ; the dedup probes
+                         # are all equi-joins on band keys
+    "t31_trigram_backoff_lm",  # t30's adjudication verbatim: two 1-row
+                         # scalars (bl(T), eval-corpus mean) crossed
+                         # onto the DOC-sized frame; all five model
+                         # joins are vocabulary-keyed LEFT equi-joins
+    "v16_index_rebuild_trigger",  # the k-row LIVE-centroid broadcast
+                         # for the misassignment compare (v7/v15's
+                         # k-row adjudication; k = cells, never
+                         # data-sized)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -263,6 +277,12 @@ _GUARDED = [
     # dq9 rides d5's audited pair surface; its own contract (zero added
     # joins) is pinned separately below
     "dq9_neardup_split_leakage",
+    # r13 additions: pipe5/t31/v16 carry their justified bounded BNLJs
+    # above; sm12's rank join is a broadcast of the 64-row offset table
+    # (equi-join) and m13's candidate join is a pure band-key equi-join
+    "pipe5_incremental_curation", "sm12_epoch_shard_shuffle",
+    "m13_phash_neardup", "t31_trigram_backoff_lm",
+    "v16_index_rebuild_trigger",
 ]
 
 
