@@ -137,37 +137,46 @@ def main() -> None:
             )
 
     total = round(sum(warm.values()), 3)
-    # everything that joined the headline set AFTER r3 — excluded from the
-    # r3-comparable sum: the four r3-new operators pinned per VERDICT r3
-    # item 7, plus the five mid-round-4 additions
-    post_r3 = {
-        "t9_tfidf_topterms", "v7_ivf_probe", "d12_persisted_lsh_probe",
-        "d13_contamination_bloom",
-        "t10_bpe_pretokenize", "e6_gap_fill", "p2_upsert_latest",
-        "sm3_split_assign", "v8_embedding_decontam",
-        "e7_cohort_retention", "w9_ntile_buckets", "a18_exact_corr",
-        "t11_bigram_topk", "st5_stream_static_join",
-        # r5 additions
-        "e8_funnel_steps", "p3_scd2_intervals", "a19_grouped_regression",
-        "sm4_weighted_sample", "dq3_outlier_bands",
-        # r6 additions (streaming st7/st8 stay out of the bench set, the
-        # st6 precedent — replay-harness overhead, not plan cost)
-        "d15_fuzzy_indel_pairs", "m4_media_exact_dedup",
-        # r7 additions (the r6-late headline joiners — t13/t14/dq4/a21/
-        # e10/a20/sm5/sm6/j8 — stay IN the compat sum: r6 recorded them
-        # there, and the r6↔r7 comparison outranks the stale "20q" label)
-        "t17_bpe_encode", "t18_pii_scrub", "t19_gopher_flags",
-        "a22_countmin_heavy_hitters", "sm7_token_budget_cut",
-        "j9_interval_bucket_join", "a23_histogram_quantiles",
-        "m5_shard_manifest", "v10_sq8_ann_recall", "pipe3_dataset_card",
-    }
-    compat_20q = round(sum(t for n, t in warm.items() if n not in post_r3), 3)
+    # The gate-metric basket is FROZEN (VERDICT r13 finding 1): the old
+    # exclusion-list scheme ("everything that joined after r3") stopped
+    # accreting at the r7 additions, so every r8-r13 headline joiner
+    # silently leaked INTO the compat sum — by r13 the drift was +6.3 s
+    # against a fixed 53.244 s gate. The fix is membership by EXPLICIT
+    # inclusion: COMPAT_FROZEN is the 47-query basket whose sum the r13
+    # judge verified like-for-like across r12 (26.144 s) and r13
+    # (28.294 s) — derived as {r13 headline set} minus the old exclusion
+    # list minus the five r13 joiners. New headline queries report
+    # in the full-set total ("value") only; this tuple never grows, and
+    # a member that leaves the headline set shrinks "compat_n" loudly
+    # rather than silently re-weighting the sum.
+    COMPAT_FROZEN = frozenset({
+        "a10_histogram", "a13_median", "a20_hll_union",
+        "a21_poisson_bootstrap", "a4_group_avg", "a6_pct_of_total",
+        "a7_pivot_counts", "d10_contamination_check", "d18_substring_dedup",
+        "d19_url_dedup", "d5_lsh_jaccard_dedup", "dq1_lineitem_checks",
+        "dq4_distribution_drift", "dq9_neardup_split_leakage",
+        "e10_time_weighted_avg", "e1_tumbling_window", "e3_session_window",
+        "f11_f12_round_cast", "j2_revenue_topk", "j6_star_join",
+        "j8_temporal_snapshot_join", "m10_image_meta_gate",
+        "m11_audio_quality_gate", "m12_video_scene_dedup",
+        "m1_media_features", "m6_perceptual_neardup", "m9_image_text_score",
+        "p10_compaction_exec", "p11_incremental_compact",
+        "pipe2_ingest_gate", "s1_union_distinct", "sm5_temperature_mix",
+        "st1_stream_tumbling", "t13_line_dedup", "t14_cdc_chunks",
+        "t24_bigram_surprisal", "t25_langid_train", "t28_quality_classifier",
+        "t29_perplexity_buckets", "t2_quality_score", "t30_backoff_lm",
+        "v13_pq_adc_refine", "v14_ivf_pq_recall", "v15_incremental_ann",
+        "v4_embedding_neardup", "v6_gemm_neardup", "w1_rank_topk_per_group",
+    })
+    compat_members = [n for n in warm if n in COMPAT_FROZEN]
+    compat_20q = round(sum(warm[n] for n in compat_members), 3)
     payload = {
         "metric": f"headline_queries_total_wall_warm_min{WARM_RUNS}_{len(names)}q",
         "value": total,
         "unit": "sec",
         "n_queries": len(names),
         "value_20q_r3_compat": compat_20q,
+        "compat_n": len(compat_members),
         "queries": warm,
         "queries_std": std,
         "queries_cold": cold,
@@ -186,7 +195,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(f"full payload -> {out_path}", file=sys.stderr)
-    compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "queries", "sf")}
+    compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "compat_n", "queries", "sf")}
     # two aggregate plan-metric fields in the DRIVER artifact itself (the
     # per-query breakdown lives in the committed side file): total shuffle
     # write and total rows read across the set — if these match the prior

@@ -167,6 +167,7 @@ def test_bench_stdout_line_fits_recorder_window():
         "unit": "sec",
         "n_queries": len(bench_set),
         "value_20q_r3_compat": 9999.999,
+        "compat_n": 47,
         "queries": {short[n]: 999.99 for n in bench_set},
         "sf": 0.1,
         "shuffle_mb": 99999.9,
@@ -177,3 +178,39 @@ def test_bench_stdout_line_fits_recorder_window():
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1800, (len(line), "headline set grew past the window again")
+
+
+def test_bench_compat_basket_frozen():
+    """r14 (VERDICT r13 finding 1): the gate-metric basket is membership-
+    by-INCLUSION now — the old post_r3 exclusion list silently leaked
+    every r8-r13 headline joiner into the compat sum. Pin the frozen
+    basket: exactly the 47 names the r13 judge verified like-for-like
+    (26.144 s r12 / 28.294 s r13), every member still registered and
+    headline-tagged (a member dropped from the headline set would shrink
+    the sum silently), and no bench-set newcomer can join it."""
+    import hashlib
+
+    from bench import main as _  # noqa: F401 — import side check only
+    import bench
+    from etl_pipeline_telecom_spark import catalog
+
+    src = open(bench.__file__).read()
+    assert "COMPAT_FROZEN" in src and "post_r3" not in src
+    # the basket is a function-local literal; re-derive it by executing
+    # the frozenset expression out of the source text
+    import ast, re
+
+    m = re.search(r"COMPAT_FROZEN = frozenset\((\{[^}]+\})\)", src, re.S)
+    frozen = frozenset(ast.literal_eval(m.group(1)))
+    assert len(frozen) == 47
+    # membership digest: any edit to the basket must be a deliberate,
+    # reviewed change (update this hash together with a NOTES entry)
+    digest = hashlib.md5(",".join(sorted(frozen)).encode()).hexdigest()
+    assert digest == "17c34a095315869a6c2f62857c31b912", digest
+    specs = catalog.specs()
+    bench_set = set(bench.HEADLINE) | {
+        n for n, s in specs.items() if "headline" in s.tags
+    }
+    for n in sorted(frozen):
+        assert n in specs, n
+        assert n in bench_set, (n, "left the bench set")
