@@ -2006,8 +2006,13 @@ def _pipe5_replay_dir(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
+    # size + mtime_ns, not bare mtime: a regenerated fixture that lands
+    # within coarse-mtime granularity (or a copy with preserved
+    # timestamps) must not serve stale slices — writers._stage_key's
+    # staleness contract (ADVICE r13)
+    st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{_PIPE5_SLICES}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{_PIPE5_SLICES}".encode()
     ).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"spark_graft_pipe5_replay_{key}")
     if os.path.isdir(out_dir):
@@ -2071,6 +2076,16 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
     ctx = ctx.cache()
     # the 1-row published threshold — bounded collect, like st7's bloom bytes
     thr = thr_df.collect()[0]["thr_micro"]
+    if thr is None:  # degenerate base corpus: no langid+gopher survivors
+        # or no model-seen bigrams — fail HERE with the precondition named
+        # instead of embedding 'None' into a filter expression that dies
+        # later with an opaque parse error (ADVICE r13)
+        raise ValueError(
+            "pipe5: frozen-LM threshold is NULL — the base corpus produced "
+            "no scoreable training survivors (langid+gopher gate left "
+            "nothing, or no eval bigram hit a model bigram); pipe5 needs a "
+            "non-degenerate base corpus to freeze a quality model from"
+        )
     empty = spark.createDataFrame(
         [], "slice_id int, doc_id bigint, fp string, sh array<string>"
     )
@@ -2112,11 +2127,19 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
         delta_bands = _band_buckets(_signatures_from_shingled(delta_sh)).selectExpr(
             "doc_id AS old_doc", "band", "k1", "k2"
         )
-        cand_ext = (
-            bands_b.join(base_idx.unionByName(delta_bands), ["band", "k1", "k2"])
-            .select(F.col("doc_id").alias("doc_a"), F.col("old_doc").alias("doc_b"))
-            .distinct()
+        # TWO probe joins, not one against a union: unioning the delta
+        # onto the persisted index would discard the index's bucketed
+        # layout and re-shuffle (or fully re-scan) the base side every
+        # micro-batch — d12's zero-index-shuffle discipline only holds
+        # when the bucketed join sees the index unmodified (ADVICE r13).
+        # The tiny delta side takes its own join; results union after.
+        cand_base = bands_b.join(base_idx, ["band", "k1", "k2"]).select(
+            F.col("doc_id").alias("doc_a"), F.col("old_doc").alias("doc_b")
         )
+        cand_delta = bands_b.join(delta_bands, ["band", "k1", "k2"]).select(
+            F.col("doc_id").alias("doc_a"), F.col("old_doc").alias("doc_b")
+        )
+        cand_ext = cand_base.unionByName(cand_delta).distinct()
         prior_sh = base_sh.unionByName(delta_sh)
         ext = (
             _pipe5_jaccard_pairs(cand_ext, sh_b, prior_sh)
@@ -2124,30 +2147,38 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
             .distinct()
         )
         adm = _pipe5_fuzzy_resolve(ex, edges, ext).cache()
-        (
-            ex.join(adm, "doc_id", "semi")
-            .join(sh_b, "doc_id")
-            .select(F.lit(s).alias("slice_id"), "doc_id", "fp", "sh")
-            .write.mode("append")
-            .parquet(adm_path)
-        )
+        try:
+            (
+                ex.join(adm, "doc_id", "semi")
+                .join(sh_b, "doc_id")
+                .select(F.lit(s).alias("slice_id"), "doc_id", "fp", "sh")
+                .write.mode("append")
+                .parquet(adm_path)
+            )
 
-        # the slice's funnel row, published in ONE job (broadcast crossJoin
-        # of 1-row aggregates — pipe4's count pattern)
-        def cnt(df: DataFrame, name: str) -> DataFrame:
-            return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+            # the slice's funnel row, published in ONE job (broadcast
+            # crossJoin of 1-row aggregates — pipe4's count pattern)
+            def cnt(df: DataFrame, name: str) -> DataFrame:
+                return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
-        (
-            spark.range(1)
-            .select(F.lit(s).alias("slice_id"), F.lit(n0).cast("bigint").alias("n0"))
-            .crossJoin(F.broadcast(cnt(g1, "n1")))
-            .crossJoin(F.broadcast(cnt(g2, "n2")))
-            .crossJoin(F.broadcast(cnt(g3, "n3")))
-            .crossJoin(F.broadcast(cnt(ex, "n4")))
-            .crossJoin(F.broadcast(cnt(adm, "n5")))
-            .write.mode("append")
-            .parquet(cnt_path)
-        )
+            (
+                spark.range(1)
+                .select(F.lit(s).alias("slice_id"), F.lit(n0).cast("bigint").alias("n0"))
+                .crossJoin(F.broadcast(cnt(g1, "n1")))
+                .crossJoin(F.broadcast(cnt(g2, "n2")))
+                .crossJoin(F.broadcast(cnt(g3, "n3")))
+                .crossJoin(F.broadcast(cnt(ex, "n4")))
+                .crossJoin(F.broadcast(cnt(adm, "n5")))
+                .write.mode("append")
+                .parquet(cnt_path)
+            )
+        finally:
+            # per-batch caches die with the batch: both outputs are on
+            # parquet by now, and in the long-running-ingest scenario this
+            # operator models, leaked batch caches grow executor storage
+            # linearly with batch count (ADVICE r13)
+            for df in (docs, fl, g3, ex, sh_b, bands_b, adm):
+                df.unpersist()
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -2155,7 +2186,21 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
         .parquet(replay)
     )
     q = stream.writeStream.foreachBatch(gate_batch).trigger(availableNow=True).start()
-    q.awaitTermination(600)
+    try:
+        if not q.awaitTermination(600):
+            # a hung/slow micro-batch must fail LOUDLY here — falling
+            # through would audit partial delta state and return a
+            # silently wrong funnel (ADVICE r13)
+            q.stop()
+            raise TimeoutError(
+                "pipe5: availableNow stream did not finish within 600s — "
+                "delta state is incomplete; refusing to audit it"
+            )
+    finally:
+        # the run's frozen-model caches are only needed while micro-batches
+        # execute; the audit re-derives everything from parquet state
+        for df in (bc, ctx, base_fps):
+            df.unpersist()
 
 
 def _pipe5_audit(
