@@ -3126,3 +3126,202 @@ def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.cast("bigint").alias("micro_bits_per_trigram"),
         (micro > F.col("corpus_micro")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t32: Kneser–Ney smoothed LM — the t30/t31 backoff ladder grown
+# CONTINUATION COUNTS (VERDICT r13 item 5)
+# ---------------------------------------------------------------------------
+
+# Stupid backoff (t30/t31) backs off to the RAW unigram distribution,
+# which over-scores words that are frequent but contextually promiscuous
+# ("Francisco" appears often, yet almost only after "San" — it should be
+# a TERRIBLE backoff guess). Kneser–Ney (Kneser & Ney 1995; Chen &
+# Goodman 1999) fixes both halves of the estimate:
+#   * absolute discounting — every seen bigram gives up a fixed D of its
+#     count: p_seen(w2|w1) = (c(w1,w2) − D) / c(w1);
+#   * the backoff distribution is the CONTINUATION probability
+#     P_cont(w2) = N1+(·,w2) / N1+(··) — "in how many distinct contexts
+#     does w2 complete a bigram", not "how often does w2 occur" — with
+#     backoff weight λ(w1) = D·N1+(w1,·)/c(w1) (the mass the discount
+#     freed, spread over w1's distinct continuations).
+# This is the BACKOFF (Katz-style) form of KN, with D = 1/2 as a FIXED
+# RATIONAL so every intermediate stays an exact integer:
+#   c − 1/2 = (2c−1)/2,  so in floor-log2 bit-length surrogate space
+#   (bl(x) = length(bin(x)), the t24/t30/t31 discipline — ln()/log2()
+#   can flip last-ulp cross-engine):
+#   seen bigram:             bits = bl(2·cc(w1)) − bl(2·cnt(w1,w2) − 1)
+#   KN backoff (w1 known):   bits = bl(2·cc(w1)·T2) − bl(n1p(w1)·ct(w2))
+#                            [p = λ(w1)·P_cont(w2)
+#                               = (n1p·ct) / (2·cc·T2) exactly]
+#   continuation (w1 unseen): bits = bl(T2) − bl(ct(w2))   [p = P_cont]
+#   OOV (w2 completes nothing): bits = 1 + bl(T2)           [p ≈ 1/(2·T2)]
+# where n1p(w1) = N1+(w1,·), ct(w2) = N1+(·,w2), T2 = N1+(··) = distinct
+# train bigram types. Every path is non-negative by construction
+# (2·cnt−1 < 2·cc, n1p ≤ cc ∧ ct ≤ T2 ⇒ n1p·ct < 2·cc·T2, ct ≤ T2).
+# Path taxonomy is exhaustive and mutually exclusive: seen ⇒ ct and cc
+# both known; OOV is checked on ct alone (a train token seen ONLY
+# doc-initially has ucnt > 0 but ct NULL — t30 would back off to it,
+# KN correctly treats it as completing nothing, which is why per-doc
+# n_oov here can exceed t30's — the relational pin in
+# tests/test_r14_ops.py).
+
+@register(
+    "t32_kneser_ney_lm",
+    f"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+        big AS MATERIALIZED (
+          SELECT doc_id, w1, w2
+          FROM (SELECT doc_id, {_SQL_T30_BIGRAMS} FROM toks)),
+        bc AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS cnt FROM big
+          WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cc,
+                       CAST(COUNT(*) AS BIGINT) AS n1p
+                FROM bc GROUP BY w1),
+        cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ct
+                 FROM bc GROUP BY w2),
+        t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS t2 FROM bc),
+        j AS (
+          SELECT e.doc_id, b.cnt, c.cc, c.n1p, u.ct, t2.t2
+          FROM (SELECT * FROM big WHERE doc_id % 10 >= 8) e
+          LEFT JOIN bc b ON e.w1 = b.w1 AND e.w2 = b.w2
+          LEFT JOIN ctx c ON e.w1 = c.w1
+          LEFT JOIN cont u ON e.w2 = u.w2
+          CROSS JOIN t2),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN cnt IS NOT NULL THEN 'seen'
+                      WHEN ct IS NULL THEN 'oov'
+                      WHEN cc IS NOT NULL THEN 'kn'
+                      ELSE 'cont' END AS path,
+                 CASE WHEN cnt IS NOT NULL
+                        THEN length(bin(2 * cc)) - length(bin(2 * cnt - 1))
+                      WHEN ct IS NULL THEN 1 + length(bin(t2))
+                      WHEN cc IS NOT NULL
+                        THEN length(bin(2 * cc * t2)) - length(bin(n1p * ct))
+                      ELSE length(bin(t2)) - length(bin(ct)) END AS bits
+          FROM j),
+        pd2 AS MATERIALIZED (
+          SELECT doc_id,
+                 COUNT(*) AS n_bigrams,
+                 COUNT(CASE WHEN path = 'seen' THEN 1 END) AS n_seen,
+                 COUNT(CASE WHEN path = 'kn' THEN 1 END) AS n_kn_backoff,
+                 COUNT(CASE WHEN path = 'cont' THEN 1 END) AS n_cont,
+                 COUNT(CASE WHEN path = 'oov' THEN 1 END) AS n_oov,
+                 CAST(SUM(bits) AS BIGINT) AS bits_total
+          FROM scored GROUP BY doc_id),
+        corpus AS (
+          SELECT (CAST(SUM(bits_total) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_bigrams) AS BIGINT) AS corpus_micro
+          FROM pd2)
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_seen AS BIGINT) AS n_seen,
+               CAST(n_kn_backoff AS BIGINT) AS n_kn_backoff,
+               CAST(n_cont AS BIGINT) AS n_cont,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST(bits_total AS BIGINT) AS bits_total,
+               CAST((bits_total * 1000000) // n_bigrams AS BIGINT)
+                   AS micro_bits_per_bigram,
+               ((bits_total * 1000000) // n_bigrams) > corpus_micro AS flagged
+        FROM pd2, corpus""",
+    tags=("text", "lm", "quality", "surprisal", "train-eval", "headline"),
+    doc="Kneser–Ney smoothed LM scoring — the standard data-quality "
+    "scorer the stupid-backoff family (t30/t31) approximates (VERDICT "
+    "r13 item 5): absolute discounting with D = 1/2 kept as a FIXED "
+    "RATIONAL ((2c−1)/2 — every intermediate an exact integer) and the "
+    "backoff distribution replaced by CONTINUATION probability "
+    "N1+(·,w2)/N1+(··) with backoff weight λ(w1) = D·N1+(w1,·)/c(w1), "
+    "so frequent-but-context-bound words stop being good backoff "
+    "guesses. Trained on the doc_id %% 10 < 8 split (t30's model "
+    "surface grown two count tables: per-context and per-word distinct-"
+    "continuation counts — both plain aggregates of the SAME bigram "
+    "count table); every held-out bigram takes exactly one of four "
+    "paths — discounted-seen, λ·P_cont backoff, raw P_cont (unseen "
+    "context), or OOV (completes nothing in train). All-integer "
+    "floor-log2 surrogate space (t24/t30/t31 discipline) — "
+    "bit-identical cross-engine; products stay < 2^63 for train "
+    "corpora up to ~10^9 bigram types × 10^9 context counts (beyond "
+    "that, production KN prunes counts < k — the count tables accept "
+    "a HAVING cut without reshaping the plan). Output per eval doc: "
+    "path counts, total bits, micro bits/bigram, above-corpus-mean "
+    "flag. Plan: ONE tokenize+lead pass; the model is bc plus two "
+    "GROUP BYs OF bc (map-side-combinable, vocabulary-keyed); eval "
+    "joins are vocabulary-keyed LEFT joins (no broadcast hint — the "
+    "t9/t24 discipline) plus ONE 1-row T2 scalar broadcast (bounded "
+    "BNLJ, the t24 adjudication — T2 must sit inside bl(2·cc·T2) "
+    "per-row, so unlike t30's bl(T) it cannot factor to the doc "
+    "level); per-doc frame cached (a25/t29 multi-branch lesson). At "
+    "100 TB: same cost shape as t30 — one corpus pass, then "
+    "vocabulary- and doc-keyed aggregates.",
+)
+def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    is_train = F.col("doc_id") % 10 < 8
+    bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cnt").cast("bigint").alias("cc"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    t2 = bc.agg(F.count(F.lit(1)).cast("bigint").alias("t2"))
+    j = (
+        big.where(~is_train)
+        .join(bc, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(t2))
+    )
+    seen = F.col("cnt").isNotNull()
+    oov = F.col("ct").isNull()
+    kn = ~seen & ~oov & F.col("cc").isNotNull()
+    cont_p = ~seen & ~oov & F.col("cc").isNull()
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731
+    bits = (
+        F.when(seen, bl(2 * F.col("cc")) - bl(2 * F.col("cnt") - 1))
+        .when(oov, 1 + bl(F.col("t2")))
+        .when(kn, bl(2 * F.col("cc") * F.col("t2")) - bl(F.col("n1p") * F.col("ct")))
+        .otherwise(bl(F.col("t2")) - bl(F.col("ct")))
+    )
+    pd2 = (
+        j.select("doc_id", seen.alias("s"), kn.alias("k"), cont_p.alias("c"),
+                 oov.alias("o"), bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("s"), 1)).alias("n_seen"),
+            F.count(F.when(F.col("k"), 1)).alias("n_kn_backoff"),
+            F.count(F.when(F.col("c"), 1)).alias("n_cont"),
+            F.count(F.when(F.col("o"), 1)).alias("n_oov"),
+            F.sum("bits").cast("bigint").alias("bits_total"),
+        )
+        .cache()  # read by the corpus-mean aggregate AND the final
+        # projection (t30's cache rationale); 7 ints per eval doc
+    )
+    corpus = pd2.agg(
+        F.expr(
+            "(CAST(SUM(bits_total) AS BIGINT) * 1000000)"
+            " div CAST(SUM(n_bigrams) AS BIGINT)"
+        ).alias("corpus_micro")
+    )
+    micro = F.expr("(bits_total * 1000000) div n_bigrams")
+    return pd2.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.col("n_kn_backoff").cast("bigint").alias("n_kn_backoff"),
+        F.col("n_cont").cast("bigint").alias("n_cont"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.col("bits_total").cast("bigint").alias("bits_total"),
+        micro.cast("bigint").alias("micro_bits_per_bigram"),
+        (micro > F.col("corpus_micro")).alias("flagged"),
+    )

@@ -1,0 +1,153 @@
+"""Crafted-data pins for the round-14 operators.
+
+Same discipline as test_r7-r13_ops: hand-computed expectations on tiny
+crafted fixtures (the hash gate is blind to bugs BOTH engines share —
+d19's lesson), plus the DuckDB oracle round-trip where the operator has
+one.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipeline_telecom_spark import catalog
+
+from .oracle_harness import compare
+from .test_r12_ops import _write_docs, _write_emb
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+catalog._load_all_plans()
+
+
+def _roundtrip(spark, d: str, name: str) -> None:
+    spec = catalog.REGISTRY[name]
+    ok, msg = compare(spark, d, spec.fn, spec.sql)
+    assert ok, f"{name}: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# t32: Kneser–Ney smoothed LM — continuation counts + absolute discount
+# ---------------------------------------------------------------------------
+
+# t30's crafted train corpus, reused verbatim (3 × "the cat sat the cat
+# sat the cat"). KN model: cnt(the,cat)=9, cnt(cat,sat)=6, cnt(sat,the)=6;
+# cc: the=9, cat=6, sat=6; n1p = 1 for each context (each w1 has exactly
+# one distinct continuation); ct: cat=1, sat=1, the=1; T2 = 3 distinct
+# bigram types, bl(T2) = 2.
+from .test_r12_ops import _T30_TRAIN  # noqa: E402
+
+
+def _t32_crafted(tmp_path) -> str:
+    rows = [
+        (0, _T30_TRAIN, "en", "web"),
+        (1, _T30_TRAIN, "en", "web"),
+        (2, _T30_TRAIN, "en", "web"),
+        (8, "the cat sat the cat", "en", "web"),  # all bigrams seen
+        (9, "the cat zonk the", "en", "web"),     # OOV + continuation rungs
+        (18, "cat the cat", "en", "web"),         # the λ·P_cont KN rung
+    ]
+    return _write_docs(tmp_path, rows)
+
+
+def _bl(x: int) -> int:
+    return len(bin(x)) - 2
+
+
+def test_t32_crafted_all_four_paths_exact(spark, tmp_path):
+    from etl_pipeline_telecom_spark.plans.text import t32_kneser_ney_lm
+
+    got = {
+        r.doc_id: r for r in t32_kneser_ney_lm(spark, _t32_crafted(tmp_path)).collect()
+    }
+    assert set(got) == {8, 9, 18}
+    # doc 8: 4 bigrams, all seen; each pays bl(2·cc) − bl(2·cnt − 1):
+    # (the,cat): bl(18)=5 − bl(17)=5 = 0; (cat,sat)/(sat,the):
+    # bl(12)=4 − bl(11)=4 = 0 → total 0
+    r8 = got[8]
+    assert (r8.n_bigrams, r8.n_seen, r8.n_kn_backoff, r8.n_cont, r8.n_oov) == (
+        4, 4, 0, 0, 0,
+    )
+    assert r8.bits_total == 0 and r8.micro_bits_per_bigram == 0
+    # doc 9: (the,cat) seen → 0; (cat,zonk): 'zonk' completes nothing in
+    # train (ct NULL) → OOV: 1 + bl(T2=3) = 1 + 2 = 3; (zonk,the): 'zonk'
+    # unseen as context → raw continuation: bl(3) − bl(ct(the)=1) = 2−1 = 1
+    r9 = got[9]
+    assert (r9.n_bigrams, r9.n_seen, r9.n_kn_backoff, r9.n_cont, r9.n_oov) == (
+        3, 1, 0, 1, 1,
+    )
+    assert r9.bits_total == 0 + 3 + 1
+    assert r9.micro_bits_per_bigram == (4 * 1_000_000) // 3
+    # doc 18: (cat,the) unseen, context 'cat' known, 'the' continues →
+    # the KN rung λ(cat)·P_cont(the) = (n1p·ct)/(2·cc·T2) = 1/36:
+    # bl(2·6·3=36)=6 − bl(1·1=1)=1 → 5; (the,cat) seen → 0
+    r18 = got[18]
+    assert (r18.n_bigrams, r18.n_seen, r18.n_kn_backoff, r18.n_cont, r18.n_oov) == (
+        2, 1, 1, 0, 0,
+    )
+    assert r18.bits_total == 5
+    # corpus mean = 9e6 // 9 = 1e6 → docs 9 (1.33e6) and 18 (2.5e6) flagged
+    assert (r8.flagged, r9.flagged, r18.flagged) == (False, True, True)
+
+
+def test_t32_continuation_oov_vs_t30_backoff(spark, tmp_path):
+    """KN's OOV test is 'completes nothing in train' (ct NULL), which is
+    STRICTLY stronger than t30's unigram test: a word seen in train only
+    DOC-INITIALLY has ucnt > 0 but ct NULL — t30 happily backs off to its
+    raw unigram probability, KN correctly scores it as a non-continuation.
+    Crafted: 'qstart' opens train doc 10 and never follows anything."""
+    from etl_pipeline_telecom_spark.plans.text import (
+        t30_backoff_lm,
+        t32_kneser_ney_lm,
+    )
+
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, _T30_TRAIN, "en", "web"),
+            (10, "qstart the cat sat", "en", "web"),
+            (28, "the qstart", "en", "web"),
+        ],
+    )
+    # model: cnt(the,cat)=4, (cat,sat)=3, (sat,the)=2, (qstart,the)=1;
+    # T2=4; t30 unigrams: the=4, cat=4, sat=3, qstart=1, T=12 (bl=4)
+    r32 = {r.doc_id: r for r in t32_kneser_ney_lm(spark, d).collect()}[28]
+    r30 = {r.doc_id: r for r in t30_backoff_lm(spark, d).collect()}[28]
+    assert (r32.n_oov, r30.n_oov) == (1, 0)          # KN: OOV; t30: backoff
+    assert r30.n_backoff == 1
+    assert r32.bits_total == 1 + _bl(4)               # 1 + bl(T2) = 4
+    assert r30.bits_total == 1 + _bl(12) - _bl(1)     # 1 + bl(T) − bl(ucnt) = 4
+
+
+def test_t32_relational_laws_vs_t30(spark, sf_dir):
+    """Per-doc relational pins against t30 on the real fixture: (a) the
+    seen-path count is IDENTICAL (both models are the same bc table);
+    (b) KN's OOV count can only exceed t30's (ct NULL ⊇ ucnt NULL);
+    (c) for all-seen docs the absolute discount costs at most one bit
+    per bigram: t30_bits ≤ t32_bits ≤ t30_bits + n_bigrams
+    (bl(2cc)−bl(2cnt−1) ∈ {bl(cc)−bl(cnt), bl(cc)−bl(cnt)+1})."""
+    from etl_pipeline_telecom_spark.plans.text import (
+        t30_backoff_lm,
+        t32_kneser_ney_lm,
+    )
+
+    r30 = {r.doc_id: r for r in t30_backoff_lm(spark, sf_dir).collect()}
+    r32 = {r.doc_id: r for r in t32_kneser_ney_lm(spark, sf_dir).collect()}
+    assert set(r30) == set(r32) and r30
+    for did, a in r32.items():
+        b = r30[did]
+        assert a.n_bigrams == b.n_bigrams
+        assert a.n_seen == b.n_seen, did
+        assert a.n_oov >= b.n_oov, did
+        if a.n_seen == a.n_bigrams:
+            assert b.bits_total <= a.bits_total <= b.bits_total + a.n_bigrams, did
+
+
+def test_t32_oracle_roundtrip_crafted(spark, tmp_path):
+    _roundtrip(spark, _t32_crafted(tmp_path), "t32_kneser_ney_lm")
+
+
+def test_t32_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "t32_kneser_ney_lm")
