@@ -29,7 +29,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..catalog import register
-from ..functions.text import hash_bucket
+from ..functions.text import hash32, hash_bucket
+from ..functions.text import tokens
 from ..sources import load_table
 
 
@@ -1053,4 +1054,184 @@ def sm10_dupaware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sm13: DSIR-style importance resampling (VERDICT r13 item 4)
+# ---------------------------------------------------------------------------
+
+# Data Selection with Importance Resampling (Xie et al. 2023, "DSIR"):
+# pick raw-pool documents whose hashed n-gram feature profile looks like
+# a TARGET domain. Per document, the importance weight is
+# Π p_target(feature) / p_proposal(feature) over its (hashed-bigram)
+# feature occurrences; DSIR then samples ∝ weight. Engine form, kept
+# integer-exact end to end:
+#   * features: word bigrams hashed into B=64 buckets (hash32 % B — the
+#     shared cross-engine hash idiom);
+#   * bucket distributions: add-1 smoothed occurrence counts over the
+#     target slice (source = 'src0') and the proposal pool (the rest);
+#   * log-weight surrogate: Σ_occurrences bl(tgt[b]·Tp) − bl(prop[b]·Tt)
+#     (bl = floor-log2 bit length, the t24/t30 discipline — a SIGNED
+#     integer score ≈ log2 of the importance weight);
+#   * admission ∝ weight: keep_ppm = 10^6 >> min(20, s_max − score) —
+#     halving the admission rate per surrogate bit below the pool max
+#     IS "probability proportional to weight" in the integer surrogate
+#     space (2^score ∝ weight), realized as sm4/sm5's deterministic
+#     per-doc hash-ppm threshold, so the cut is reproducible across
+#     engines, partitionings, and resumes.
+_SM13_B = 64
+_SM13_TARGET = "src0"
+_SM13_SHIFT_CAP = 20  # 10^6 >> 20 = 0: >=20 bits below max → never admitted
+
+_SM13_SQL_H32 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _sm13_admissions(docs: DataFrame) -> DataFrame:
+    """Per-pool-doc DSIR frame: (doc_id, lang, score, shift, keep_ppm,
+    admitted). Takes the documents frame as input so tests can feed
+    repartitioned variants — every column here is a pure function of the
+    DATA (hash32 of content-derived keys), so the output is byte-stable
+    under any physical layout (the sm12 determinism contract)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", "lang", "source", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", "lang", "source",
+            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    occ = big.select(
+        "doc_id", "lang", "source",
+        (hash32(F.concat_ws(" ", "w1", "w2")) % _SM13_B).alias("feat"),
+    )
+    is_tgt = F.col("source") == _SM13_TARGET
+    tcnt = occ.where(is_tgt).groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
+    pcnt = occ.where(~is_tgt).groupBy("feat").agg(F.count(F.lit(1)).alias("cp"))
+    dim = (
+        spark.range(_SM13_B)
+        .select(F.col("id").alias("feat"))
+        .join(tcnt, "feat", "left")
+        .join(pcnt, "feat", "left")
+        .select(
+            "feat",
+            (F.coalesce("ct", F.lit(0)) + 1).cast("bigint").alias("tgt"),
+            (F.coalesce("cp", F.lit(0)) + 1).cast("bigint").alias("prop"),
+        )
+    )
+    tot = dim.agg(
+        F.sum("tgt").cast("bigint").alias("tt"), F.sum("prop").cast("bigint").alias("tp")
+    )
+    dim_t = dim.crossJoin(F.broadcast(tot))  # 64 rows — broadcast onto occurrences
+    bl = lambda c: F.length(F.bin(c))  # noqa: E731
+    term = bl(F.col("tgt") * F.col("tp")) - bl(F.col("prop") * F.col("tt"))
+    scored = (
+        occ.where(~is_tgt)
+        .join(F.broadcast(dim_t), "feat")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(term).cast("bigint").alias("score"))
+    )
+    smax = scored.agg(F.max("score").alias("s_max"))
+    shift = F.least(F.lit(_SM13_SHIFT_CAP), F.col("s_max") - F.col("score"))
+    return (
+        scored.crossJoin(F.broadcast(smax))
+        .withColumn("shift", shift.cast("bigint"))
+        .withColumn("keep_ppm", F.expr(f"{_PPM} div cast(pow(2, shift) as bigint)"))
+        .withColumn("admitted", hash_bucket("doc_id", _PPM) < F.col("keep_ppm"))
+        .select("doc_id", "lang", "score", "shift", "keep_ppm", "admitted")
+    )
+
+
+def _sql_sm13() -> str:
+    h = _SM13_SQL_H32.format(x="w1 || ' ' || w2")
+    hd = _SM13_SQL_H32.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, source,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        big AS (
+          SELECT doc_id, lang, source, w1, w2
+          FROM (SELECT doc_id, lang, source,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}}),
+                              recursive := true)
+                FROM toks)),
+        occ AS MATERIALIZED (
+          SELECT doc_id, lang, source, {h} % {_SM13_B} AS feat FROM big),
+        dim AS (
+          SELECT r.range AS feat,
+                 CAST(1 + COALESCE(tc.ct, 0) AS BIGINT) AS tgt,
+                 CAST(1 + COALESCE(pc.cp, 0) AS BIGINT) AS prop
+          FROM range({_SM13_B}) r
+          LEFT JOIN (SELECT feat, COUNT(*) AS ct FROM occ
+                     WHERE source = '{_SM13_TARGET}' GROUP BY feat) tc
+            ON r.range = tc.feat
+          LEFT JOIN (SELECT feat, COUNT(*) AS cp FROM occ
+                     WHERE source <> '{_SM13_TARGET}' GROUP BY feat) pc
+            ON r.range = pc.feat),
+        tot AS (SELECT CAST(SUM(tgt) AS BIGINT) AS tt,
+                       CAST(SUM(prop) AS BIGINT) AS tp FROM dim),
+        scored AS MATERIALIZED (
+          SELECT o.doc_id, o.lang,
+                 CAST(SUM(length(bin(d.tgt * t.tp))
+                          - length(bin(d.prop * t.tt))) AS BIGINT) AS score
+          FROM occ o JOIN dim d ON o.feat = d.feat CROSS JOIN tot t
+          WHERE o.source <> '{_SM13_TARGET}'
+          GROUP BY o.doc_id, o.lang),
+        smax AS (SELECT MAX(score) AS s_max FROM scored),
+        adm AS (
+          SELECT doc_id, lang, score,
+                 {_PPM} // CAST(POWER(2, LEAST({_SM13_SHIFT_CAP},
+                                               s_max - score)) AS BIGINT)
+                     AS keep_ppm,
+                 {hd} % {_PPM} AS h_ppm
+          FROM scored, smax)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_pool,
+               CAST(SUM(keep_ppm) AS BIGINT) AS mass_ppm,
+               CAST(COUNT(CASE WHEN h_ppm < keep_ppm THEN 1 END) AS BIGINT)
+                   AS n_admitted
+        FROM adm GROUP BY lang"""
+
+
+@register(
+    "sm13_dsir_resample",
+    _sql_sm13(),
+    tags=("sampling", "weighted", "dsir", "headline"),
+    doc="DSIR-style importance resampling (Xie et al. 2023): select "
+    "raw-pool documents whose hashed-bigram feature profile matches the "
+    f"target domain (source = '{_SM13_TARGET}'). Feature buckets are "
+    f"hash32(bigram) % {_SM13_B}; target/proposal bucket distributions "
+    "are add-1 smoothed occurrence counts; the per-doc importance "
+    "log-weight is the SIGNED integer surrogate Σ bl(tgt·Tp) − "
+    "bl(prop·Tt) (floor-log2 bit lengths — bit-identical cross-engine, "
+    "the t24/t30 discipline); admission probability is proportional to "
+    "the weight via keep_ppm = 10^6 >> (s_max − score) capped at "
+    f"{_SM13_SHIFT_CAP} bits (2^score ∝ weight, so halving the rate per "
+    "bit below the pool max IS ∝-weight sampling in surrogate space), "
+    "realized as sm4/sm5's deterministic per-doc hash-ppm threshold — "
+    "reproducible across engines, partitionings, reruns, and resumes. "
+    "Output per language: pool size, admitted integer target mass "
+    "(Σ keep_ppm — the conservation quantity tests pin), admitted "
+    "count. Plan: ONE tokenize+lead corpus pass; bucket stats are two "
+    f"map-side-combinable aggs folded into a {_SM13_B}-row dimension "
+    "with a 1-row totals broadcast; scoring joins the occurrence stream "
+    "to the BROADCAST 64-row dimension (no shuffle of occurrences "
+    "beyond the doc-keyed score agg); the pool-max scalar is a 1-row "
+    "broadcast (bounded BNLJ, t24 adjudication). At 100 TB: corpus "
+    "passes = 1, everything after is doc-keyed with map-side combine — "
+    "the DSIR paper's hashed-feature trick is exactly what keeps the "
+    "model a 64-row table instead of a vocabulary.",
+)
+def sm13_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    adm = _sm13_admissions(docs)
+    return adm.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pool"),
+        F.sum("keep_ppm").cast("bigint").alias("mass_ppm"),
+        F.count(F.when(F.col("admitted"), 1)).cast("bigint").alias("n_admitted"),
     )

@@ -151,3 +151,148 @@ def test_t32_oracle_roundtrip_crafted(spark, tmp_path):
 
 def test_t32_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "t32_kneser_ney_lm")
+
+
+# ---------------------------------------------------------------------------
+# sm13: DSIR-style importance resampling
+# ---------------------------------------------------------------------------
+
+# Crafted corpus with collision-free feature buckets (verified:
+# hash32 % 64 of the six bigrams -> {35, 33, 16, 41, 53, 14}): the
+# target-like pool doc shares every bigram with the target slice, the
+# two mismatch docs share none.
+_SM13_ROWS = [
+    (0, "alpha beta alpha beta alpha", "en", "src0"),   # target
+    (1, "alpha beta alpha beta alpha", "en", "src0"),   # target
+    (2, "alpha beta alpha beta", "en", "src1"),         # pool, target-like
+    (3, "zz yy zz yy zz", "en", "src1"),                # pool, mismatch
+    (4, "mm nn mm nn mm", "de", "src2"),                # pool, mismatch
+]
+
+
+def _sm13_replay(rows):
+    """Independent python reference for the whole sm13 pipeline (the
+    m13 both-references discipline — the oracle hash is blind to bugs
+    both engines share)."""
+    import hashlib
+    import re
+
+    B, PPM, CAP, TARGET = 64, 1_000_000, 20, "src0"
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bl(x):
+        return len(bin(x)) - 2
+
+    occ = []  # (doc_id, lang, source, feat)
+    for did, text, lang, src in rows:
+        t = re.split(r"\s+", text.strip().lower())
+        for i in range(len(t) - 1):
+            occ.append((did, lang, src, h32(t[i] + " " + t[i + 1]) % B))
+    tgt = {b: 1 for b in range(B)}
+    prop = {b: 1 for b in range(B)}
+    for _, _, src, f in occ:
+        (tgt if src == TARGET else prop)[f] += 1
+    tt, tp = sum(tgt.values()), sum(prop.values())
+    score = {}
+    lang_of = {}
+    for did, lang, src, f in occ:
+        if src == TARGET:
+            continue
+        score[did] = score.get(did, 0) + bl(tgt[f] * tp) - bl(prop[f] * tt)
+        lang_of[did] = lang
+    s_max = max(score.values())
+    out = {}
+    for did, s in score.items():
+        shift = min(CAP, s_max - s)
+        keep = PPM // (2 ** shift)
+        out[did] = {
+            "lang": lang_of[did],
+            "score": s,
+            "shift": shift,
+            "keep_ppm": keep,
+            "admitted": h32(str(did)) % PPM < keep,
+        }
+    return out
+
+
+def test_sm13_crafted_semantic_ordering_and_conservation(spark, tmp_path):
+    from etl_pipeline_telecom_spark.plans.semistructured import (
+        _sm13_admissions,
+        sm13_dsir_resample,
+    )
+
+    d = _write_docs(tmp_path, _SM13_ROWS)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in _sm13_admissions(docs).collect()}
+    exp = _sm13_replay(_SM13_ROWS)
+    assert set(got) == {2, 3, 4}
+    for did, e in exp.items():
+        g = got[did]
+        assert (g.score, g.shift, g.keep_ppm, bool(g.admitted)) == (
+            e["score"], e["shift"], e["keep_ppm"], e["admitted"],
+        ), did
+    # the target-like doc strictly outscores both mismatches, sits at the
+    # pool max (shift 0 -> keep_ppm = 10^6) and is therefore admitted
+    # unconditionally — admission ∝ weight with the max-weight doc at p=1
+    assert got[2].score > got[3].score and got[2].score > got[4].score
+    assert (got[2].shift, got[2].keep_ppm, bool(got[2].admitted)) == (0, 1_000_000, True)
+    # halving law: keep_ppm == 10^6 >> shift exactly
+    for g in got.values():
+        assert g.keep_ppm == 1_000_000 // (2 ** g.shift)
+    # conservation: the registered per-lang mass equals the per-doc sum
+    agg = {r.lang: r for r in sm13_dsir_resample(spark, d).collect()}
+    for lang in {"en", "de"}:
+        docs_l = [g for g in got.values() if g.lang == lang]
+        assert agg[lang].n_pool == len(docs_l)
+        assert agg[lang].mass_ppm == sum(g.keep_ppm for g in docs_l)
+        assert agg[lang].n_admitted == sum(bool(g.admitted) for g in docs_l)
+
+
+def test_sm13_python_replay_exact_sf0001(spark, sf_dir):
+    """Full-fixture replay: every pool doc's score/shift/keep_ppm/admission
+    reproduced by the independent python reference."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_telecom_spark.plans.semistructured import _sm13_admissions
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    exp = _sm13_replay(rows)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in _sm13_admissions(docs).collect()}
+    assert set(got) == set(exp)
+    for did, e in exp.items():
+        g = got[did]
+        assert (g.score, g.shift, g.keep_ppm, bool(g.admitted)) == (
+            e["score"], e["shift"], e["keep_ppm"], e["admitted"],
+        ), did
+
+
+def test_sm13_deterministic_across_repartitionings(spark, sf_dir):
+    """The sm12 determinism contract: the admitted set (and every score)
+    is a pure function of the data, byte-stable under physical layout."""
+    import os as _os
+
+    from etl_pipeline_telecom_spark.plans.semistructured import _sm13_admissions
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    a = sorted(map(tuple, _sm13_admissions(docs.repartition(3)).collect()))
+    b = sorted(map(tuple, _sm13_admissions(docs.repartition(17)).collect()))
+    assert a == b and a
+
+
+def test_sm13_oracle_roundtrip_crafted(spark, tmp_path):
+    _roundtrip(spark, _write_docs(tmp_path, _SM13_ROWS), "sm13_dsir_resample")
+
+
+def test_sm13_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "sm13_dsir_resample")
