@@ -408,10 +408,13 @@ _SQL_V7_TOPK = f"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
         WHERE rn <= 3"""
 
 
-def _ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF candidate set shared by v7 and v12: centroids (one Lloyd's
-    step), vector→cell assignment, nprobe=2 query probes, candidates =
-    probed cells' members. Columns: (query_id, qa, qn, vec_id, qv, nrm)."""
+def _ivf_candidates(spark: SparkSession, sf_dir: str, member_filter=None) -> DataFrame:
+    """The IVF candidate set shared by v7, v12 and v17: centroids (one
+    Lloyd's step), vector→cell assignment, nprobe=2 query probes,
+    candidates = probed cells' members. Columns: (query_id, qa, qn,
+    vec_id, qv, nrm). ``member_filter`` (v17) narrows the ASSIGNED
+    member side BEFORE the probe join — the filtered-ANN predicate
+    pushdown; ``None`` leaves the plan byte-identical for v7/v12."""
     emb = _with_norm(_quantized(spark, sf_dir))
     exploded = emb.select("label", F.posexplode("qv").alias("dim", "val"))
     cent = (
@@ -435,6 +438,8 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy("dist", "cid")
     ranked = dists.withColumn("rn", F.row_number().over(w_assign))
     assign = ranked.where(F.col("rn") == 1).select("vec_id", "qv", "nrm", "cid")
+    if member_filter is not None:
+        assign = member_filter(assign)
     probes = (
         ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
         .select(
@@ -1912,4 +1917,89 @@ def v16_index_rebuild_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("keep")
             .alias("decision"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# v17: FILTERED ANN — hybrid metadata + vector search (VERDICT r13 item 3)
+# ---------------------------------------------------------------------------
+
+# The shape every real retrieval stack hits: "top-k similar WHERE
+# lang = 'en' AND length >= q". The trap is POST-filtering: take the
+# unfiltered top-k, then drop ineligible rows — which silently
+# under-returns (< k results) whenever any of the k nearest neighbors
+# fails the predicate, even though the probed cells hold plenty of
+# eligible vectors. The correct plan pushes the predicate into the
+# candidate cells BEFORE any distance work: filter the cell MEMBER side
+# of v7's probe join, then rank only eligible candidates — top-k fills
+# from the eligible pool, and the distance kernel never touches an
+# ineligible vector (at 100 TB the predicate typically keeps a few
+# percent; scoring the other ~95+% to throw it away is the cost bug,
+# the under-return is the correctness bug — tests/test_r14_ops.py pins
+# both: a crafted corpus where post-filtering returns < k, and the
+# plan-shape assertion that the filter join sits BELOW the probe join).
+
+_V17_LANG = "en"
+_V17_MIN_CHARS = 400
+
+_SQL_V17_TOPK = f"""SELECT query_id, neighbor_id, cos_sim, rn FROM (
+          SELECT query_id, neighbor_id, ROUND({_SQL_V7_COS}, 6) AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY {_SQL_V7_COS} DESC, neighbor_id) AS rn
+          FROM candf)
+        WHERE rn <= 3"""
+
+
+@register(
+    "v17_filtered_ann",
+    f"""WITH {_SQL_V7_CTES},
+        elig AS (
+          SELECT a.* FROM assign a
+          JOIN documents d ON a.vec_id = d.doc_id
+          WHERE d.lang = '{_V17_LANG}' AND d.n_chars >= {_V17_MIN_CHARS}),
+        candf AS (
+          SELECT p.query_id, p.qa, s.vec_id AS neighbor_id, s.qv
+          FROM probes p JOIN elig s
+            ON s.cid = p.cid AND s.vec_id <> p.query_id)
+        {_SQL_V17_TOPK}""",
+    tags=("similarity", "knn", "ivf", "filtered", "headline"),
+    doc="Filtered ANN: v7's IVF probe composed with a metadata predicate "
+    f"(documents.lang = '{_V17_LANG}' AND n_chars >= {_V17_MIN_CHARS}, "
+    "joined on vec_id = doc_id) PUSHED INTO the candidate cells before "
+    "the distance work — the hybrid metadata+vector search every "
+    "retrieval stack needs. Post-filtering the unfiltered top-k "
+    "silently under-returns (< k rows whenever an ineligible vector "
+    "occupies a top-k slot); the pushed form ranks only eligible cell "
+    "members, so top-k fills from the eligible pool and the cosine "
+    "kernel never scores an excluded vector. Plan: v7's centroid "
+    "broadcast + assignment, then the eligibility SEMI-ish equi-join "
+    "(vec_id-keyed, metadata-sized) on the MEMBER side BELOW the "
+    "probe join (plan-shape-pinned), then the per-query top-k window "
+    "over eligible candidates only. At 100 TB: the predicate prunes "
+    "the probe join's build side to the eligible few percent — "
+    "distance flops and shuffle both shrink by the selectivity, which "
+    "is exactly what post-filtering forfeits.",
+)
+def v17_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    elig = docs.where(
+        (F.col("lang") == _V17_LANG) & (F.col("n_chars") >= _V17_MIN_CHARS)
+    ).select(F.col("doc_id").alias("vec_id"))
+    cand = _ivf_candidates(
+        spark, sf_dir, member_filter=lambda a: a.join(elig, "vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos_pairs_udf(F.col("qa"), F.col("qv"), F.col("qn"), F.col("nrm")).alias("cos_raw"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.row_number().over(w_top).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
     )

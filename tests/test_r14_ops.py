@@ -296,3 +296,96 @@ def test_sm13_oracle_roundtrip_crafted(spark, tmp_path):
 
 def test_sm13_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "sm13_dsir_resample")
+
+
+# ---------------------------------------------------------------------------
+# v17: filtered ANN — metadata predicate pushed below the IVF probe join
+# ---------------------------------------------------------------------------
+
+# One label → one IVF cell, so every vector is a candidate for every
+# query. Query 0's three nearest vectors (1,2,3 — cosine ≈ 0.998) are
+# all INELIGIBLE (lang 'de'); vectors 4,5,6 (cosine ≈ 0.707) are
+# eligible. Post-filtering the unfiltered top-3 therefore returns ZERO
+# rows for query 0; the pushed form returns a full k=3.
+def _v17_crafted(tmp_path) -> str:
+    emb = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.05], 0),
+        (2, [1.0, 0.06], 0),
+        (3, [1.0, 0.07], 0),
+        (4, [0.5, 0.5], 0),
+        (5, [0.52, 0.5], 0),
+        (6, [0.5, 0.48], 0),
+    ]
+    long_en = "w " * 210  # n_chars = 420 >= 400
+    docs = [
+        (0, "kurz", "de", "src1"),
+        (1, "kurz", "de", "src1"),
+        (2, "kurz", "de", "src1"),
+        (3, "kurz", "de", "src1"),
+        (4, long_en, "en", "src1"),
+        (5, long_en, "en", "src1"),
+        (6, long_en, "en", "src1"),
+    ]
+    _write_emb(tmp_path, emb)
+    _write_docs(tmp_path, docs)
+    return str(tmp_path)
+
+
+def test_v17_pushed_filter_returns_k_where_postfilter_underreturns(spark, tmp_path):
+    from etl_pipeline_telecom_spark.plans.similarity import (
+        v7_ivf_probe,
+        v17_filtered_ann,
+    )
+
+    d = _v17_crafted(tmp_path)
+    elig = {4, 5, 6}
+    # the post-filter anti-pattern: unfiltered top-3, THEN drop ineligible
+    v7_q0 = [r for r in v7_ivf_probe(spark, d).collect() if r.query_id == 0]
+    assert {r.neighbor_id for r in v7_q0} == {1, 2, 3}
+    assert sum(r.neighbor_id in elig for r in v7_q0) == 0  # under-returns to 0
+    # the pushed form fills k=3 from the eligible pool
+    got = [r for r in v17_filtered_ann(spark, d).collect() if r.query_id == 0]
+    assert len(got) == 3
+    assert {r.neighbor_id for r in got} == elig
+    assert sorted(r.rn for r in got) == [1, 2, 3]
+    # every returned neighbor satisfies the predicate corpus-wide
+    assert all(
+        r.neighbor_id in elig for r in v17_filtered_ann(spark, d).collect()
+    )
+
+
+def test_v17_filter_sits_below_probe_join(spark, sf_dir):
+    """The plan-shape pin (VERDICT r13 item 3): the eligibility predicate
+    reaches the documents PARQUET SCAN as pushed filters, and the
+    eligibility join sits INSIDE the member branch of the probe join —
+    i.e. BELOW it in the plan tree — so the distance kernel never scores
+    an ineligible vector."""
+    import contextlib
+    import io
+
+    from etl_pipeline_telecom_spark import catalog as cat
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cat.REGISTRY["v17_filtered_ann"].fn(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "EqualTo(lang,en)" in plan and "GreaterThanOrEqual(n_chars,400)" in plan
+    tree = plan.split("\n\n")[0].splitlines()
+    probe = [i for i, l in enumerate(tree) if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    elig = [i for i, l in enumerate(tree) if "BroadcastHashJoin" in l]
+    assert len(probe) == 1 and len(elig) == 1, (probe, elig)
+    # deeper in the printed tree == below the probe join
+    assert elig[0] > probe[0], "eligibility join is not below the probe join"
+    # and the scoring python stage sits ABOVE the probe join (scores only
+    # post-filter candidates)
+    arrow = [i for i, l in enumerate(tree) if "ArrowEvalPython" in l]
+    assert arrow and arrow[0] < probe[0]
+
+
+def test_v17_oracle_roundtrip_crafted(spark, tmp_path):
+    _roundtrip(spark, _v17_crafted(tmp_path), "v17_filtered_ann")
+
+
+def test_v17_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "v17_filtered_ann")
