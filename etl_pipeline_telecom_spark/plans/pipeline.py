@@ -2629,3 +2629,100 @@ def sm12_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("order_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p12: snapshot / time-travel read over the compacted layout
+# (VERDICT r13 item 6) — the p11 physical pin generalized to READS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p12_snapshot_read",
+    f"""WITH h AS (SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events),
+       b AS (SELECT CAST(('0x' || substr(m, 1, 8)) AS BIGINT) % {_P11_BUCKETS}
+                        AS bucket,
+                    CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS fh
+             FROM h),
+       f AS (SELECT bucket, fh % (1 + bucket % 4) AS frag FROM b),
+       c AS (SELECT bucket, COUNT(*) AS n_rows,
+                    COUNT(DISTINCT frag) AS n_frags
+             FROM f GROUP BY bucket)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(n_rows AS BIGINT) AS rows_v1,
+              CAST(n_frags AS BIGINT) AS files_v1,
+              CAST(n_rows AS BIGINT) AS rows_v2,
+              CAST(CASE WHEN n_frags > {_P11_MAX_FILES} THEN 1 ELSE n_frags END
+                   AS BIGINT) AS files_v2,
+              (n_frags > {_P11_MAX_FILES}) AS rewritten,
+              TRUE AS snapshot_ok
+       FROM c""",
+    tags=("layout", "snapshot", "timetravel", "metadata", "headline"),
+    doc="Snapshot/time-travel read over the incrementally-compacted "
+    "layout — the read half of a Delta/Iceberg commit, composing "
+    "p10/p11 (VERDICT r13 item 6): version 1 is the fragmented staged "
+    "table, version 2 the post-OPTIMIZE commit (rewritten buckets "
+    "reference their compacted file, compliant buckets keep their "
+    "original fragments). Each version is read through its MANIFEST "
+    "(sources/writers.read_snapshot): exactly the referenced files, "
+    "never a directory listing — so files added by later commits are "
+    "invisible to version 1, and files the commit stopped referencing "
+    "still serve it (snapshot isolation). The audit reads BOTH "
+    "versions and emits per bucket: rows/files under each version, the "
+    "rewritten verdict AS OBSERVED (any v2 file outside the staged "
+    "root), and snapshot_ok — which ANDs row conservation with the "
+    "PHYSICAL pin that every manifest-referenced file still matches "
+    "its recorded (size, mtime_ns): a compaction that rewrote a "
+    "committed snapshot file in place flips the hash gate, not just a "
+    "test. The oracle predicts every column analytically from the two "
+    "independent md5 windows (p11's fixture contract). At 100 TB this "
+    "is why lakehouse reads scale: a snapshot read plans from "
+    "metadata-sized manifests (driver holds one row per file, the "
+    "p10/vocab discipline), prunes to exactly the referenced files, "
+    "and time travel costs nothing at read time because old versions "
+    "are immutable by construction.",
+)
+def p12_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.writers import (
+        read_snapshot,
+        snapshot_files_intact,
+        stage_fragmented_events,
+        stage_versioned_events,
+    )
+
+    mdir = stage_versioned_events(spark, sf_dir, _P11_BUCKETS, _P11_MAX_FILES)
+    staged_root = stage_fragmented_events(spark, sf_dir, _P11_BUCKETS)
+    # bounded metadata check (one stat per manifest entry), folded into
+    # the hash-gated output: BOTH versions' files must be byte-intact
+    intact = snapshot_files_intact(mdir, 1) and snapshot_files_intact(mdir, 2)
+    per1 = (
+        read_snapshot(spark, mdir, 1)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_v1"),
+            F.countDistinct("file_path").cast("bigint").alias("files_v1"),
+        )
+    )
+    per2 = (
+        read_snapshot(spark, mdir, 2)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_v2"),
+            F.countDistinct("file_path").cast("bigint").alias("files_v2"),
+            F.max(
+                (~F.col("file_path").contains(os.path.basename(staged_root)))
+                .cast("int")
+            ).alias("any_compacted"),
+        )
+    )
+    return per1.join(per2, "bucket").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "rows_v1",
+        "files_v1",
+        "rows_v2",
+        "files_v2",
+        (F.col("any_compacted") == 1).alias("rewritten"),
+        (F.lit(intact) & (F.col("rows_v1") == F.col("rows_v2"))).alias("snapshot_ok"),
+    )

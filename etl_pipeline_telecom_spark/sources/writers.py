@@ -474,3 +474,124 @@ def incremental_compact_fragments(
             .write.parquet(os.path.join(work, f"bucket={k}"))
         )
     return _publish_stage(work, out_dir)
+
+
+def stage_versioned_events(
+    spark, sf_dir: str, n_buckets: int = 16, max_files: int = 2
+) -> str:
+    """Build a MANIFEST-VERSIONED table over the p11 layouts — the
+    snapshot/time-travel fixture (p12): version 1 is the fragmented
+    staged layout, version 2 is the state after the incremental
+    compaction COMMIT (rewritten buckets serve their compacted file,
+    compliant buckets keep serving their original fragment files — the
+    add/remove-file halves of a Delta/Iceberg commit expressed as two
+    JSON file lists).
+
+    Each manifest entry records (bucket, path, root, size, mtime_ns);
+    the stat fields are the PHYSICAL snapshot pin: a later version may
+    only ADD files and STOP REFERENCING old ones — never rewrite them —
+    so re-stat'ing version 1's entries after the compaction must match
+    byte-for-byte (:func:`snapshot_files_intact`). Cached by source
+    (size, mtime_ns); atomic rename publish."""
+    import json
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    staged = stage_fragmented_events(spark, sf_dir, n_buckets)
+    compacted = incremental_compact_fragments(spark, sf_dir, n_buckets, max_files)
+    out_dir = (
+        f"/tmp/spark_graft_p12_manifest_{_stage_key(src, f'p12:{n_buckets}:{max_files}')}"
+    )
+    _sweep_stale_stage_work("/tmp/spark_graft_p12_manifest_")
+    if os.path.isdir(out_dir):
+        return out_dir
+
+    def entries(root: str) -> dict[int, list[dict]]:
+        per: dict[int, list[dict]] = {}
+        for p in sorted(glob.glob(os.path.join(root, "bucket=*", "**", "*.parquet"), recursive=True)):
+            k = int(p.split("bucket=")[1].split(os.sep)[0])
+            st = os.stat(p)
+            per.setdefault(k, []).append(
+                {
+                    "bucket": k,
+                    "path": p,
+                    "root": root,
+                    "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+            )
+        return per
+
+    v1 = entries(staged)
+    v2_src = entries(compacted)  # rewritten buckets only
+    v2 = {k: v2_src.get(k, files) for k, files in v1.items()}
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    os.makedirs(work)
+    for ver, per in ((1, v1), (2, v2)):
+        with open(os.path.join(work, f"v{ver}.json"), "w") as f:
+            json.dump(
+                {"version": ver, "files": [e for k in sorted(per) for e in per[k]]},
+                f,
+                indent=1,
+            )
+    return _publish_stage(work, out_dir)
+
+
+def _load_manifest(manifest_dir: str, version: int) -> list[dict]:
+    import json
+
+    path = os.path.join(manifest_dir, f"v{version}.json")
+    if not os.path.exists(path):
+        have = sorted(
+            int(p.rsplit("v", 1)[1].split(".")[0])
+            for p in glob.glob(os.path.join(manifest_dir, "v*.json"))
+        )
+        raise ValueError(
+            f"snapshot version {version} does not exist (available: {have})"
+        )
+    with open(path) as f:
+        return json.load(f)["files"]
+
+
+def read_snapshot(spark, manifest_dir: str, version: int):
+    """Time-travel read: load EXACTLY the files version N's manifest
+    references — never a directory listing, so files added by later
+    commits are invisible and files a later commit stopped referencing
+    are still served (the Delta/Iceberg snapshot-isolation read path).
+    Files are grouped by layout root so partition-column recovery
+    (``basePath``) works per layout; the unioned columns are the common
+    payload + bucket."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    files = _load_manifest(manifest_dir, version)
+    roots: dict[str, list[str]] = {}
+    for e in files:
+        roots.setdefault(e["root"], []).append(e["path"])
+    parts = [
+        spark.read.option("basePath", root)
+        .parquet(*sorted(paths))
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("_metadata.file_path").alias("file_path"),
+        )
+        for root, paths in sorted(roots.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def snapshot_files_intact(manifest_dir: str, version: int) -> bool:
+    """Physical snapshot pin: every file version N references still
+    exists with the SAME size and mtime_ns the manifest recorded —
+    i.e. no later operation rewrote a committed snapshot file. Bounded
+    metadata work (one stat per referenced file)."""
+    for e in _load_manifest(manifest_dir, version):
+        try:
+            st = os.stat(e["path"])
+        except OSError:
+            return False
+        if st.st_size != e["size"] or st.st_mtime_ns != e["mtime_ns"]:
+            return False
+    return True

@@ -389,3 +389,94 @@ def test_v17_oracle_roundtrip_crafted(spark, tmp_path):
 
 def test_v17_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "v17_filtered_ann")
+
+
+# ---------------------------------------------------------------------------
+# p12: snapshot / time-travel read — manifest-versioned, physically pinned
+# ---------------------------------------------------------------------------
+
+
+def test_p12_snapshot_isolation_and_physical_pin(spark, sf_dir):
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P11_BUCKETS,
+        _P11_MAX_FILES,
+    )
+    from etl_pipeline_telecom_spark.sources.writers import (
+        read_snapshot,
+        snapshot_files_intact,
+        stage_fragmented_events,
+        stage_versioned_events,
+    )
+
+    mdir = stage_versioned_events(spark, sf_dir, _P11_BUCKETS, _P11_MAX_FILES)
+    staged = stage_fragmented_events(spark, sf_dir, _P11_BUCKETS)
+    # the physical pin: creating version 2 (the compaction commit) never
+    # rewrote a version-1 file
+    assert snapshot_files_intact(mdir, 1)
+    assert snapshot_files_intact(mdir, 2)
+    # snapshot isolation: v1 serves ONLY staged-layout files; v2 mixes
+    # compacted files in for the rewritten buckets
+    s1 = read_snapshot(spark, mdir, 1)
+    s2 = read_snapshot(spark, mdir, 2)
+    import os as _os
+
+    base = _os.path.basename(staged)
+    v1_files = {r.file_path for r in s1.select("file_path").distinct().collect()}
+    assert all(base in p for p in v1_files)
+    v2_files = {r.file_path for r in s2.select("file_path").distinct().collect()}
+    assert any(base not in p for p in v2_files), "no compacted file in v2"
+    # row conservation: both versions are the same logical table
+    ev = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    cols = ["event_id", "user_id", "event_type", "value"]
+    a = sorted(map(tuple, s1.select(*cols).collect()))
+    b = sorted(map(tuple, s2.select(*cols).collect()))
+    c = sorted(map(tuple, ev.select(*cols).collect()))
+    assert a == b == c and a
+
+
+def test_p12_tamper_detection(spark, sf_dir, tmp_path):
+    """Rewriting a committed snapshot file in place must flip the
+    physical pin (and with it p12's hash-gated snapshot_ok column)."""
+    import json
+    import os as _os
+    import shutil
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P11_BUCKETS,
+        _P11_MAX_FILES,
+    )
+    from etl_pipeline_telecom_spark.sources.writers import (
+        snapshot_files_intact,
+        stage_versioned_events,
+    )
+
+    src = stage_versioned_events(spark, sf_dir, _P11_BUCKETS, _P11_MAX_FILES)
+    mdir = str(tmp_path / "manifests")
+    shutil.copytree(src, mdir)
+    assert snapshot_files_intact(mdir, 1)
+    # tamper: point one v1 entry at a file with different stats
+    with open(_os.path.join(mdir, "v1.json")) as f:
+        m = json.load(f)
+    m["files"][0]["mtime_ns"] += 1
+    with open(_os.path.join(mdir, "v1.json"), "w") as f:
+        json.dump(m, f)
+    assert not snapshot_files_intact(mdir, 1)
+
+
+def test_p12_missing_version_fails_loud(spark, sf_dir):
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P11_BUCKETS,
+        _P11_MAX_FILES,
+    )
+    from etl_pipeline_telecom_spark.sources.writers import (
+        read_snapshot,
+        stage_versioned_events,
+    )
+
+    mdir = stage_versioned_events(spark, sf_dir, _P11_BUCKETS, _P11_MAX_FILES)
+    with pytest.raises(ValueError, match="version 9 does not exist"):
+        read_snapshot(spark, mdir, 9)
+
+
+def test_p12_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "p12_snapshot_read")
