@@ -235,6 +235,21 @@ _BNLJ_ALLOWED = {
                          # for the misassignment compare (v7/v15's
                          # k-row adjudication; k = cells, never
                          # data-sized)
+    "t32_kneser_ney_lm",  # t30's two 1-row scalars PLUS the 1-row T2
+                         # (distinct-bigram-type count) scalar crossed
+                         # onto the eval bigram frame — T2 must sit
+                         # inside bl(2·cc·T2) per row, so unlike bl(T)
+                         # it cannot factor to the doc level; a 1-row
+                         # build side is bounded by construction (t24
+                         # adjudication)
+    "sm13_dsir_resample",  # 1-row totals scalar onto the 64-row feature
+                         # dimension and the 1-row pool-max scalar onto
+                         # the doc-sized score frame (t24 pattern); the
+                         # occurrence-stream join is a broadcast
+                         # EQUI-join on the 64-row dimension
+    "v17_filtered_ann",  # v7's k-row centroid broadcast verbatim (the
+                         # eligibility predicate adds only a vec_id
+                         # equi-join below the probe join)
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -283,6 +298,11 @@ _GUARDED = [
     "pipe5_incremental_curation", "sm12_epoch_shard_shuffle",
     "m13_phash_neardup", "t31_trigram_backoff_lm",
     "v16_index_rebuild_trigger",
+    # r14 additions: t32/sm13/v17 carry their justified bounded BNLJs
+    # above; p12's audit is pure equi-joins over manifest-planned
+    # metadata-scale frames (the p10/p11 shape)
+    "t32_kneser_ney_lm", "sm13_dsir_resample", "v17_filtered_ann",
+    "p12_snapshot_read",
 ]
 
 

@@ -79,10 +79,20 @@ def test_every_probed_query_scales_sublinearly():
     # 0.632→0.45 s denominator while the 100× wall moved ~6%); the raw
     # ratio stays in the artifact for reference
     rec = _latest_record()
+
+    def gated_ratio(q: dict) -> float:
+        # r14+: a row the probe re-measured standalone and machine-
+        # adjudicated as host noise (plan unchanged, standalone wall back
+        # at the prior round's level) is judged by the RE-measurement —
+        # the structural replacement for r13's hand-merged e3b row
+        if q.get("noise_adjudication") == "host_noise":
+            return q.get("remeasured_ratio_adj", q.get("ratio_adj", q["ratio"]))
+        return q.get("ratio_adj", q["ratio"])
+
     over = {
-        q["query"]: q.get("ratio_adj", q["ratio"])
+        q["query"]: gated_ratio(q)
         for q in rec["queries"]
-        if q.get("ratio_adj", q["ratio"]) > QUADRATIC_BASELINES.get(q["query"], MAX_RATIO)
+        if gated_ratio(q) > QUADRATIC_BASELINES.get(q["query"], MAX_RATIO)
     }
     assert not over, f"queries slower than {MAX_RATIO}× at 100× data: {over}"
 
