@@ -340,61 +340,71 @@ def _load_all_plans() -> None:
 # r10+-green with unchanged plans and oracles, including the full r12
 # window. The lw=9 remainder is 4 rounds stale, inside the K=6 bound,
 # and drains across r14-r15.
+#
+# Round 14 rotations: IN — the four new r14 operators (t32 Kneser–Ney,
+# sm13 DSIR resampling, v17 filtered ANN, p12 snapshot read — the drift
+# cohort), then the stalest fill: the ENTIRE lw=9 remainder (15 — the
+# r13 verdict's named obligation, drained one round ahead of the K=6
+# deadline) and the first 31 name-ordered of the 50-query lw=10 cohort
+# (which happens to include the full 13-entry st* streaming cohort).
+# OUT — everything r11+-green with unchanged plans and oracles,
+# including the full r13 window. backlog[14] = 0; the lw=10 remainder
+# (19) is 4 rounds stale at r14 close and drains in r15, inside K=6.
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the new r13 operators
-    "pipe5_incremental_curation",
-    "sm12_epoch_shard_shuffle",
-    "m13_phash_neardup",
-    "t31_trigram_backoff_lm",
-    "v16_index_rebuild_trigger",
+    # --- drift cohort (MUST re-verdict): the new r14 operators
+    "t32_kneser_ney_lm",
+    "sm13_dsir_resample",
+    "v17_filtered_ann",
+    "p12_snapshot_read",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # lw=8 (all 24)
-    "g2_throttle_debounce",
-    "g2b_throttle_skewfree",
-    "j10_bloom_pruned_join",
-    "j2_revenue_topk",
-    "j9_interval_bucket_join",
-    "p4_cdc_apply",
-    "p5_partitioned_sink_audit",
-    "p7_compaction_plan",
-    "s5_bag_setops",
-    "sm7_token_budget_cut",
-    "sm8_epoch_replication_mix",
-    "t13_line_dedup",
-    "t15_bpe_merges",
-    "t17_bpe_encode",
-    "t18_pii_scrub",
-    "t20_script_mix",
-    "t21_bpe_batched_merges",
-    "v10_sq8_ann_recall",
-    "v11_matryoshka_refine",
-    "v7_ivf_probe",
-    "v8_embedding_decontam",
-    "v9_ann_recall_eval",
-    "w11_value_window_ops",
-    "x3_json_schema_audit",
-    # lw=9 (first 21 of 36, name-ordered)
-    "a10_histogram",
-    "a12_domain",
-    "a13_median",
-    "a1_count",
-    "a25_kmv_theta_setops",
-    "a2_distinct_count",
-    "a3_global_rate",
-    "a5_value_counts",
-    "a6_pct_of_total",
-    "a7_pivot_counts",
-    "a9_group_rate_sorted",
-    "d18_substring_dedup",
-    "d19_url_dedup",
-    "d20_domain_blocklist",
-    "d2_dedup_stats",
-    "d3_minhash_signatures",
-    "d4_lsh_candidates",
-    "d7_ngram_jaccard_pairs",
-    "e2_sliding_window",
-    "f10_to_flag",
-    "f11_f12_round_cast",
+    # lw=9 (all 15)
+    "f1_coerce_numeric",
+    "f2_median_fill",
+    "f3_const_fill",
+    "f4_bucketize",
+    "m7_audio_features",
+    "m8_shot_boundaries",
+    "p6_range_sharded_export",
+    "p8_zorder_layout",
+    "p9_bloom_file_index",
+    "t11_bigram_topk",
+    "t22_unigram_em",
+    "t23_unigram_encode",
+    "t24_bigram_surprisal",
+    "v12_ivf_sq8_recall",
+    "v13_pq_adc_refine",
+    # lw=10 (first 31 of 50, name-ordered)
+    "d6_simhash",
+    "e5_band_range_join",
+    "f5_segment3",
+    "f6_f8_flags",
+    "f9_dict_encode",
+    "j1_broadcast_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "j5_left_join_agg",
+    "j7_salted_join",
+    "m6_perceptual_neardup",
+    "m9_image_text_score",
+    "p10_compaction_exec",
+    "r1_unpivot_measures",
+    "s1_union_distinct",
+    "s2_union_all_counts",
+    "s3_intersect",
+    "s4_except",
+    "sm9_epoch_mix_schedule",
+    "st10_stream_cdc_apply",
+    "st11_stream_throttle",
+    "st12_stream_stream_outer_join",
+    "st13_exactly_once_sink",
+    "st1_stream_tumbling",
+    "st2_stream_dedup",
+    "st3_stream_sessionize",
+    "st4_stream_stream_join",
+    "st5_stream_static_join",
+    "st6_stream_maintained_rollup",
+    "st7_stream_bloom_refresh",
+    "st8_stream_centroid_drift",
 )
 
 
