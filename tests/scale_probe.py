@@ -697,6 +697,32 @@ def remeasure_flagged(
         )
 
 
+#: --resume: completed rows are checkpointed per-row to
+#: ``<big>_rows.jsonl`` and a re-run skips them — so a hung python
+#: worker (the r14 incident: a worker vanished mid-task and the JVM's
+#: ReaderInputStream waited forever at 0%% CPU) costs one kill+rerun of
+#: the REMAINING rows, never the whole 2-3 h sweep, and the committed
+#: artifact is still assembled by the tool from its own recorded rows.
+RESUME = False
+
+
+def _ck_path(big_dir: str) -> str:
+    return big_dir.rstrip("/") + "_rows.jsonl"
+
+
+def _ck_load(big_dir: str) -> dict[str, dict]:
+    import json
+
+    out = {}
+    if os.path.exists(_ck_path(big_dir)):
+        with open(_ck_path(big_dir)) as fh:
+            for line in fh:
+                if line.strip():
+                    row = json.loads(line)
+                    out[row["query"]] = row
+    return out
+
+
 def probe(
     spark: SparkSession,
     names: list[str],
@@ -708,9 +734,12 @@ def probe(
     """Warm-time each query at sf0.1 and at ``big`` (default OUT); returns
     (strict violation count, result rows). ``tag`` marks variant runs
     (e.g. ``[skew]``) in the recorded query names."""
+    import json
+
     from etl_pipeline_telecom_spark import catalog
 
     big_dir = big or OUT
+    ck_done = _ck_load(big_dir) if RESUME else {}
     qs = catalog.queries()
     # warm python workers once (mapInPandas spin-up is ~1-2s for 32 workers)
     spark.range(spark.sparkContext.defaultParallelism).repartition(
@@ -721,6 +750,12 @@ def probe(
     results = []
     print(f"{'query':28s} {'sf0.1':>8s} {'big':>8s} {'ratio':>7s}  joins@big (flags)")
     for name in names:
+        if name + tag in ck_done:
+            row = ck_done[name + tag]
+            results.append(row)
+            violations += len(row["disallowed_plan_nodes"])
+            print(f"{name + tag:28s} (resumed from checkpoint)")
+            continue
         fn = qs[name]
         timings = {}
         cold = {}
@@ -771,6 +806,8 @@ def probe(
                 "disallowed_plan_nodes": bad,
             }
         )
+        with open(_ck_path(big_dir), "a") as fh:
+            fh.write(json.dumps(results[-1], sort_keys=True) + "\n")
         print(
             f"{name + tag:28s} {timings['sf0.1']:8.2f} {timings['big']:8.2f} {ratio:6.1f}x  "
             + ",".join(joins)
@@ -787,7 +824,8 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from etl_pipeline_telecom_spark.session import get_spark
 
-    global OUT, SKEW_OUT
+    global OUT, SKEW_OUT, RESUME
+    RESUME = "--resume" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = 10
     for a in sys.argv[1:]:
