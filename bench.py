@@ -170,12 +170,23 @@ def main() -> None:
     })
     compat_members = [n for n in warm if n in COMPAT_FROZEN]
     compat_20q = round(sum(warm[n] for n in compat_members), 3)
+    # ADVICE r14: the historical key "value_20q_r3_compat" survives only
+    # so prior-round artifacts keep parsing — its name is doubly wrong
+    # (not 20q, not r3-comparable). The canonical field is
+    # "value_compat_frozen" + "compat_digest" (md5 of the sorted member
+    # list, first 8 hex chars), which VERSIONS the basket: a consumer
+    # diffing across rounds compares sums only when digests match.
+    import hashlib
+
+    compat_digest = hashlib.md5(",".join(sorted(COMPAT_FROZEN)).encode()).hexdigest()[:8]
     payload = {
         "metric": f"headline_queries_total_wall_warm_min{WARM_RUNS}_{len(names)}q",
         "value": total,
         "unit": "sec",
         "n_queries": len(names),
         "value_20q_r3_compat": compat_20q,
+        "value_compat_frozen": compat_20q,
+        "compat_digest": compat_digest,
         "compat_n": len(compat_members),
         "queries": warm,
         "queries_std": std,
@@ -195,7 +206,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(f"full payload -> {out_path}", file=sys.stderr)
-    compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "compat_n", "queries", "sf")}
+    compact = {k: payload[k] for k in ("metric", "value", "unit", "n_queries", "value_20q_r3_compat", "value_compat_frozen", "compat_digest", "compat_n", "queries", "sf")}
     # two aggregate plan-metric fields in the DRIVER artifact itself (the
     # per-query breakdown lives in the committed side file): total shuffle
     # write and total rows read across the set — if these match the prior

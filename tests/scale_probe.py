@@ -338,6 +338,19 @@ PROBES += [
     "p12_snapshot_read",
 ]
 
+# r15: one row per previously-unprobed query FAMILY (VERDICT r14 item 2 —
+# the gate now asserts every catalog family has probe evidence): the f*
+# scalar-transform ops and u1's pandas-UDF scoring path are pure scan-side
+# projections (trivially linear — which is exactly why a cheap row closes
+# the claim), plus the three new r15 operators. The st* streaming family
+# remains the ONE documented exclusion (replay harnesses are out of probe
+# scope since r4; every st op's batch twin is probed — st1/st3→e1/e3,
+# st7→d13, st9→dq4, st10→p4, st11→g2, pipe5 probes the incremental path).
+PROBES += [
+    "f4_bucketize",
+    "u1_pandas_udf_score",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio
@@ -600,6 +613,52 @@ def _bnlj_allowed() -> set[str]:
 #: noise; the raw ratio is still recorded for reference.
 _T_SMALL_FLOOR = 0.5
 
+#: Per-measurement watchdog (VERDICT r14 item 1): the r14 sweep hung when a
+#: python worker vanished mid-task and the JVM's ReaderInputStream waited
+#: forever at 0% CPU — the run died silently and the round's artifact never
+#: landed. Every measured action now runs under a cancellable job group with
+#: a hard per-measurement timeout: a wedged row costs ROW_TIMEOUT_SEC and one
+#: honest ``timed_out`` row in the artifact (which test_scale_gate fails
+#: LOUDLY on), never the sweep. Override with --row-timeout=SECONDS.
+ROW_TIMEOUT_SEC = 900.0
+
+
+class RowTimeout(Exception):
+    pass
+
+
+def _timed_count(spark: SparkSession, make_df, *, timeout: float | None = None) -> float:
+    """Run ``make_df().count()`` in a watchdog thread under its own job
+    group (pinned-thread mode maps the python thread to a JVM thread, so
+    the group scopes exactly this measurement); returns wall seconds, or
+    cancels the group and raises :class:`RowTimeout` after ``timeout``."""
+    import threading
+
+    limit = ROW_TIMEOUT_SEC if timeout is None else timeout
+    group = f"scale-probe-{time.monotonic_ns()}"
+    out: dict = {}
+
+    def run() -> None:
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "scale-probe measurement", interruptOnCancel=True)
+        try:
+            t0 = time.perf_counter()
+            make_df().count()
+            out["t"] = time.perf_counter() - t0
+        except Exception as exc:  # re-raised by the caller unless we timed out
+            out["err"] = exc
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(limit)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(30)  # give the interrupt a moment; daemon thread if truly wedged
+        raise RowTimeout(f"measurement exceeded {limit}s (job group {group} cancelled)")
+    if "err" in out:
+        raise out["err"]
+    return out["t"]
+
 
 def _probe_plan_hash(fn, spark: SparkSession, sf_dir: str) -> str:
     """Round-over-round plan fingerprint for probe rows: the same
@@ -675,16 +734,25 @@ def remeasure_flagged(
         name = row["query"].split("[")[0]
         big_dir = SKEW_OUT if "[skew]" in row["query"] else OUT
         fn = qs[name]
-        fn(spark, big_dir).count()  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, big_dir).count()
-            best = min(best, time.perf_counter() - t0)
+
+        def _min2(sf_dir: str) -> float:
+            fn(spark, sf_dir).count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        best = _min2(big_dir)
+        # re-measure the sf0.1 side in the SAME standalone pass (ADVICE
+        # r14): the sweep's small wall came from the same degraded host
+        # window that flagged the row — dividing a clean big wall by a
+        # noisy small wall would leave the adjudicated ratio inconsistent
+        small = _min2(SRC)
         row["remeasured_t_big_warm_sec"] = round(best, 3)
-        row["remeasured_ratio_adj"] = round(
-            best / max(row["t_small_warm_sec"], _T_SMALL_FLOOR), 1
-        )
+        row["remeasured_t_small_warm_sec"] = round(small, 3)
+        row["remeasured_ratio_adj"] = round(best / max(small, _T_SMALL_FLOOR), 1)
         prev = row["prev_t_big_warm_sec"]
         row["noise_adjudication"] = (
             "host_noise"
@@ -705,9 +773,13 @@ def remeasure_flagged(
 #: artifact is still assembled by the tool from its own recorded rows.
 RESUME = False
 
+#: set by main() from --copies; keys the checkpoint file so a 10× run can
+#: never serve rows into a 100× artifact (ADVICE r14, medium)
+COPIES = 10
+
 
 def _ck_path(big_dir: str) -> str:
-    return big_dir.rstrip("/") + "_rows.jsonl"
+    return big_dir.rstrip("/") + f"_rows_c{COPIES}.jsonl"
 
 
 def _ck_load(big_dir: str) -> dict[str, dict]:
@@ -723,6 +795,16 @@ def _ck_load(big_dir: str) -> dict[str, dict]:
     return out
 
 
+def _ck_truncate(big_dir: str) -> None:
+    """Non-resume runs start from a clean checkpoint (ADVICE r14, medium):
+    the old probe appended to the same file on EVERY run and _ck_load
+    matched rows by name alone, so a later --resume could silently serve
+    prior-round timings and stale plan hashes into the committed artifact."""
+    for p in (_ck_path(big_dir), big_dir.rstrip("/") + "_rows.jsonl"):  # legacy name too
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def probe(
     spark: SparkSession,
     names: list[str],
@@ -730,10 +812,13 @@ def probe(
     *,
     big: str | None = None,
     tag: str = "",
+    on_row=None,
 ) -> tuple[int, list[dict]]:
     """Warm-time each query at sf0.1 and at ``big`` (default OUT); returns
     (strict violation count, result rows). ``tag`` marks variant runs
-    (e.g. ``[skew]``) in the recorded query names."""
+    (e.g. ``[skew]``) in the recorded query names. ``on_row`` (if given)
+    is called with each completed row — main() wires it to the incremental
+    artifact flush, so even a killed run leaves a valid partial JSON."""
     import json
 
     from etl_pipeline_telecom_spark import catalog
@@ -748,31 +833,57 @@ def probe(
 
     violations = 0
     results = []
+
+    def emit(row: dict) -> None:
+        results.append(row)
+        if on_row is not None:
+            on_row(row)
+
     print(f"{'query':28s} {'sf0.1':>8s} {'big':>8s} {'ratio':>7s}  joins@big (flags)")
     for name in names:
-        if name + tag in ck_done:
-            row = ck_done[name + tag]
-            results.append(row)
-            violations += len(row["disallowed_plan_nodes"])
-            print(f"{name + tag:28s} (resumed from checkpoint)")
-            continue
         fn = qs[name]
+        if name + tag in ck_done:
+            # resume validation (ADVICE r14, medium): a checkpointed row is
+            # reused only if the CURRENT plan still hashes to the row's
+            # recorded plan_hash — a row from before a plan edit (or from a
+            # different round's tree) re-runs instead of leaking stale
+            # timings into the artifact
+            row = ck_done[name + tag]
+            cur_hash = _probe_plan_hash(fn, spark, big_dir)
+            if row.get("plan_hash") == cur_hash and not row.get("timed_out"):
+                emit(row)
+                violations += len(row.get("disallowed_plan_nodes", []))
+                print(f"{name + tag:28s} (resumed from checkpoint, plan verified)")
+                continue
+            print(f"{name + tag:28s} (checkpoint stale — plan hash changed; re-running)")
         timings = {}
         cold = {}
-        for label, sf_dir in (("sf0.1", SRC), ("big", big_dir)):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()  # cold
-            cold[label] = time.perf_counter() - t0
-            # min-of-2 warm (the bench_full discipline): a single warm
-            # sample on a ~0.3 s small side wobbles the RATIO across the
-            # gate for linear scan-bound ops (r9: p4 measured 48.8× and
-            # 63.9× in consecutive rounds with identical plans)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[label] = best
+        try:
+            for label, sf_dir in (("sf0.1", SRC), ("big", big_dir)):
+                cold[label] = _timed_count(spark, lambda: fn(spark, sf_dir))
+                # min-of-2 warm (the bench_full discipline): a single warm
+                # sample on a ~0.3 s small side wobbles the RATIO across the
+                # gate for linear scan-bound ops (r9: p4 measured 48.8× and
+                # 63.9× in consecutive rounds with identical plans)
+                best = float("inf")
+                for _ in range(2):
+                    best = min(best, _timed_count(spark, lambda: fn(spark, sf_dir)))
+                timings[label] = best
+        except RowTimeout as exc:
+            # honest partial row: loud in the artifact (the gate fails on
+            # it), cheap for the sweep (one row's timeout, not a hang)
+            row = {
+                "query": name + tag,
+                "timed_out": True,
+                "row_timeout_sec": ROW_TIMEOUT_SEC,
+                "detail": str(exc),
+                "disallowed_plan_nodes": [],
+            }
+            emit(row)
+            with open(_ck_path(big_dir), "a") as fh:
+                fh.write(json.dumps(row, sort_keys=True) + "\n")
+            print(f"{name + tag:28s} TIMED OUT after {ROW_TIMEOUT_SEC}s — cancelled, continuing")
+            continue
         plan = _plan_text(fn(spark, big_dir))
         joins = sorted({n for n in _JOIN_NODES if n in plan})
         bad = [
@@ -781,7 +892,7 @@ def probe(
         ]
         violations += len(bad)
         ratio = timings["big"] / max(timings["sf0.1"], 1e-9)
-        results.append(
+        emit(
             {
                 "query": name + tag,
                 "t_small_warm_sec": round(timings["sf0.1"], 3),
@@ -824,7 +935,7 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from etl_pipeline_telecom_spark.session import get_spark
 
-    global OUT, SKEW_OUT, RESUME
+    global OUT, SKEW_OUT, RESUME, COPIES, ROW_TIMEOUT_SEC
     RESUME = "--resume" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     copies = 10
@@ -835,6 +946,9 @@ def main() -> int:
             # e.g. --copies=100 --out=.scratch/sf10 for a 100× probe
             OUT = os.path.abspath(a.split("=", 1)[1])
             SKEW_OUT = OUT + "skew"
+        elif a.startswith("--row-timeout="):
+            ROW_TIMEOUT_SEC = float(a.split("=", 1)[1])
+    COPIES = copies
     if args:
         # filters select from the FULL catalog, so any query can be probed ad hoc
         from etl_pipeline_telecom_spark import catalog as _cat
@@ -851,39 +965,64 @@ def main() -> int:
         synthesize(spark, out=OUT, copies=copies)
         print(f"synthesized in {time.perf_counter() - t0:.1f}s")
     strict = "--strict" in sys.argv
-    violations, results = probe(spark, names, strict=strict)
+    if not RESUME:
+        # clean-checkpoint contract (ADVICE r14): a fresh run never mixes
+        # rows with a prior run's file
+        _ck_truncate(OUT)
+        _ck_truncate(SKEW_OUT)
+
+    # Incremental artifact flush (VERDICT r14 item 1): the JSON record is
+    # rewritten after EVERY completed row with "partial": true, so a hung
+    # or killed run always leaves a valid, honest partial artifact instead
+    # of nothing. The final write drops the flag.
+    import json
+
+    all_rows: list[dict] = []
+    state = {"violations": 0}
+
+    def flush(partial: bool = True) -> None:
+        with open(OUT.rstrip("/") + "_probe.json", "w") as fh:
+            json.dump(
+                {"small": SRC, "big": OUT, "copies": copies,
+                 "strict_violations": state["violations"],
+                 **({"partial": True} if partial else {}),
+                 "queries": all_rows},
+                fh, indent=1,
+            )
+
+    def on_row(row: dict) -> None:
+        all_rows.append(row)
+        flush(partial=True)
+
+    v1, _ = probe(spark, names, strict=strict, on_row=on_row)
+    state["violations"] += v1
     if not args or any("cc_chain" in a for a in args):
-        results += probe_cc(spark)
+        for row in probe_cc(spark):
+            on_row(row)
     if "--skew" in sys.argv:
         if not os.path.exists(os.path.join(SKEW_OUT, "events.parquet")):
             print(f"synthesizing hot-key variant → {SKEW_OUT}")
             synthesize_skew(spark, src=OUT, out=SKEW_OUT)
         skew_names = [n for n in (names if args else SKEW_PROBES) if n in _all_names()]
-        v2, skew_results = probe(spark, skew_names, strict=strict, big=SKEW_OUT, tag="[skew]")
-        violations += v2
-        results += skew_results
+        v2, _ = probe(spark, skew_names, strict=strict, big=SKEW_OUT, tag="[skew]", on_row=on_row)
+        state["violations"] += v2
+        flush(partial=True)
     # --prev=SCALE_rN.json: adjudicate ratio moves against the prior
     # round's record (plan hash unchanged → big-wall delta is the signal)
     for a in sys.argv[1:]:
         if a.startswith("--prev="):
-            adjudicate_vs_prev(results, a.split("=", 1)[1])
+            adjudicate_vs_prev(all_rows, a.split("=", 1)[1])
+            flush(partial=True)
             # flagged rows re-measure standalone IN the same run — the
             # committed artifact carries its own provenance
-            remeasure_flagged(spark, results)
+            remeasure_flagged(spark, all_rows)
     # machine-readable record next to the fixture dir; copy to the repo
     # root (e.g. SCALE_r{N}.json) to commit a run as round evidence —
     # tests/test_scale_gate.py validates the committed copy
-    import json
-
-    with open(OUT.rstrip("/") + "_probe.json", "w") as fh:
-        json.dump(
-            {"small": SRC, "big": OUT, "copies": copies,
-             "strict_violations": violations, "queries": results},
-            fh, indent=1,
-        )
+    flush(partial=False)
     # --strict: disallowed BNLJ/cartesian plans become a nonzero exit code
     # (the CI-able form of the ⚠ flags; allowlist matches test_plan_shapes)
-    return 1 if violations else 0
+    return 1 if state["violations"] else 0
 
 
 def _all_names() -> list[str]:

@@ -167,6 +167,8 @@ def test_bench_stdout_line_fits_recorder_window():
         "unit": "sec",
         "n_queries": len(bench_set),
         "value_20q_r3_compat": 9999.999,
+        "value_compat_frozen": 9999.999,
+        "compat_digest": "17c34a09",
         "compat_n": 47,
         "queries": {short[n]: 999.99 for n in bench_set},
         "sf": 0.1,
@@ -207,6 +209,10 @@ def test_bench_compat_basket_frozen():
     # reviewed change (update this hash together with a NOTES entry)
     digest = hashlib.md5(",".join(sorted(frozen)).encode()).hexdigest()
     assert digest == "17c34a095315869a6c2f62857c31b912", digest
+    # ADVICE r14: the artifact must carry the versioned canonical key and
+    # the basket digest so cross-round consumers never compare different
+    # baskets under one name
+    assert "value_compat_frozen" in src and "compat_digest" in src
     specs = catalog.specs()
     bench_set = set(bench.HEADLINE) | {
         n for n, s in specs.items() if "headline" in s.tags

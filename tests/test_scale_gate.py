@@ -55,7 +55,71 @@ def _latest_record() -> dict:
     if not paths:
         pytest.skip("no committed SCALE_r*.json probe record yet")
     with open(paths[-1]) as fh:
-        return json.load(fh)
+        rec = json.load(fh)
+    rec["_round"] = round_num(paths[-1])
+    return rec
+
+
+def _catalog_round() -> int:
+    """The round the catalog was last stamped for — the max last_windowed
+    round in window_history.json (every round's window build stamps it)."""
+    from etl_pipeline_telecom_spark.catalog import rotation_policy
+
+    return max(rotation_policy()["last_windowed"].values())
+
+
+#: query families with NO probe row — the ONLY allowed coverage gaps, each
+#: with its documented reason. st*: streaming replay harnesses are out of
+#: probe scope by design (r4 decision); every st op's BATCH twin is probed
+#: (st1/st3→e1/e3, st7→d13, st9→dq4, st10→p4, st11→g2) and pipe5 probes
+#: the incremental-curation streaming path end-to-end.
+EXCLUDED_FAMILIES = {"st"}
+
+
+def _family(name: str) -> str:
+    import re
+
+    return re.match(r"^([a-z]+)", name.split("[")[0].split("_")[0]).group(1)
+
+
+def test_probe_round_not_stale():
+    """r15 (VERDICT r14 item 2): the gate used to accept arbitrarily stale
+    probes — it globbed SCALE_r*.json and took the newest, so a hung run
+    (r14's exact failure) left every scale assertion silently passing
+    against the PRIOR round's evidence. The newest committed probe must be
+    at most 1 round behind the catalog's stamped round."""
+    rec = _latest_record()
+    cat_round = _catalog_round()
+    assert rec["_round"] >= cat_round - 1, (
+        f"scale evidence is stale: newest probe is r{rec['_round']} but the "
+        f"catalog is stamped r{cat_round} — re-run tests/scale_probe.py and "
+        "commit SCALE_r{N}.json"
+    )
+
+
+def test_probe_covers_every_catalog_family():
+    """r15 (VERDICT r14 item 2): every query family present in the catalog
+    must have at least one probe row (the K-rule discipline, applied to
+    scale evidence), except the documented EXCLUDED_FAMILIES."""
+    rec = _latest_record()
+    from etl_pipeline_telecom_spark import catalog
+
+    cat_fams = {_family(n) for n in catalog.queries()}
+    probed_fams = {_family(q["query"]) for q in rec["queries"]}
+    missing = cat_fams - probed_fams - EXCLUDED_FAMILIES
+    assert not missing, f"catalog families with no scale-probe row: {sorted(missing)}"
+
+
+def test_probe_record_is_complete_and_untimed():
+    """r15: the hardened probe writes "partial": true into every
+    incremental flush and marks watchdog-cancelled rows "timed_out" — a
+    committed record must be a COMPLETED run with zero timed-out rows."""
+    rec = _latest_record()
+    if rec["_round"] < 15:
+        pytest.skip("record predates the hang-proofed probe (r15)")
+    assert not rec.get("partial"), "committed probe record is a partial flush"
+    hung = [q["query"] for q in rec["queries"] if q.get("timed_out")]
+    assert not hung, f"probe rows hit the row watchdog: {hung}"
 
 
 def test_probe_covers_required_families():
