@@ -355,32 +355,70 @@ def test_v17_pushed_filter_returns_k_where_postfilter_underreturns(spark, tmp_pa
     )
 
 
+def _jchildren(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _jwalk(node):
+    yield node
+    for c in _jchildren(node):
+        yield from _jwalk(c)
+
+
 def test_v17_filter_sits_below_probe_join(spark, sf_dir):
     """The plan-shape pin (VERDICT r13 item 3): the eligibility predicate
     reaches the documents PARQUET SCAN as pushed filters, and the
-    eligibility join sits INSIDE the member branch of the probe join —
-    i.e. BELOW it in the plan tree — so the distance kernel never scores
-    an ineligible vector."""
+    eligibility join sits INSIDE (a descendant of) the probe join's member
+    branch, so the distance kernel never scores an ineligible vector.
+
+    ADVICE r14: asserted by walking the actual SparkPlan tree (ancestry,
+    not explain-output line order — printed line indices are not tree
+    depth across sibling branches, and exact node counts are brittle
+    under AQE/version changes)."""
     import contextlib
     import io
 
     from etl_pipeline_telecom_spark import catalog as cat
 
+    df = cat.REGISTRY["v17_filtered_ann"].fn(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        cat.REGISTRY["v17_filtered_ann"].fn(spark, sf_dir).explain("formatted")
+        df.explain("formatted")
     plan = buf.getvalue()
     assert "EqualTo(lang,en)" in plan and "GreaterThanOrEqual(n_chars,400)" in plan
-    tree = plan.split("\n\n")[0].splitlines()
-    probe = [i for i, l in enumerate(tree) if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
-    elig = [i for i, l in enumerate(tree) if "BroadcastHashJoin" in l]
-    assert len(probe) == 1 and len(elig) == 1, (probe, elig)
-    # deeper in the printed tree == below the probe join
-    assert elig[0] > probe[0], "eligibility join is not below the probe join"
-    # and the scoring python stage sits ABOVE the probe join (scores only
-    # post-filter candidates)
-    arrow = [i for i, l in enumerate(tree) if "ArrowEvalPython" in l]
-    assert arrow and arrow[0] < probe[0]
+
+    # pre-AQE physical plan: join strategy chosen, tree structure stable
+    root = df._jdf.queryExecution().sparkPlan()
+    nodes = list(_jwalk(root))
+
+    def named(frag: str):
+        return [n for n in nodes if frag in n.nodeName()]
+
+    probes = named("SortMergeJoin") + named("ShuffledHashJoin")
+    assert probes, "no shuffle probe join in the v17 plan"
+    # eligibility BHJ: the broadcast join whose subtree scans documents
+    elig = [
+        b
+        for b in named("BroadcastHashJoin")
+        if any("documents" in str(n) for n in _jwalk(b) if "Scan" in n.nodeName())
+    ]
+    assert elig, "no broadcast eligibility join over the documents scan"
+
+    def descends(anc, node) -> bool:
+        return any(n.equals(node) for n in _jwalk(anc))
+
+    # the eligibility join is a DESCENDANT of a probe join (below it in
+    # the tree → excluded vectors never reach the distance kernel) ...
+    assert any(descends(p, e) for p in probes for e in elig), (
+        "eligibility join is not below the probe join"
+    )
+    # ... and the Arrow scoring stage is an ANCESTOR of that probe join
+    # (scores only post-filter candidates)
+    arrows = named("ArrowEvalPython")
+    assert any(descends(a, p) for a in arrows for p in probes), (
+        "Arrow scoring stage does not sit above the probe join"
+    )
 
 
 def test_v17_oracle_roundtrip_crafted(spark, tmp_path):
