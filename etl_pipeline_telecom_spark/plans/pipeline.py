@@ -2726,3 +2726,116 @@ def p12_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("any_compacted") == 1).alias("rewritten"),
         (F.lit(intact) & (F.col("rows_v1") == F.col("rows_v2"))).alias("snapshot_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p13: incremental snapshot diff — the CHANGE DATA FEED between two manifest
+# versions (VERDICT r14 item 7), composing p12's snapshot machinery
+# ---------------------------------------------------------------------------
+
+_P13_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT) % "
+    f"{_P11_BUCKETS}"
+)
+
+
+@register(
+    "p13_snapshot_diff",
+    f"""WITH b AS (
+          SELECT event_id, user_id,
+                 {_P13_SQL_BUCKET.format(id='event_id')} AS bucket
+          FROM events),
+        del AS (SELECT 'delete' AS change_type, bucket, event_id, user_id
+                FROM b WHERE event_id % 97 = 0),
+        upd AS (SELECT 'update' AS change_type, bucket, event_id, user_id
+                FROM b WHERE event_id % 103 = 0 AND event_id % 97 <> 0),
+        ins AS (SELECT 'insert' AS change_type,
+                       {_P13_SQL_BUCKET.format(id='event_id + 1000000000000')}
+                           AS bucket,
+                       event_id + 1000000000000 AS event_id, user_id
+                FROM b WHERE event_id % 101 = 0),
+        ch AS (SELECT * FROM del UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM ins)
+        SELECT change_type, CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM ch GROUP BY change_type, bucket""",
+    tags=("layout", "snapshot", "cdc", "timetravel", "headline"),
+    doc="Incremental snapshot diff — the row-level change data feed "
+    "between two manifest versions (VERDICT r14 item 7; Delta's CDF / "
+    "Iceberg's changelog read), WITHOUT rescanning unchanged files: the "
+    "diff is planned from the MANIFEST DELTA alone. Fixture: "
+    "sources/writers.stage_cdf_commit builds a clean bucketed events "
+    "layout (v1) and one DML commit (v2) with deterministic deletes "
+    "(event_id %% 97), updates (value+1 where %% 103, delete wins the "
+    "overlap), and inserts (%% 101 clones re-keyed +1e12 into their new "
+    "hash bucket). The reader loads ONLY files v1 references and v2 "
+    "dropped (the old image of rewritten buckets) and files v2 added "
+    "(rewrites + appends) — files common to both versions are NEVER "
+    "read, pinned by a file-list assertion on the plan's scans (the p5 "
+    "pattern, tests/test_r15_ops.py). A full-outer join on the row key "
+    "classifies each delta row: old-only → delete, new-only → insert, "
+    "both-with-different-payload (null-safe) → update, both-equal → an "
+    "unchanged row carried by a rewrite, excluded. Output per "
+    "(change_type, bucket): row count, distinct users, key checksum — "
+    "the oracle predicts all of it analytically from the events table "
+    "and the md5 bucket law (p11's fixture contract). At 100 TB this is "
+    "the lakehouse incremental-consumer path: the work is proportional "
+    "to the CHANGED file set, not the table — the diff join shuffles "
+    "only rewritten-bucket rows, and a commit touching k of N buckets "
+    "costs k/N of a full-table diff.",
+)
+def p13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import (
+        _load_manifest,
+        read_manifest_files,
+        stage_cdf_commit,
+    )
+
+    mdir = stage_cdf_commit(spark, sf_dir, _P11_BUCKETS)
+    v1 = {e["path"]: e for e in _load_manifest(mdir, 1)}
+    v2 = {e["path"]: e for e in _load_manifest(mdir, 2)}
+    removed = [e for p, e in sorted(v1.items()) if p not in v2]
+    added = [e for p, e in sorted(v2.items()) if p not in v1]
+    old = read_manifest_files(spark, removed).select(
+        "event_id",
+        F.col("user_id").alias("o_user"),
+        F.col("event_type").alias("o_type"),
+        F.col("value").alias("o_value"),
+        F.col("bucket").alias("o_bucket"),
+    )
+    new = read_manifest_files(spark, added).select(
+        "event_id",
+        F.col("user_id").alias("n_user"),
+        F.col("event_type").alias("n_type"),
+        F.col("value").alias("n_value"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    payload_changed = (
+        ~F.col("o_user").eqNullSafe(F.col("n_user"))
+        | ~F.col("o_type").eqNullSafe(F.col("n_type"))
+        | ~F.col("o_value").eqNullSafe(F.col("n_value"))
+    )
+    change_type = (
+        F.when(F.col("n_bucket").isNull(), "delete")
+        .when(F.col("o_bucket").isNull(), "insert")
+        .when(payload_changed, "update")
+    )
+    return (
+        old.join(new, "event_id", "full_outer")
+        .withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            F.coalesce("n_bucket", "o_bucket").alias("bucket"),
+            "event_id",
+            F.coalesce("n_user", "o_user").alias("user_id"),
+        )
+        .groupBy("change_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )

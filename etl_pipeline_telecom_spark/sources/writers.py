@@ -595,3 +595,147 @@ def snapshot_files_intact(manifest_dir: str, version: int) -> bool:
         if st.st_size != e["size"] or st.st_mtime_ns != e["mtime_ns"]:
             return False
     return True
+
+
+_CDF_INSERT_OFFSET = 1_000_000_000_000  # re-key for insert clones: far above
+# any synthesized event_id (the 100× probe strides event_id by 1e8 per copy
+# → max ≈ 1e10), so clone ids never collide with base ids at ANY fixture
+# scale, and the md5 bucket of the new id is independent of the old one
+
+
+def stage_cdf_commit(spark, sf_dir: str, n_buckets: int = 16) -> str:
+    """Manifest-versioned CHANGE-DATA-FEED fixture (p13): version 1 is a
+    clean md5-bucketed events layout (one part file per bucket); version 2
+    is ONE DML commit applying three deterministic row-level operations —
+    deletes (``event_id % 97 == 0``), updates (``value ← coalesce(value,0)+1``
+    where ``event_id % 103 == 0`` and not deleted; delete wins the overlap),
+    and inserts (clones of ``event_id % 101 == 0`` rows re-keyed to
+    ``event_id + _CDF_INSERT_OFFSET``, landing in the bucket of their NEW
+    key). The commit follows the Delta/Iceberg file contract: it REWRITES
+    exactly the buckets containing a delete or update (surviving rows with
+    updates applied, under the commit root), APPENDS the insert files, and
+    never touches a committed file — untouched buckets keep serving their
+    version-1 file, which is what makes the p13 diff file-pruned. Manifests
+    v1/v2 use p12's entry schema (bucket, path, root, size, mtime_ns), so
+    :func:`read_snapshot` and :func:`snapshot_files_intact` work unchanged.
+    Cached by source (size, mtime_ns); atomic rename publish."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .readers import load_table
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out_dir = f"/tmp/spark_graft_p13_cdf_{_stage_key(src, f'p13:{n_buckets}')}"
+    _sweep_stale_stage_work("/tmp/spark_graft_p13_cdf_")
+    if os.path.isdir(out_dir):
+        return out_dir
+
+    def bucket_of(c):
+        return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ) % n_buckets
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        bucket_of(F.col("event_id")).alias("bucket"),
+    )
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    base_root = os.path.join(work, "base")
+    # one task per bucket → exactly one part file per bucket directory
+    ev.repartition("bucket").write.partitionBy("bucket").parquet(base_root)
+
+    is_del = F.col("event_id") % 97 == 0
+    is_upd = (F.col("event_id") % 103 == 0) & ~is_del
+    # affected buckets: metadata-scale collect (≤ n_buckets rows)
+    affected = sorted(
+        r.bucket
+        for r in ev.where(is_del | is_upd).select("bucket").distinct().collect()
+    )
+    rw_root = os.path.join(work, "rewrite")
+    (
+        ev.where(F.col("bucket").isin(affected) & ~is_del)
+        .withColumn(
+            "value",
+            F.when(is_upd, F.coalesce(F.col("value"), F.lit(0.0)) + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(rw_root)
+    )
+    app_root = os.path.join(work, "append")
+    new_id = F.col("event_id") + F.lit(_CDF_INSERT_OFFSET)
+    (
+        ev.where(F.col("event_id") % 101 == 0)
+        .select(
+            new_id.alias("event_id"), "user_id", "event_type", "value",
+            bucket_of(new_id).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(app_root)
+    )
+
+    def entries(root: str) -> list[dict]:
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(root, "bucket=*", "**", "*.parquet"), recursive=True)
+        ):
+            st = os.stat(p)
+            out.append(
+                {
+                    "bucket": int(p.split("bucket=")[1].split(os.sep)[0]),
+                    "path": p,
+                    "root": root,
+                    "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+            )
+        return out
+
+    v1 = entries(base_root)
+    v2 = [e for e in v1 if e["bucket"] not in set(affected)] + entries(
+        rw_root
+    ) + entries(app_root)
+    # entries were stat'ed inside the work dir; the atomic publish RENAMES
+    # work → out_dir (file stats survive a dir rename), so the recorded
+    # paths/roots must point at the published location
+    # v2 SHARES the carried-over entry dicts with v1 — guard so each
+    # object is rewritten exactly once
+    for files in (v1, v2):
+        for e in files:
+            if e["path"].startswith(work):
+                e["path"] = out_dir + e["path"][len(work):]
+            if e["root"].startswith(work):
+                e["root"] = out_dir + e["root"][len(work):]
+    for ver, files in ((1, v1), (2, v2)):
+        with open(os.path.join(work, f"v{ver}.json"), "w") as f:
+            json.dump({"version": ver, "files": files}, f, indent=1)
+    return _publish_stage(work, out_dir)
+
+
+def read_manifest_files(spark, entries: list[dict]):
+    """Read EXACTLY the given manifest entries (p13's delta-file reader):
+    files grouped by layout root so ``basePath`` partition-column recovery
+    works per layout — the same read path as :func:`read_snapshot`, over
+    an arbitrary file subset instead of a whole version."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    roots: dict[str, list[str]] = {}
+    for e in entries:
+        roots.setdefault(e["root"], []).append(e["path"])
+    parts = [
+        spark.read.option("basePath", root)
+        .parquet(*sorted(paths))
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("bucket").cast("bigint").alias("bucket"),
+        )
+        for root, paths in sorted(roots.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -351,6 +351,18 @@ PROBES += [
     "u1_pandas_udf_score",
 ]
 
+# r15 operators: span-removal dedup (d18's shingle shuffle + the
+# reassembly groupBy — the probe watches the explode/rejoin stays linear),
+# DoReMi mixture weights (one corpus pass + vocab joins, then a ~20-row
+# iteration — must stay corpus-pass-bound like t30), and the snapshot
+# diff (must stay proportional to the CHANGED file set, never a
+# full-table rescan)
+PROBES += [
+    "d22_span_removal_dedup",
+    "sm14_doremi_mixture",
+    "p13_snapshot_diff",
+]
+
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×
 #: fixture against the uniform sf0.1 baseline, same gate as everything
 #: else — a salting/AQE failure shows up as a straggler-cliff ratio

@@ -250,6 +250,10 @@ _BNLJ_ALLOWED = {
     "v17_filtered_ann",  # v7's k-row centroid broadcast verbatim (the
                          # eligibility predicate adds only a vec_id
                          # equi-join below the probe join)
+    "sm14_doremi_mixture",  # t30's 1-row bl(T) scalar broadcast onto the
+                         # DOMAIN-keyed frame (t24 adjudication); every
+                         # DRO-iteration window runs on the ~20-row
+                         # domain dimension, no corpus-sized BNLJ side
 }
 _GUARDED = [
     "a4_group_avg", "a10_histogram", "a13_median", "j2_revenue_topk",
@@ -303,6 +307,11 @@ _GUARDED = [
     # metadata-scale frames (the p10/p11 shape)
     "t32_kneser_ney_lm", "sm13_dsir_resample", "v17_filtered_ann",
     "p12_snapshot_read",
+    # r15 additions: d22 is one shingle-key shuffle + doc_id-keyed
+    # windows/joins (d18's shape plus the reassembly groupBy); p13's diff
+    # is a single event_id SortMergeJoin over DELTA files only; sm14
+    # carries t30's justified 1-row bl(T) broadcast (allowlisted above)
+    "d22_span_removal_dedup", "p13_snapshot_diff", "sm14_doremi_mixture",
 ]
 
 
