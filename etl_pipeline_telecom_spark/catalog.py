@@ -350,61 +350,72 @@ def _load_all_plans() -> None:
 # OUT — everything r11+-green with unchanged plans and oracles,
 # including the full r13 window. backlog[14] = 0; the lw=10 remainder
 # (19) is 4 rounds stale at r14 close and drains in r15, inside K=6.
+#
+# Round 15 rotations: IN — the three new r15 operators (d22 span-removal
+# dedup, sm14 DoReMi mixture weights, p13 snapshot diff — the drift
+# cohort), then the stalest fill: the ENTIRE lw=10 remainder (19 — the
+# r14 verdict's named obligation, item 3, drained exactly at the K=6
+# deadline) and the first 28 name-ordered of the 50-query lw=11 cohort.
+# OUT — everything r12+-green with unchanged plans and oracles,
+# including the full r14 window. backlog[15] = 0; the lw=11 remainder
+# (22) is 4 rounds stale at r15 close and drains across r16-r17, inside
+# K=6. Built by .scratch/build_window_r15.py from the pristine r14
+# stamps (commit d5a08bc).
 DRIVER_WINDOW = (
-    # --- drift cohort (MUST re-verdict): the new r14 operators
-    "t32_kneser_ney_lm",
-    "sm13_dsir_resample",
-    "v17_filtered_ann",
-    "p12_snapshot_read",
+    # --- drift cohort (MUST re-verdict): the new r15 operators
+    "d22_span_removal_dedup",
+    "sm14_doremi_mixture",
+    "p13_snapshot_diff",
     # --- stalest-first fill (rotation guarantee, window_history.json):
-    # lw=9 (all 15)
-    "f1_coerce_numeric",
-    "f2_median_fill",
-    "f3_const_fill",
-    "f4_bucketize",
-    "m7_audio_features",
-    "m8_shot_boundaries",
-    "p6_range_sharded_export",
-    "p8_zorder_layout",
-    "p9_bloom_file_index",
-    "t11_bigram_topk",
-    "t22_unigram_em",
-    "t23_unigram_encode",
-    "t24_bigram_surprisal",
-    "v12_ivf_sq8_recall",
-    "v13_pq_adc_refine",
-    # lw=10 (first 31 of 50, name-ordered)
-    "d6_simhash",
-    "e5_band_range_join",
-    "f5_segment3",
-    "f6_f8_flags",
-    "f9_dict_encode",
-    "j1_broadcast_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_left_join_agg",
-    "j7_salted_join",
-    "m6_perceptual_neardup",
-    "m9_image_text_score",
-    "p10_compaction_exec",
-    "r1_unpivot_measures",
-    "s1_union_distinct",
-    "s2_union_all_counts",
-    "s3_intersect",
-    "s4_except",
-    "sm9_epoch_mix_schedule",
-    "st10_stream_cdc_apply",
-    "st11_stream_throttle",
-    "st12_stream_stream_outer_join",
-    "st13_exactly_once_sink",
-    "st1_stream_tumbling",
-    "st2_stream_dedup",
-    "st3_stream_sessionize",
-    "st4_stream_stream_join",
-    "st5_stream_static_join",
-    "st6_stream_maintained_rollup",
-    "st7_stream_bloom_refresh",
-    "st8_stream_centroid_drift",
+    # lw=10 (all 19 — the r14 verdict's named obligation)
+    "st9_stream_drift_monitor",
+    "t1_token_stats",
+    "t25_langid_train",
+    "t26_wordpiece_train",
+    "t27_wordpiece_encode",
+    "t2_quality_score",
+    "t3_langid",
+    "t4_fingerprint",
+    "t5_top_words_per_lang",
+    "v14_ivf_pq_recall",
+    "w1_rank_topk_per_group",
+    "w2_lag_delta",
+    "w3_running_sum",
+    "w4_dense_rank",
+    "w5_rollup",
+    "w6_cube",
+    "w7_grouping_sets",
+    "w8_pct_rank_cume",
+    "x2_event_type_map",
+    # lw=11 (first 28 of 50, name-ordered)
+    "a11_null_counts",
+    "a14_approx_distinct",
+    "a15_percentile_approx",
+    "a16_freq_items",
+    "a17_grouped_percentiles",
+    "a18_exact_corr",
+    "a19_grouped_regression",
+    "a20_hll_union",
+    "a8_pivot_rate",
+    "d11_incremental_dedup",
+    "d14_fuzzy_name_pairs",
+    "d15_fuzzy_indel_pairs",
+    "d21_semantic_dedup",
+    "dq1_lineitem_checks",
+    "dq2_orders_checks",
+    "dq3_outlier_bands",
+    "e10_time_weighted_avg",
+    "e1_tumbling_window",
+    "e3_session_window",
+    "e3b_session_window_skewfree",
+    "e4_asof_join",
+    "e6_gap_fill",
+    "e7_cohort_retention",
+    "e8_funnel_steps",
+    "e9_windowed_funnel",
+    "g1_grouped_median",
+    "j6_star_join",
+    "j8_temporal_snapshot_join",
 )
 
 

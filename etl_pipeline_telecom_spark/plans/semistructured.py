@@ -1326,37 +1326,36 @@ def _sql_sm14() -> str:
     its = []
     for t in range(_SM14_T):
         its.append(f""",
+        bl{t} AS MATERIALIZED (
+          SELECT CAST(SUM(w * micro_loss) // {_PPM} AS BIGINT) AS b FROM w{t}),
         u{t} AS MATERIALIZED (
           SELECT source, n_bigrams, bits_total, micro_loss, uni_w,
-                 w * ({_SM14_C} + LEAST({_SM14_CAP}, GREATEST(0,
-                     micro_loss - CAST((SELECT SUM(w * micro_loss) FROM w{t})
-                                       // {_PPM} AS BIGINT)))) AS u
-          FROM w{t}),
+                 w * ({_SM14_C} + LEAST({_SM14_CAP},
+                     GREATEST(0, micro_loss - b))) AS u
+          FROM w{t}, bl{t}),
+        su{t} AS MATERIALIZED (SELECT SUM(u) AS su FROM u{t}),
         r{t} AS MATERIALIZED (
           SELECT source, n_bigrams, bits_total, micro_loss, uni_w,
-                 CAST(({_PPM} * u) // (SELECT SUM(u) FROM u{t}) AS BIGINT)
-                     AS base,
+                 CAST(({_PPM} * u) // su AS BIGINT) AS base,
                  ROW_NUMBER() OVER (
-                     ORDER BY ({_PPM} * u) % (SELECT SUM(u) FROM u{t}) DESC,
-                              source) AS rr
-          FROM u{t}),
+                     ORDER BY ({_PPM} * u) % su DESC, source) AS rr
+          FROM u{t}, su{t}),
+        sb{t} AS MATERIALIZED (SELECT SUM(base) AS sb FROM r{t}),
         p{t} AS MATERIALIZED (
           SELECT source, n_bigrams, bits_total, micro_loss, uni_w,
                  ({_PPM} - {_SM14_SM})
-                   * (base + CASE WHEN rr <= {_PPM} - (SELECT SUM(base)
-                                                       FROM r{t})
-                             THEN 1 ELSE 0 END)
+                   * (base + CASE WHEN rr <= {_PPM} - sb THEN 1 ELSE 0 END)
                  + {_SM14_SM} * uni_w AS wsm
-          FROM r{t}),
+          FROM r{t}, sb{t}),
+        sw{t} AS MATERIALIZED (SELECT SUM(wsm // {_PPM}) AS sw FROM p{t}),
         w{t + 1} AS MATERIALIZED (
           SELECT source, n_bigrams, bits_total, micro_loss, uni_w,
                  CAST(wsm // {_PPM}
                       + CASE WHEN ROW_NUMBER() OVER (
                                       ORDER BY wsm % {_PPM} DESC, source)
-                                  <= {_PPM} - (SELECT SUM(wsm // {_PPM})
-                                               FROM p{t})
+                                  <= {_PPM} - sw
                              THEN 1 ELSE 0 END AS BIGINT) AS w
-          FROM p{t})""")
+          FROM p{t}, sw{t})""")
     return (
         head
         + "".join(its)
