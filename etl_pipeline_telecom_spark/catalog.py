@@ -351,21 +351,35 @@ def _load_all_plans() -> None:
 # including the full r13 window. backlog[14] = 0; the lw=10 remainder
 # (19) is 4 rounds stale at r14 close and drains in r15, inside K=6.
 #
-# Round 15 rotations: IN — the three new r15 operators (d22 span-removal
-# dedup, sm14 DoReMi mixture weights, p13 snapshot diff — the drift
-# cohort), then the stalest fill: the ENTIRE lw=10 remainder (19 — the
-# r14 verdict's named obligation, item 3, drained exactly at the K=6
-# deadline) and the first 28 name-ordered of the 50-query lw=11 cohort.
-# OUT — everything r12+-green with unchanged plans and oracles,
-# including the full r14 window. backlog[15] = 0; the lw=11 remainder
-# (22) is 4 rounds stale at r15 close and drains across r16-r17, inside
-# K=6. Built by .scratch/build_window_r15.py from the pristine r14
-# stamps (commit d5a08bc).
+# Round 15 rotations: IN — the five new r15 operators (d22 span-removal
+# dedup, sm14 DoReMi mixture weights, p13 snapshot diff, p14 incremental
+# MV maintenance, t33 perplexity bucketing) plus one plan-drift
+# re-verdict (p12 — staged-layout cache-key literal changed with the
+# driver's mid-round testdata regeneration; see the in-window comment)
+# — the 6-slot drift cohort — then the stalest fill: the ENTIRE lw=10
+# remainder (19 — the r14 verdict's named obligation, item 3, drained
+# exactly at the K=6 deadline) and the first 25 name-ordered of the
+# 50-query lw=11 cohort. OUT — everything r12+-green with unchanged
+# plans and oracles, including the full r14 window. backlog[15] = 0; the
+# lw=11 remainder (25) is 4 rounds stale at r15 close and drains across
+# r16-r17, inside K=6. Built by .scratch/build_window_r15.py from the
+# pristine r14 stamps (commit d5a08bc); p14/t33/p12 joined the drift
+# cohort mid-round, displacing the last three name-ordered lw=11 fills
+# (j8_temporal_snapshot_join, j6_star_join, g1_grouped_median — stamps
+# reverted to 11).
 DRIVER_WINDOW = (
     # --- drift cohort (MUST re-verdict): the new r15 operators
     "d22_span_removal_dedup",
     "sm14_doremi_mixture",
     "p13_snapshot_diff",
+    "p14_incremental_mv",
+    "t33_perplexity_buckets",
+    # plan-drift re-verdict: p12's optimized plan embeds the p11 staged-
+    # layout cache key (bare dirname in a Contains literal); the driver's
+    # mid-round testdata regeneration changed the key, so the recorded
+    # hash legitimately differs from PLAN_BASELINE — the window rule
+    # sends it back for a driver verdict (normalizer now masks the key)
+    "p12_snapshot_read",
     # --- stalest-first fill (rotation guarantee, window_history.json):
     # lw=10 (all 19 — the r14 verdict's named obligation)
     "st9_stream_drift_monitor",
@@ -413,9 +427,6 @@ DRIVER_WINDOW = (
     "e7_cohort_retention",
     "e8_funnel_steps",
     "e9_windowed_funnel",
-    "g1_grouped_median",
-    "j6_star_join",
-    "j8_temporal_snapshot_join",
 )
 
 

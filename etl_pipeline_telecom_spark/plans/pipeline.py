@@ -2839,3 +2839,89 @@ def p13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p14: incremental materialized-view maintenance from the p13 change feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p14_incremental_mv",
+    """WITH survivors AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 103 = 0 THEN COALESCE(value, 0) + 1
+                      ELSE value END AS value
+          FROM events WHERE event_id % 97 <> 0),
+        inserts AS (
+          SELECT event_type, value FROM events WHERE event_id % 101 = 0),
+        v2 AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserts)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 1000) AS BIGINT))
+                    AS BIGINT) AS v_milli_sum
+        FROM v2 GROUP BY event_type""",
+    tags=("layout", "snapshot", "cdc", "ivm", "headline"),
+    doc="Incremental materialized-view maintenance over the p13 change "
+    "feed (Delta/Databricks incremental MV refresh, Materialize-style "
+    "IVM): a per-event_type COUNT/SUM view materialized at snapshot v1 "
+    "(sources/writers.stage_mv_base — the one full scan, paid at MV "
+    "creation) is rolled forward to v2 by reading ONLY the commit's "
+    "manifest delta. No diff join is needed for self-maintainable "
+    "aggregates: every row in a DROPPED file contributes (-1, -v), every "
+    "row in an ADDED file (+1, +v), and unchanged rows carried by a "
+    "bucket rewrite appear in both images and cancel EXACTLY (the value "
+    "surrogate floor(value*1000) is per-row deterministic, so the "
+    "cancellation is bitwise) — deletes net -1, inserts net +1, updates "
+    "net the value delta. The plan is base-MV ∪ (-old) ∪ (+new) into ONE "
+    "map-side-combinable hash aggregate on event_type; "
+    "tests/test_r15_ops.py pins that no file common to both manifest "
+    "versions is scanned (the p5/p13 file-list law) and replays the "
+    "maintenance in pure python. Oracle: the v2 state predicted "
+    "analytically from the events table and the commit law (%97 delete, "
+    "%103 value+1, %101 re-keyed clone insert). At 100 TB this is THE "
+    "incremental-consumer win: refresh cost is O(changed files + |MV|), "
+    "not O(table) — a commit rewriting k of N buckets costs k/N of the "
+    "recompute, and the aggregate state that crosses the wire is one "
+    "row per group, not the row delta.",
+)
+def p14_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import (
+        _load_manifest,
+        mv_milli,
+        read_manifest_files,
+        stage_cdf_commit,
+        stage_mv_base,
+    )
+
+    mdir = stage_cdf_commit(spark, sf_dir, _P11_BUCKETS)
+    mv_dir = stage_mv_base(spark, mdir, 1)
+    v1 = {e["path"]: e for e in _load_manifest(mdir, 1)}
+    v2 = {e["path"]: e for e in _load_manifest(mdir, 2)}
+    dropped = [e for p, e in sorted(v1.items()) if p not in v2]
+    added = [e for p, e in sorted(v2.items()) if p not in v1]
+
+    def contrib(entries: list[dict], sign: int) -> DataFrame:
+        return read_manifest_files(spark, entries).select(
+            "event_type",
+            F.lit(sign).cast("bigint").alias("dn"),
+            (F.lit(sign) * mv_milli(F.col("value"))).cast("bigint").alias("dv"),
+        )
+
+    base = spark.read.parquet(mv_dir).select(
+        "event_type",
+        F.col("n_rows").alias("dn"),
+        F.col("v_milli_sum").alias("dv"),
+    )
+    return (
+        base.unionByName(contrib(dropped, -1))
+        .unionByName(contrib(added, 1))
+        .groupBy("event_type")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_rows"),
+            F.sum("dv").cast("bigint").alias("v_milli_sum"),
+        )
+        # a group whose rows were all deleted leaves zero-count state;
+        # the maintained view drops it (matches the recompute oracle)
+        .where(F.col("n_rows") > 0)
+    )

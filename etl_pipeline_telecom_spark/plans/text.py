@@ -3325,3 +3325,205 @@ def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.cast("bigint").alias("micro_bits_per_bigram"),
         (micro > F.col("corpus_micro")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t33: CCNet-style per-language perplexity bucketing (head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t33_perplexity_buckets",
+    f"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+        big AS MATERIALIZED (
+          SELECT doc_id, lang, w1, w2
+          FROM (SELECT doc_id, lang, {_SQL_T30_BIGRAMS} FROM toks)),
+        bc AS (SELECT lang, w1, w2, COUNT(*) AS cnt FROM big
+               WHERE doc_id % 10 < 8 GROUP BY lang, w1, w2),
+        ctx AS (SELECT lang, w1, CAST(SUM(cnt) AS BIGINT) AS cc
+                FROM bc GROUP BY lang, w1),
+        uni AS (SELECT lang, w2 AS w, COUNT(*) AS ucnt
+                FROM (SELECT doc_id, lang, unnest(t) AS w2 FROM toks)
+                WHERE doc_id % 10 < 8 GROUP BY lang, w2),
+        tt AS (SELECT lang, length(bin(CAST(SUM(ucnt) AS BIGINT))) AS blt
+               FROM uni GROUP BY lang),
+        j AS (
+          SELECT e.doc_id, e.lang, b.cnt, c.cc, u.ucnt
+          FROM big e
+          LEFT JOIN bc b ON e.lang = b.lang AND e.w1 = b.w1 AND e.w2 = b.w2
+          LEFT JOIN ctx c ON e.lang = c.lang AND e.w1 = c.w1
+          LEFT JOIN uni u ON e.lang = u.lang AND e.w2 = u.w),
+        pd AS (
+          SELECT doc_id, lang,
+                 COUNT(*) AS n_bigrams,
+                 COUNT(CASE WHEN cnt IS NULL AND ucnt IS NOT NULL THEN 1 END)
+                     AS n_backoff,
+                 COUNT(CASE WHEN cnt IS NULL AND ucnt IS NULL THEN 1 END)
+                     AS n_oov,
+                 CAST(COALESCE(SUM(CASE WHEN cnt IS NOT NULL
+                          THEN length(bin(cc)) - length(bin(cnt)) END), 0)
+                      AS BIGINT) AS bits_seen,
+                 CAST(COALESCE(SUM(CASE WHEN cnt IS NULL AND ucnt IS NOT NULL
+                          THEN length(bin(ucnt)) END), 0)
+                      AS BIGINT) AS bl_bo
+          FROM j GROUP BY doc_id, lang),
+        pd2 AS MATERIALIZED (
+          SELECT pd.doc_id, pd.lang, pd.n_bigrams,
+                 bits_seen + (n_backoff + n_oov) * (1 + tt.blt) - bl_bo
+                     AS bits_total
+          FROM pd JOIN tt ON pd.lang = tt.lang),
+        sc AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                 CAST((bits_total * 1000000) // n_bigrams AS BIGINT)
+                     AS micro_bits_per_bigram
+          FROM pd2),
+        hist AS (SELECT lang, micro_bits_per_bigram AS micro, COUNT(*) AS c
+                 FROM sc GROUP BY lang, micro_bits_per_bigram),
+        cum AS (SELECT lang, micro,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY micro) AS cum
+                FROM hist),
+        tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sc GROUP BY lang),
+        cuts AS (
+          SELECT cum.lang,
+                 CAST(MIN(CASE WHEN cum * 3 >= n THEN micro END) AS BIGINT)
+                     AS c_head,
+                 CAST(MIN(CASE WHEN cum * 3 >= 2 * n THEN micro END) AS BIGINT)
+                     AS c_tail
+          FROM cum JOIN tot ON cum.lang = tot.lang
+          GROUP BY cum.lang)
+        SELECT doc_id, sc.lang AS lang, n_bigrams, micro_bits_per_bigram,
+               CASE WHEN micro_bits_per_bigram <= c_head THEN 'head'
+                    WHEN micro_bits_per_bigram <= c_tail THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc JOIN cuts ON sc.lang = cuts.lang""",
+    tags=("text", "lm", "quality", "curation", "headline"),
+    doc="CCNet per-LANGUAGE perplexity bucketing (Wenzek et al. 2020 "
+    "§4.3 as actually deployed: one LM per language, one head/middle/"
+    "tail split per language) — the per-language form of t29, which "
+    "buckets the whole corpus against one global model. Every document "
+    "is scored against its OWN language's LM — the t30 stupid-backoff "
+    "bigram→unigram ladder, trained per language on the doc_id %% 10 "
+    "< 8 hash slice, so unlike t29's all-seen inner-join model there "
+    "are REAL backoff and OOV paths — in t30's integer bit-length "
+    "surrogate with every model table keyed by (lang, ngram): seen "
+    "bl(cc)−bl(cnt), backoff 1+bl(T_lang)−bl(ucnt), OOV 1+bl(T_lang). "
+    "Languages never contaminate each other (a byte-identical text "
+    "scores fluent in the language whose LM saw it and OOV in one that "
+    "didn't — pinned by a crafted test). Terciles reuse t29's exact "
+    "VALUE-DOMAIN method, partitioned by language: a (lang, micro) "
+    "histogram, a running sum over the histogram-sized frame, and two "
+    "integer cross-mult cutoffs per language (3·cum ≥ n / ≥ 2n) that "
+    "broadcast — never a corpus-wide sort, never rank tie-breaks "
+    "(cutoff-value docs land in the lower bucket, value-determinism). "
+    "Plan: one tokenize+lead pass, three map-side-combinable count "
+    "aggs, vocabulary-keyed left joins (no broadcast hint — vocab "
+    "scales with corpus), per-language scalars (blt, cutoffs — one row "
+    "per language) broadcast onto the doc frame. At 100 TB: t30's cost "
+    "shape per language plus histogram-sized bucketing work — the "
+    "window frame is |distinct scores per language|, not |docs|.",
+)
+def t33_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    big = (
+        toks.select(
+            "doc_id", "lang",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    is_train = F.col("doc_id") % 10 < 8
+    bc = (
+        big.where(is_train)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ctx = bc.groupBy("lang", "w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
+    uni = (
+        toks.where(is_train)
+        .groupBy("lang", F.col("tok").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tt = uni.groupBy("lang").agg(
+        F.length(F.bin(F.sum("ucnt").cast("bigint"))).alias("blt")
+    )
+    seen = F.col("cnt").isNotNull()
+    known_w2 = F.col("ucnt").isNotNull()
+    j = (
+        big.join(bc, ["lang", "w1", "w2"], "left")
+        .join(ctx, ["lang", "w1"], "left")
+        .join(uni, ["lang", "w2"], "left")
+    )
+    pd = j.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count(F.when(~seen & known_w2, 1)).alias("n_backoff"),
+        F.count(F.when(~seen & ~known_w2, 1)).alias("n_oov"),
+        F.coalesce(
+            F.sum(F.when(seen, F.length(F.bin("cc")) - F.length(F.bin("cnt")))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("bits_seen"),
+        F.coalesce(
+            F.sum(F.when(~seen & known_w2, F.length(F.bin("ucnt")))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("bl_bo"),
+    )
+    # inner join: a language scores only against its own trained LM (one
+    # row per language — broadcast); a language with no train slice has
+    # no LM and no buckets, the CCNet contract
+    sc = (
+        pd.join(F.broadcast(tt), "lang")
+        .select(
+            "doc_id", "lang",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.col("bits_seen")
+                + (F.col("n_backoff") + F.col("n_oov")) * (1 + F.col("blt"))
+                - F.col("bl_bo")
+            ).alias("bits_total"),
+        )
+        .withColumn(
+            "micro",
+            F.expr("(bits_total * 1000000) div n_bigrams").cast("bigint"),
+        )
+        .cache()  # feeds the histogram, the per-lang totals AND the
+        # final projection: uncached, the bigram+join pipeline runs
+        # three times (the a25/t29 multi-branch lesson); cached it is a
+        # few ints per doc
+    )
+    # t29's exact value-domain terciles, partitioned by language: the
+    # running sum ranks the (lang, micro) HISTOGRAM, never the doc frame
+    hist = sc.groupBy("lang", "micro").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("micro"))
+    )
+    tot = sc.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cuts = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("micro")))
+            .cast("bigint")
+            .alias("c_head"),
+            F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("micro")))
+            .cast("bigint")
+            .alias("c_tail"),
+        )
+    )
+    return sc.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "n_bigrams",
+        F.col("micro").alias("micro_bits_per_bigram"),
+        F.when(F.col("micro") <= F.col("c_head"), "head")
+        .when(F.col("micro") <= F.col("c_tail"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -739,3 +739,51 @@ def read_manifest_files(spark, entries: list[dict]):
         for root, paths in sorted(roots.items())
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def mv_milli(col):
+    """The p14 MV's per-row integer value surrogate: ``floor(value*1000)``
+    as bigint. Per-row IEEE double multiply + floor is bit-deterministic
+    across engines (Spark and DuckDB run the identical two ops), and the
+    bigint SUM is exact — so the maintained view and the analytic oracle
+    agree to the last bit, with no float-accumulation-order hazard."""
+    from pyspark.sql import functions as F
+
+    return F.floor(F.coalesce(col, F.lit(0.0)) * 1000).cast("bigint")
+
+
+def stage_mv_base(spark, manifest_dir: str, version: int = 1) -> str:
+    """Materialize the version-N aggregate of a :func:`stage_cdf_commit`
+    layout — the "materialized view checkpoint" a lakehouse stores NEXT TO
+    the snapshot it was computed from. p14 maintains it forward through
+    the v1→v2 change feed without ever rescanning version-N data files;
+    this stager is the one full scan, paid once at MV creation time (the
+    d12 persisted-index discipline: build cost lives in the fixture, the
+    query measures the maintenance path). Grain: per ``event_type`` —
+    COUNT(*) and SUM(floor(value*1000)), the two self-maintainable
+    aggregates (MIN/MAX/COUNT DISTINCT would need auxiliary state and are
+    deliberately out of the MV contract). Cached by the version manifest's
+    (size, mtime_ns); atomic rename publish."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    manifest_file = os.path.join(manifest_dir, f"v{version}.json")
+    out_dir = (
+        f"/tmp/spark_graft_p14_mv_{_stage_key(manifest_file, f'p14:{version}')}"
+    )
+    _sweep_stale_stage_work("/tmp/spark_graft_p14_mv_")
+    if os.path.isdir(out_dir):
+        return out_dir
+    work = f"{out_dir}.stage-{os.getpid()}-{time.monotonic_ns()}"
+    mv = (
+        read_snapshot(spark, manifest_dir, version)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(mv_milli(F.col("value"))).cast("bigint").alias("v_milli_sum"),
+        )
+    )
+    # MV grain is event_type (a handful of groups): one part file
+    mv.coalesce(1).write.parquet(work)
+    return _publish_stage(work, out_dir)

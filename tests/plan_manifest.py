@@ -70,6 +70,12 @@ _NORMALIZERS = (
     # touching a real column name.
     (re.compile(r"\blambda ([A-Za-z][A-Za-z0-9]*)_\d+"), r"lambda \1_N"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "/tmp/PATH"),         # checkpoint/index scratch
+    # staged-layout cache keys appear BARE (no /tmp/ prefix) inside
+    # Contains(...) literals — p12 matches files by dirNAME, and the key
+    # is md5(src abspath:size:mtime_ns:tag), so a driver testdata
+    # regeneration "drifted" p12's plan with zero code change (caught
+    # r15: fixture mtime 22:03 vs baseline commit 21:31)
+    (re.compile(r"(spark_graft_[A-Za-z0-9_]*?)_[0-9a-f]{10}\b"), r"\1_KEY"),
     (re.compile(r"(-?\d+\.\d{6})\d+([eE][+-]?\d+)?"), r"\1\2"),  # float literals → 6dp
     # NOTE: RewriteDistinctAggregates' gid literals are handled in
     # _canon_plan_gids (canonical RELABELING, not masking — ADVICE r8:

@@ -361,6 +361,8 @@ PROBES += [
     "d22_span_removal_dedup",
     "sm14_doremi_mixture",
     "p13_snapshot_diff",
+    "p14_incremental_mv",
+    "t33_perplexity_buckets",
 ]
 
 #: hot-key skew probes (VERDICT r4 #6): measured on the skewed 100×

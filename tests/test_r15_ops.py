@@ -354,3 +354,210 @@ def test_p13_classification_matches_python_replay(spark, sf_dir):
 
 def test_p13_oracle_roundtrip(spark, sf_dir):
     _roundtrip(spark, sf_dir, "p13_snapshot_diff")
+
+
+# ---------------------------------------------------------------------------
+# p14: incremental materialized-view maintenance over the p13 change feed
+# ---------------------------------------------------------------------------
+
+
+def test_p14_reads_only_mv_and_manifest_delta(spark, sf_dir):
+    """THE p14 plan pin (the p5/p13 file-list law, extended to the MV):
+    the maintained view's scans read EXACTLY the materialized v1
+    aggregate plus the commit's manifest delta (dropped ∪ added files) —
+    no file common to both snapshot versions, i.e. no unchanged data
+    file, is ever scanned. That file-list is the whole 100 TB argument:
+    refresh cost is O(changed files + |MV|), not O(table)."""
+    import glob as _glob
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P11_BUCKETS,
+        p14_incremental_mv,
+    )
+    from etl_pipeline_telecom_spark.sources.writers import (
+        stage_cdf_commit,
+        stage_mv_base,
+    )
+
+    v1, v2 = _p13_manifests(spark, sf_dir)
+    p1, p2 = {e["path"] for e in v1}, {e["path"] for e in v2}
+    removed, added, common = p1 - p2, p2 - p1, p1 & p2
+    assert removed and added and common  # a real incremental commit
+    mdir = stage_cdf_commit(spark, sf_dir, _P11_BUCKETS)
+    mv_files = set(
+        _glob.glob(f"{stage_mv_base(spark, mdir, 1)}/*.parquet")
+    )
+    assert mv_files  # the materialized base exists and is parquet
+    scanned = {
+        p.split("://", 1)[-1] for p in p14_incremental_mv(spark, sf_dir).inputFiles()
+    }
+    assert scanned == mv_files | removed | added
+    assert not scanned & common
+
+
+def test_p14_matches_python_replay_and_recompute(spark, sf_dir):
+    """Engine-independent replay (the d19 guard) + the IVM contract:
+    (a) plain python applies the commit law (%97 delete, %103 value+1,
+    %101 re-keyed clone insert) to the events parquet and aggregates the
+    v2 state per event_type; (b) Spark recomputes the same state FROM the
+    v2 snapshot read (full rescan). The maintained view must equal both
+    — base + delta ≡ recompute, to the last bit of the integer value
+    surrogate."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_telecom_spark.plans.pipeline import (
+        _P11_BUCKETS,
+        p14_incremental_mv,
+    )
+    from etl_pipeline_telecom_spark.sources.writers import (
+        mv_milli,
+        read_snapshot,
+        stage_cdf_commit,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    agg = collections.defaultdict(lambda: [0, 0])
+
+    def vi(v: float | None) -> int:
+        return int(math.floor((v or 0.0) * 1000))
+
+    for i, et, v in zip(
+        t["event_id"].to_pylist(), t["event_type"].to_pylist(), t["value"].to_pylist()
+    ):
+        if i % 97 != 0:  # survivor (update applies value+1 BEFORE the surrogate)
+            a = agg[et]
+            a[0] += 1
+            a[1] += vi((v or 0.0) + 1.0 if i % 103 == 0 else v)
+        if i % 101 == 0:  # insert clone keeps the ORIGINAL value
+            a = agg[et]
+            a[0] += 1
+            a[1] += vi(v)
+    expected = {k: (v[0], v[1]) for k, v in agg.items() if v[0] > 0}
+
+    got = {
+        r.event_type: (r.n_rows, r.v_milli_sum)
+        for r in p14_incremental_mv(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    mdir = stage_cdf_commit(spark, sf_dir, _P11_BUCKETS)
+    recomputed = {
+        r.event_type: (r.n_rows, r.v_milli_sum)
+        for r in read_snapshot(spark, mdir, 2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(mv_milli(F.col("value"))).cast("bigint").alias("v_milli_sum"),
+        )
+        .collect()
+    }
+    assert got == recomputed
+
+
+def test_p14_single_aggregate_no_join(spark, sf_dir):
+    """The no-join law: self-maintainable aggregates need NO diff join —
+    the plan is unions into hash aggregates on event_type (partial +
+    final), with zero join nodes of any kind."""
+    import contextlib
+    import io
+
+    from etl_pipeline_telecom_spark.plans.pipeline import p14_incremental_mv
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p14_incremental_mv(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, f"unexpected {node} in p14 plan"
+    assert "HashAggregate" in plan
+
+
+def test_p14_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "p14_incremental_mv")
+
+
+# ---------------------------------------------------------------------------
+# t33: CCNet-style per-language perplexity bucketing
+# ---------------------------------------------------------------------------
+
+
+def _t33_crafted(tmp_path) -> str:
+    """Two languages with private vocabularies. Lang ``aa``: a fluent
+    train slice over the x/y vocabulary plus scored docs spanning fully-
+    seen → mixed → all-OOV. Lang ``bb``: its own m/n vocabulary, plus a
+    doc whose text is byte-identical to aa's fully-seen doc 8 — if
+    languages contaminated each other it would score fluent; against its
+    OWN LM it is all-OOV."""
+    rows = [
+        # lang aa train (%10 < 8)
+        (1, "x y x y x y x y", "aa", "web"),
+        (2, "x y x y", "aa", "web"),
+        # lang aa scored spread
+        (8, "x y", "aa", "web"),          # fully seen
+        (18, "x y q q", "aa", "web"),     # mixed seen/OOV
+        (9, "q z", "aa", "web"),          # all OOV
+        # lang bb train + the contamination probe
+        (21, "m n m n m n", "bb", "web"),
+        (28, "x y", "bb", "web"),         # same text as doc 8, other lang
+    ]
+    return _write_docs(tmp_path, rows)
+
+
+def _t33_collect(spark, d: str) -> dict[int, tuple]:
+    fn = catalog.REGISTRY["t33_perplexity_buckets"].fn
+    return {
+        r.doc_id: (r.lang, r.micro_bits_per_bigram, r.bucket)
+        for r in fn(spark, d).collect()
+    }
+
+
+def test_t33_language_isolation_and_ordering(spark, tmp_path):
+    got = _t33_collect(spark, _t33_crafted(tmp_path))
+    # same text, different language ⇒ different score: doc 8 is fully
+    # seen in aa's LM, doc 28 is all-OOV against bb's LM
+    assert got[8][1] < got[28][1]
+    # within aa, surprisal orders fully-seen < mixed < all-OOV
+    assert got[8][1] < got[18][1] < got[9][1]
+    # the all-OOV doc sits in aa's tail tercile; a train-fluent doc in head
+    assert got[9][2] == "tail"
+    assert got[8][2] == "head"
+
+
+def test_t33_buckets_match_python_value_domain_replay(spark, sf_dir):
+    """The bucket law replayed engine-independently (t29's value-domain
+    tercile, per language): c_head = smallest micro whose cumulative
+    count reaches n/3 (3·cum ≥ n), c_tail likewise for 2n/3; every doc
+    with micro ≤ c_head is head, ≤ c_tail middle, else tail — ties share
+    a value and land in the lower bucket."""
+    import collections
+
+    got = _t33_collect(spark, sf_dir)
+    by_lang = collections.defaultdict(list)
+    for doc_id, (lang, micro, bucket) in got.items():
+        by_lang[lang].append((micro, doc_id, bucket))
+    assert by_lang  # scored docs exist at every sf
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        micros = [r[0] for r in rows]
+        c_head = micros[(n + 2) // 3 - 1]  # smallest micro with 3*cum >= n
+        c_tail = micros[(2 * n + 2) // 3 - 1]
+        for micro, doc_id, bucket in rows:
+            expect = (
+                "head" if micro <= c_head
+                else "middle" if micro <= c_tail
+                else "tail"
+            )
+            assert bucket == expect, f"lang {lang} doc {doc_id}"
+
+
+def test_t33_oracle_roundtrip_crafted(spark, tmp_path):
+    _roundtrip(spark, _t33_crafted(tmp_path), "t33_perplexity_buckets")
+
+
+def test_t33_oracle_roundtrip(spark, sf_dir):
+    _roundtrip(spark, sf_dir, "t33_perplexity_buckets")
