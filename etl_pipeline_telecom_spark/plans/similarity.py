@@ -48,8 +48,37 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", qv.alias("qv"))
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+#: embedding dimensionality — fixed by the fixture schema (64 doubles)
+#: and static at plan-build time, which is what lets the dot product
+#: unroll into flat codegen arithmetic below.
+_DIM = 64
+
+
+def _dot(a: Column, b: Column, n: int = _DIM) -> Column:
+    """Dot product over fixed-dimension arrays, unrolled to a flat
+    ``a[0]*b[0] + … + a[n-1]*b[n-1]`` expression.
+
+    The previous ``aggregate(zip_with(...))`` form is a higher-order
+    function: Catalyst evaluates the lambda per element with a boxed
+    variable binding — interpreted, never codegen'd — and it dominated
+    the v-family CPU profile (e.g. v13 spent ~1.8s of its 1.9s wall in
+    HOF evaluation over 16-dim sub-vectors at sf0.1). The unrolled form
+    is ordinary arithmetic inside WholeStageCodegen (guide §4.1: prefer
+    built-in expressions over interpreted paths). Exactness is
+    unchanged: components are integer-valued doubles, so every product
+    and partial sum is exact regardless of association order — the same
+    argument the oracle's ``list_dot_product`` relies on.
+
+    ``get()`` (NULL past the end) + coalesce-to-0 keeps the expression
+    total for arrays SHORTER than ``n`` — crafted test fixtures use
+    low-dim vectors — and is a no-op for full-length arrays: for equal
+    ``n``-dim inputs every term is non-NULL and the sum is the exact
+    dot product, term for term the same arithmetic as before."""
+    terms = [F.coalesce(F.get(a, i) * F.get(b, i), F.lit(0.0)) for i in range(n)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -427,26 +456,50 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str, member_filter=None) -> Dat
             ).alias("cvec")
         )
     )
-    dist = (
+    # Fold the k centroids into ONE array row and rank cells PER VECTOR
+    # ROW with array expressions instead of the previous
+    # crossJoin(cent) → N×k rows → window(partitionBy vec_id) shape: the
+    # window's Exchange shuffled every vector k times (qv + nrm payload
+    # per centroid copy) and sorted, purely to pick min/top-2 over k
+    # values already available row-locally (guide §2.4: remove shuffles
+    # outright). array_sort on struct(dist, cid) orders lexicographically
+    # — identical (dist, cid) tie-break, and dists are exact
+    # integer-valued doubles, so ranking is bit-identical to the window.
+    cent1 = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    dist_to = lambda c: (  # noqa: E731 — local expression builder
         _dot(F.col("qv"), F.col("qv"))
-        - 2 * _dot(F.col("qv"), F.col("cvec"))
-        + _dot(F.col("cvec"), F.col("cvec"))
+        - 2 * _dot(F.col("qv"), c["cvec"])
+        + _dot(c["cvec"], c["cvec"])
     )
-    dists = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "qv", "nrm", "cid", dist.alias("dist")
+    ranked = emb.crossJoin(F.broadcast(cent1)).select(
+        "vec_id",
+        "qv",
+        "nrm",
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(dist_to(c).alias("dist"), c["cid"].alias("cid")),
+            )
+        ).alias("ranked_cells"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.where(F.col("rn") == 1).select("vec_id", "qv", "nrm", "cid")
+    assign = ranked.select(
+        "vec_id", "qv", "nrm", F.col("ranked_cells").getItem(0)["cid"].alias("cid")
+    )
     if member_filter is not None:
         assign = member_filter(assign)
     probes = (
-        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        ranked.where(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qv").alias("qa"),
             F.col("nrm").alias("qn"),
-            "cid",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ranked_cells"), 1, 2), lambda c: c["cid"]
+                )
+            ).alias("cid"),
         )
     )
     return probes.join(assign, "cid").where(F.col("vec_id") != F.col("query_id"))
@@ -872,7 +925,8 @@ def v11_matryoshka_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert_bounded_input(queries, 64, "v11_matryoshka_refine query side")
     coarse = _dot(
-        F.slice(F.col("qa"), 1, _V11_PREFIX), F.slice(F.col("qv"), 1, _V11_PREFIX)
+        F.slice(F.col("qa"), 1, _V11_PREFIX), F.slice(F.col("qv"), 1, _V11_PREFIX),
+        _V11_PREFIX,
     )
     cand = (
         emb.crossJoin(F.broadcast(queries))
@@ -1167,9 +1221,9 @@ def _pq_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
     min(struct) agg, lexicographic (dist, cid), deterministic,
     map-side combinable. Shared by v13 and v14."""
     l2 = (
-        _dot(F.col("sv"), F.col("sv"))
-        - 2 * _dot(F.col("sv"), F.col("cvec"))
-        + _dot(F.col("cvec"), F.col("cvec"))
+        _dot(F.col("sv"), F.col("sv"), _V13_SUBDIM)
+        - 2 * _dot(F.col("sv"), F.col("cvec"), _V13_SUBDIM)
+        + _dot(F.col("cvec"), F.col("cvec"), _V13_SUBDIM)
     )
     return (
         sub.join(F.broadcast(cb), "m")
@@ -1195,9 +1249,9 @@ def _pq_lut(sub: DataFrame, cb: DataFrame, *, guard_label: str) -> DataFrame:
         "m",
         "cid",
         (
-            _dot(F.col("qs"), F.col("qs"))
-            - 2 * _dot(F.col("qs"), F.col("cvec"))
-            + _dot(F.col("cvec"), F.col("cvec"))
+            _dot(F.col("qs"), F.col("qs"), _V13_SUBDIM)
+            - 2 * _dot(F.col("qs"), F.col("cvec"), _V13_SUBDIM)
+            + _dot(F.col("cvec"), F.col("cvec"), _V13_SUBDIM)
         ).alias("d"),
     )
 
