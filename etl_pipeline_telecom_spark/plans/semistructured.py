@@ -437,20 +437,66 @@ _G2_GAP_US = 86_400 * 1_000_000  # throttle: min 1 day between KEPT events
 _G2_SCHEMA = "user_id long, event_id long, kept_ts_us long"
 
 
-def _throttle_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Greedy per-user debounce: keep an event iff it is >= GAP after the
-    last KEPT one. Sequentially dependent — each decision reads the
-    previous KEPT row, not just the previous row — so no window frame
-    expresses it; the per-group loop is the honest form (the group-fits-
-    in-memory contract of g1, documented)."""
-    pdf = pdf.sort_values(["kept_ts_us", "event_id"])
-    out = []
-    last = None
-    for uid, eid, t in zip(pdf["user_id"], pdf["event_id"], pdf["kept_ts_us"]):
-        if last is None or t >= last + _G2_GAP_US:
-            out.append((int(uid), int(eid), int(t)))
-            last = t
-    return pd.DataFrame(out, columns=["user_id", "event_id", "kept_ts_us"])
+def _throttle_all(ev: DataFrame) -> DataFrame:
+    """All-users greedy throttle over a (user_id, event_id, kept_ts_us)
+    frame — ONE shuffle on user_id, then a mapInPandas pass that walks
+    every user's jump chain with numpy.
+
+    Replaces ``groupBy(user_id).applyInPandas(_throttle_group)``, whose
+    cost at bench scale was per-GROUP overhead: one Python call + one
+    pandas frame per user (~1k users ≈ seconds), not the data. Here a
+    task processes its whole partition's users from flat numpy arrays
+    (guide §4.2/§4.5: batch work in native code, per-task not per-group).
+    Same shuffle key, same per-user memory contract (one user's history
+    is contiguous in one partition), bit-identical output.
+
+    A user's rows can span Arrow batch boundaries inside a partition, so
+    the iterator holds back the trailing (possibly incomplete) user of
+    each batch and prepends it to the next — partition-sorted input makes
+    users contiguous, which is what makes that carry exact."""
+
+    def walk(it):
+        buf: pd.DataFrame | None = None
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["user_id"].to_numpy(dtype="int64")
+            t = df["kept_ts_us"].to_numpy(dtype="int64")
+            e = df["event_id"].to_numpy(dtype="int64")
+            order = np.lexsort((e, t, u))
+            u, t, e = u[order], t[order], e[order]
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            ends = np.r_[starts[1:], len(u)]
+            keep: list[int] = []
+            for s, z in zip(starts, ends):
+                tt = t[s:z]
+                jump = np.searchsorted(tt, tt + _G2_GAP_US, side="left")
+                i, n = 0, z - s
+                while i < n:
+                    keep.append(s + i)
+                    i = int(jump[i])
+            k = np.asarray(keep, dtype="int64")
+            return pd.DataFrame(
+                {"user_id": u[k], "event_id": e[k], "kept_ts_us": t[k]}
+            )
+
+        for pdf in it:
+            df = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            if df.empty:
+                buf = None
+                continue
+            last_uid = df["user_id"].iloc[-1]
+            head = df[df["user_id"] != last_uid]
+            buf = df[df["user_id"] == last_uid]
+            if not head.empty:
+                yield emit(head)
+        if buf is not None and not buf.empty:
+            yield emit(buf)
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "kept_ts_us", "event_id")
+        .mapInPandas(walk, schema=_G2_SCHEMA)
+    )
 
 
 # shared by g2 (single-group form) and g2b (the (user, month) pre-split
@@ -497,7 +543,7 @@ def g2_throttle_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull())
         .select("user_id", "event_id", F.unix_micros("ts").alias("kept_ts_us"))
     )
-    return ev.groupBy("user_id").applyInPandas(_throttle_group, schema=_G2_SCHEMA)
+    return _throttle_all(ev)
 
 
 # --- g2b: the (user, month) pre-split scale form of the same throttle ----
@@ -648,11 +694,8 @@ def g2b_throttle_skewfree(
         .where(F.col("n") > hot_threshold)
         .select("user_id")
     )
-    cold_out = (
-        ev.join(F.broadcast(hot), "user_id", "left_anti")
-        .drop("month_us")
-        .groupBy("user_id")
-        .applyInPandas(_throttle_group, schema=_G2_SCHEMA)
+    cold_out = _throttle_all(
+        ev.join(F.broadcast(hot), "user_id", "left_anti").drop("month_us")
     )
     hot_ev = ev.join(F.broadcast(hot), "user_id", "left_semi")
     summaries = hot_ev.groupBy("user_id", "month_us").applyInPandas(
