@@ -894,26 +894,47 @@ def _bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> tuple[list[DataF
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # One ROW per word carrying its symbol ARRAY. The previous shape held
+    # one row per (word, pos) and ran every round through three window
+    # passes (lead, running-sum run-parity, lag) plus a row_number
+    # re-index — each a (word)-keyed sort over the vocab, materialized
+    # per round. Adjacent-pair extraction and the greedy merge are
+    # row-LOCAL on the array form (guide §2.4: remove shuffles outright)
+    # — the only per-round distributed step left is the tiny pair-count
+    # aggregate, and the argmax is a single min(struct) agg instead of a
+    # global sort + limit 1.
     seq = wc.select(
         "word",
         "freq",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        ).alias("pos", "sym"),
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
     ).localCheckpoint()
-    w_word = Window.partitionBy("word").orderBy("pos")
     merges = []
     for r in range(n_merges):
-        pc = (
-            seq.withColumn("b", F.lead("sym").over(w_word))
-            .where(F.col("b").isNotNull())
-            .groupBy(F.col("sym").alias("a"), "b")
-            .agg(F.sum("freq").alias("f"))
-        )
+        pairs = seq.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        # argmax by (f DESC, a, b) as min(struct(-f, a, b)): one
+        # map-side-combinable aggregate, no global sort. min() over an
+        # empty input yields a NULL struct — filtered so an exhausted
+        # vocabulary emits ZERO merge rows, exactly like the old limit(1).
         best = (
-            pc.orderBy(F.desc("f"), "a", "b")
-            .limit(1)
-            .select(F.col("a").alias("ba"), F.col("b").alias("bb"), "f")
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("f"))
+            .agg(F.min(F.struct((-F.col("f")).alias("nf"), "a", "b")).alias("m"))
+            .select(
+                F.col("m.a").alias("ba"),
+                F.col("m.b").alias("bb"),
+                (-F.col("m.nf")).alias("f"),
+            )
+            .where(F.col("ba").isNotNull())
             .localCheckpoint()  # 0-or-1 row, read twice (merge + output)
         )
         merges.append(
@@ -924,31 +945,28 @@ def _bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> tuple[list[DataF
                 F.col("f").cast("bigint").alias("pair_freq"),
             )
         )
-        dr = (
-            seq.join(best.select("ba", "bb"), F.lit(True), "left")
-            .withColumn("nxt", F.lead("sym").over(w_word))
-            .withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
-                    F.lit(False),
-                ),
-            )
-            .withColumn("rn", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w_word))
-            .withColumn("grp", F.col("pos") - F.col("rn"))
-            .withColumn("minrn", F.min("rn").over(Window.partitionBy("word", "m", "grp")))
-            .withColumn("keep", F.col("m") & (((F.col("rn") - F.col("minrn")) % 2) == 0))
-            .withColumn("consumed", F.coalesce(F.lag("keep").over(w_word), F.lit(False)))
-        )
-        seq = (
-            dr.where(~F.col("consumed"))
-            .select(
-                "word",
-                "freq",
-                (F.row_number().over(w_word) - 1).alias("pos"),
-                F.when(F.col("keep"), F.concat("ba", "bb")).otherwise(F.col("sym")).alias("sym"),
-            )
-            .localCheckpoint()
+        # Greedy left-to-right merge as a fold: append, or fuse the
+        # accumulator's last symbol with the current one when they form
+        # (ba, bb). Run-parity (keep the 1st, 3rd, … match of a
+        # consecutive run) is automatic: a fused token ba||bb can never
+        # itself equal ba (length grows), so the 2nd match of a run
+        # never fires — the same selection the old window chain
+        # computed. A left join against the 0-or-1-row best leaves
+        # ba/bb NULL when no merge remains, making the fold a no-op.
+        seq = seq.join(F.broadcast(best.select("ba", "bb")), F.lit(True), "left").select(
+            "word",
+            "freq",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.col("ba")) & (s == F.col("bb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.try_element_at(acc, F.lit(-1)), s)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
         )
     return merges, seq
 
@@ -1150,9 +1168,10 @@ def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_encode_corpus(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
     """t17's body, depth-parameterized (paired with ``_sql_t17(n_merges)``)."""
     _merges, seq = _bpe_train(docs, n_merges)
-    ntok = seq.groupBy("word").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.length("sym")).alias("n_chars"),
+    ntok = seq.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_tok"),
+        F.length(F.concat_ws("", "syms")).cast("bigint").alias("n_chars"),
     )
     corpus = docs.select(
         "doc_id",
