@@ -2224,20 +2224,35 @@ def _wp_train(
         "CASE WHEN i = 1 THEN substring(word, 1, 1) "
         "ELSE concat('##', substring(word, i, 1)) END)"
     )
-    s0 = wc.select(
-        "word", "freq", F.posexplode(F.expr(init_sym)).alias("pos", "sym")
-    ).localCheckpoint()
+    # Array form (the t15/_bpe_train rewrite, same argument): one row per
+    # word carrying its symbol array; pairs and symbol masses come from
+    # row-local explodes, the greedy run-parity merge is an array fold,
+    # and the only per-round distributed work is two tiny aggregates +
+    # the likelihood-ratio argmax as min(struct) — no per-position rows,
+    # no window sorts, one checkpoint per round instead of two.
+    s0 = wc.select("word", "freq", F.expr(init_sym).alias("syms")).localCheckpoint()
     seq = s0
-    w_word = Window.partitionBy("word").orderBy("pos")
     merges = []
     for r in range(n_merges):
         pc = (
-            seq.withColumn("b", F.lead("sym").over(w_word))
-            .where(F.col("b").isNotNull())
-            .groupBy(F.col("sym").alias("a"), "b")
+            seq.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
             .agg(F.sum("freq").alias("f"))
         )
-        scnt = seq.groupBy("sym").agg(F.sum("freq").alias("sf"))
+        scnt = (
+            seq.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("sf"))
+        )
         best = (
             pc.join(
                 scnt.select(F.col("sym").alias("a"), F.col("sf").alias("sfa")), "a"
@@ -2248,9 +2263,14 @@ def _wp_train(
             .withColumn(
                 "score", F.expr(f"(f * {_T26_SCALE}) div (sfa * sfb)").cast("bigint")
             )
-            .orderBy(F.desc("score"), "a", "b")
-            .limit(1)
-            .select(F.col("a").alias("ba"), F.col("b").alias("bb"), "f", "score")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), "a", "b", "f")).alias("m"))
+            .select(
+                F.col("m.a").alias("ba"),
+                F.col("m.b").alias("bb"),
+                F.col("m.f").alias("f"),
+                (-F.col("m.ns")).alias("score"),
+            )
+            .where(F.col("ba").isNotNull())
             .localCheckpoint()  # 0-or-1 row, read twice (merge + output)
         )
         merges.append(
@@ -2262,38 +2282,26 @@ def _wp_train(
                 F.col("score").alias("score_nano"),
             )
         )
-        dr = (
-            seq.join(best.select("ba", "bb"), F.lit(True), "left")
-            .withColumn("nxt", F.lead("sym").over(w_word))
-            .withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")),
-                    F.lit(False),
-                ),
-            )
-            .withColumn("rn", F.sum(F.when(F.col("m"), 1).otherwise(0)).over(w_word))
-            .withColumn("grp", F.col("pos") - F.col("rn"))
-            .withColumn(
-                "minrn", F.min("rn").over(Window.partitionBy("word", "m", "grp"))
-            )
-            .withColumn("keep", F.col("m") & (((F.col("rn") - F.col("minrn")) % 2) == 0))
-            .withColumn("consumed", F.coalesce(F.lag("keep").over(w_word), F.lit(False)))
-        )
-        seq = (
-            dr.where(~F.col("consumed"))
-            .select(
-                "word",
-                "freq",
-                (F.row_number().over(w_word) - 1).alias("pos"),
-                F.when(
-                    F.col("keep"),
-                    F.concat("ba", F.regexp_replace("bb", "^##", "")),
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .localCheckpoint()
+        seq = seq.join(F.broadcast(best.select("ba", "bb")), F.lit(True), "left").select(
+            "word",
+            "freq",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.col("ba"))
+                    & (s == F.col("bb")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.concat(
+                                F.try_element_at(acc, F.lit(-1)),
+                                F.regexp_replace(s, "^##", ""),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
         )
     return merges, s0, seq
 
@@ -2377,7 +2385,9 @@ def _wp_vocab(docs: DataFrame, n_merges: int = _T26_MERGES) -> frozenset:
     and '##'-continuation character symbol) plus each round's merged
     product. Bounded collects only (|charset|·2 + n_merges rows)."""
     merges, s0, _seq = _wp_train(docs, n_merges)
-    vocab = {r.sym for r in s0.select("sym").distinct().collect()}
+    vocab = {
+        r.sym for r in s0.select(F.explode("syms").alias("sym")).distinct().collect()
+    }
     for m in merges:
         for r in m.collect():  # 0-or-1 row per round
             right = r.merge_right
