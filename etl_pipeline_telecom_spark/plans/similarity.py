@@ -636,23 +636,58 @@ def _decontam_best_match(train_pdf, eval_pdf):
     "skew",
 )
 def v8_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from ..guards import assert_bounded_input
 
     emb = _quantized(spark, sf_dir).withColumn("bucket", _hyperplane_bucket())
-    # distinct eval-side names: both cogroup children derive from the same
-    # base plan, and shared attribute ids confuse the cogroup projection
+    # The eval side is a benchmark suite — bounded by contract (≤ 65,536
+    # rows, guard-enforced) — so it rides to the executors as a BROADCAST
+    # dict of per-bucket matrices instead of one side of a cogroup: the
+    # previous groupBy.cogroup.applyInPandas paid a (bucket)-keyed
+    # shuffle of BOTH sides plus one Python invocation + pandas frame per
+    # populated bucket (≤ 256 groups of a few rows each — per-group
+    # overhead, the g2 disease). Train now streams through ONE
+    # mapInPandas pass with NO shuffle at all; per batch the rows group
+    # by bucket in numpy and hit the same tiled GEMM + in-worker top-1
+    # reduction, so exactness (integer dots, first-argmax tie to the
+    # smallest eval id over id-sorted columns) is unchanged.
     ev = emb.where(F.col("vec_id") % 50 == 7).select(
         "bucket", F.col("vec_id").alias("ev_id"), F.col("qv").alias("ev_qv")
     )
     assert_bounded_input(ev, 65536, "v8_embedding_decontam eval side")
-    train = emb.where(F.col("vec_id") % 50 != 7).select("bucket", "vec_id", "qv")
-    matched = (
-        train.groupBy("bucket")
-        .cogroup(ev.groupBy("bucket"))
-        .applyInPandas(
-            _decontam_best_match,
-            schema="vec_id long, top_eval_id long, cos_raw double, n_eval_matches long",
+    ev_rows = ev.collect()  # bounded collect: the guarded eval benchmark
+    by_bucket: dict[int, tuple] = {}
+    for b in sorted({r["bucket"] for r in ev_rows}):
+        rows = sorted(
+            ((r["ev_id"], r["ev_qv"]) for r in ev_rows if r["bucket"] == b)
         )
+        ids = np.array([i for i, _ in rows], dtype="int64")
+        vecs = np.stack([np.asarray(v, dtype="float64") for _, v in rows])
+        by_bucket[b] = (ids, vecs, np.sqrt(np.einsum("ij,ij->i", vecs, vecs)))
+    ev_bc = spark.sparkContext.broadcast(by_bucket)
+
+    def score_batches(pdfs):
+        table = ev_bc.value
+        for pdf in pdfs:
+            outs = []
+            for b, grp in pdf.groupby("bucket", sort=False):
+                hit = table.get(b)
+                if hit is None or grp.empty:
+                    continue
+                ev_ids, ve, ne = hit
+                eval_pdf = pd.DataFrame({"ev_id": ev_ids, "ev_qv": list(ve)})
+                outs.append(_decontam_best_match(grp, eval_pdf))
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else _decontam_best_match(pd.DataFrame({"vec_id": [], "qv": []}), pd.DataFrame())
+            )
+
+    train = emb.where(F.col("vec_id") % 50 != 7).select("bucket", "vec_id", "qv")
+    matched = train.mapInPandas(
+        score_batches,
+        schema="vec_id long, top_eval_id long, cos_raw double, n_eval_matches long",
     )
     return matched.select(
         "vec_id", "top_eval_id", F.round("cos_raw", 6).alias("cos_sim"), "n_eval_matches"
