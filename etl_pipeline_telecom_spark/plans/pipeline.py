@@ -1896,12 +1896,20 @@ def _pipe5_bigram_scores(docs2: DataFrame, bc: DataFrame, ctx: DataFrame) -> Dat
         )
         .where(F.col("w2").isNotNull())
     )
+    # occurrence → per-doc-bigram count collapse (the t24 rewrite): the
+    # aggregate reuses the window's doc_id partitioning (no new
+    # Exchange) and the model joins + doc rollup run on distinct
+    # (doc, bigram) rows; Σ c·bits ≡ Σ bits over occurrences exactly.
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
     return (
-        big.join(bc, ["w1", "w2"])
+        db.join(bc, ["w1", "w2"])
         .join(ctx, "w1")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nb"), F.sum(bits).cast("bigint").alias("sb"))
+        .agg(
+            F.sum("c").alias("nb"),
+            F.sum(F.col("c") * bits).cast("bigint").alias("sb"),
+        )
     )
 
 
