@@ -38,6 +38,36 @@ def alnum_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit("[A-Za-z0-9]+"))
 
 
+def adjacent_pairs(arr: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent element pairs of ``arr``.
+
+    ``explode(adjacent_pairs(tokens(...)))`` replaces the
+    posexplode + window(lead) bigram idiom: pair construction is
+    row-local (arrays_zip of two slices — codegen, no doc-keyed
+    Exchange + sort), and measured FASTER than the window form even at
+    bench scale (0.31s vs 0.48s over sf0.1 documents), while at 100 TB
+    it removes the token-stream shuffle entirely. The old ``Generate
+    re-evaluates inline expressions per output row'' hazard (t11's 41s
+    lesson) applied to per-position transform(sequence...) shingle
+    builders — O(len) work per element; slices+zip build the whole pair
+    array once per row."""
+    n = F.greatest(F.size(arr) - 1, F.lit(0))  # slice length must be >= 0
+    return F.arrays_zip(
+        F.slice(arr, 1, n).alias("w1"),
+        F.slice(arr, 2, n).alias("w2"),
+    )
+
+
+def adjacent_triples(arr: Column) -> Column:
+    """array<struct<w1,w2,w3>> of adjacent element triples of ``arr``."""
+    n = F.greatest(F.size(arr) - 2, F.lit(0))
+    return F.arrays_zip(
+        F.slice(arr, 1, n).alias("w1"),
+        F.slice(arr, 2, n).alias("w2"),
+        F.slice(arr, 3, n).alias("w3"),
+    )
+
+
 def shingles(tokens_col: Column, n: int = 3) -> Column:
     """n-word shingles: ["a","b","c","d"] → ["a b c", "b c d"] (n=3).
 

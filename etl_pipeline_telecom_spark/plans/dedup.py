@@ -1120,27 +1120,26 @@ def substring_occurrences(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     """(doc_id, pos, sh): every k-token shingle occurrence WITH its 1-based
     token position — unlike :func:`shingled_from_docs`, positions and
     within-doc repeats are kept (a substring duplicated inside one doc is
-    still a duplicate). Fully NATIVE (zero python): ``posexplode`` of the
-    codegen'd tokenizer, then shingle assembly as ``concat_ws`` over k-1
-    window ``lead``s per doc — the per-shingle python join this replaced
-    measured ~36 s for 26M occurrences at the 100× probe; the window form
-    runs in whole-stage-codegen'd JVM. ``concat_ws`` skips trailing-null
-    leads, so rows whose window overruns the doc are filtered on the
-    LAST lead being present (full k-token shingles only)."""
-    from pyspark.sql import Window as _W
-
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
-    w = _W.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    return (
-        toks.select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("long").alias("pos"),
-            F.concat_ws(" ", *parts).alias("sh"),
-            F.lead("tok", k - 1).over(w).alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
+    still a duplicate). Fully NATIVE (zero python) and row-LOCAL:
+    ``arrays_zip`` of k token-array slices builds every full k-token
+    window once per row, ``posexplode`` yields (start index, window).
+    This replaces the earlier posexplode + (k-1) window-``lead`` form —
+    same values, but without shuffling and sorting the whole token
+    stream by doc_id first (the window's Exchange); the per-shingle
+    python join BOTH replaced measured ~36 s for 26M occurrences at the
+    100× probe. Only full k-token windows exist by construction (slice
+    length = size-k+1), so no trailing-null filter is needed."""
+    tk = tokens("text")
+    n = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tk, i + 1, n).alias(f"t{i}") for i in range(k)]
+    )
+    return docs.select(
+        "doc_id", F.posexplode(zipped).alias("pos0", "s")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.concat_ws(" ", *[F.col(f"s.t{i}") for i in range(k)]).alias("sh"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import REGISTRY, register
-from ..functions.text import quality_score, tokens
+from ..functions.text import adjacent_pairs, quality_score, tokens
 from ..sources import load_table
 from .dedup import _DUP_OFFSET, corpus_with_dups, d5_lsh_jaccard_dedup
 from .similarity import v5_lsh_bucketed_neardup
@@ -1777,14 +1777,9 @@ def pipe4_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-for-doc gate-agreement pins in tests/test_r12_ops.py keep the
     # gate copies honest; the bigram copy is pinned by the crafted
     # funnel's hand-computed surprisal drop.
-    toks = docs2.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    big = docs2.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
@@ -1888,18 +1883,13 @@ def _pipe5_bigram_scores(docs2: DataFrame, bc: DataFrame, ctx: DataFrame) -> Dat
     under a FROZEN (bc, ctx) bigram model (t24's tokenize→lead→join shape;
     inner join, so only model-seen bigrams score and a doc with zero seen
     bigrams gets no row — such docs fail the quality gate conservatively)."""
-    toks = docs2.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
-    # occurrence → per-doc-bigram count collapse (the t24 rewrite): the
-    # aggregate reuses the window's doc_id partitioning (no new
-    # Exchange) and the model joins + doc rollup run on distinct
-    # (doc, bigram) rows; Σ c·bits ≡ Σ bits over occurrences exactly.
+    # bigrams row-locally (adjacent_pairs — no doc-keyed window shuffle),
+    # then occurrence → per-doc-bigram count collapse (the t24 rewrite):
+    # the model joins + doc rollup run on distinct (doc, bigram) rows;
+    # Σ c·bits ≡ Σ bits over occurrences exactly.
+    big = docs2.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
     return (
@@ -1928,14 +1918,9 @@ def _pipe5_frozen_lm(spark: SparkSession, sf_dir: str):
     surv = base.join(
         fl.where(F.col("lang_keep") & F.col("gk")).select("doc_id"), "doc_id"
     )
-    toks = surv.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    big = surv.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
     perdoc = _pipe5_bigram_scores(surv, bc, ctx)

@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..catalog import register
-from ..functions.text import hash32, hash_bucket
+from ..functions.text import adjacent_pairs, hash32, hash_bucket
 from ..functions.text import tokens
 from ..sources import load_table
 
@@ -1137,16 +1137,12 @@ def _sm13_admissions(docs: DataFrame) -> DataFrame:
     DATA (hash32 of content-derived keys), so the output is byte-stable
     under any physical layout (the sm12 determinism contract)."""
     spark = docs.sparkSession
-    toks = docs.select(
-        "doc_id", "lang", "source", F.posexplode(tokens("text")).alias("p", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", "lang", "source",
-            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .where(F.col("w2").isNotNull())
+    big = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(adjacent_pairs(tokens("text"))).alias("pr"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"),
     )
     occ = big.select(
         "doc_id", "lang", "source",
@@ -1450,16 +1446,11 @@ def _sm14_weights(docs: DataFrame) -> DataFrame:
     so tests can feed repartitioned variants (every quantity is a pure
     integer function of the data, so the output is byte-stable under any
     physical layout: the sm12/sm13 determinism contract)."""
-    toks = docs.select(
-        "doc_id", "source", F.posexplode(tokens("text")).alias("p", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", "source",
-            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .where(F.col("w2").isNotNull())
+    toks = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+    big = docs.select(
+        "doc_id", "source", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select(
+        "doc_id", "source", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
     )
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))

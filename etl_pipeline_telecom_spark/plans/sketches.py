@@ -628,8 +628,15 @@ def a23_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    h = c.groupBy((F.col("cents") / _A23_BIN_CENTS).cast("bigint").alias("bin")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE fact scan instead of two: group to exact-cents value-domain
+    # counts first (map-side-combinable; |distinct prices| rows out) and
+    # derive BOTH the $100-bin histogram and the exact-anchor percentile
+    # from it. percentile(col, ps, freq) over (value, count) pairs is the
+    # identical order-statistics + lerp computation as over raw rows —
+    # equal values lerp trivially — so exact_cents is bit-unchanged.
+    vc = c.groupBy("cents").agg(F.count(F.lit(1)).alias("vcnt")).localCheckpoint()
+    h = vc.groupBy((F.col("cents") / _A23_BIN_CENTS).cast("bigint").alias("bin")).agg(
+        F.sum("vcnt").alias("cnt")
     )
     from pyspark.sql import Window as W
 
@@ -650,7 +657,7 @@ def a23_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps_sql = ", ".join(str(p / 1000.0) for p in _A23_PS)
     ex = (
-        c.agg(F.expr(f"percentile(cents, array({ps_sql}))").alias("q"))
+        vc.agg(F.expr(f"percentile(cents, array({ps_sql}), vcnt)").alias("q"))
         .select(F.posexplode("q").alias("pos", "exact_cents"))
         .select(
             F.element_at(

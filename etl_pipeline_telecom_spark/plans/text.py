@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..functions.text import STOPWORDS, alnum_token_count, quality_score, token_count, tokens
+from ..functions.text import (
+    STOPWORDS,
+    adjacent_pairs,
+    adjacent_triples,
+    alnum_token_count,
+    quality_score,
+    token_count,
+    tokens,
+)
 from ..sources import load_table
 
 _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -376,21 +384,14 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # bigrams via posexplode + a window lead per doc, NOT an inline
-    # transform() under explode(): Generate re-evaluates an inline
-    # generator expression per OUTPUT row (the corpus_shingled lesson),
-    # which made this stage quadratic per doc — 41 s → ~4 s at the 100×
-    # probe. The window costs one doc_id shuffle and stays codegen'd.
-    toks = docs.select(
-        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    nxt = F.lead("tok", 1).over(w)
-    exploded = (
-        toks.select("lang", F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("_n"))
-        .where(F.col("_n").isNotNull())
-        .drop("_n")
-    )
+    # bigrams via explode(arrays_zip(slice, slice)) — row-local, no
+    # doc-keyed Exchange + sort. The r7-era "41 s at the 100× probe"
+    # hazard was an inline per-position transform(sequence...) generator
+    # (O(len) work per element); the slice+zip pair array is built once
+    # per row and measured faster than the window form at every scale.
+    exploded = docs.select(
+        "lang", F.explode(adjacent_pairs(tokens("text"))).alias("p")
+    ).select("lang", F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"))
     counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     # Two-phase top-k: a single per-lang window collapses to #langs
     # partitions — at the 100× probe that meant one task sorting an
@@ -1888,24 +1889,28 @@ def t23_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    nxt = F.lead("tok", 1).over(w)
-    big = (
-        toks.select("doc_id", F.col("tok").alias("w1"), nxt.alias("w2"))
-        .where(F.col("w2").isNotNull())
-    )
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    # Bigrams row-locally (explode of arrays_zip slices — no doc-keyed
+    # window shuffle), then collapse OCCURRENCES to per-doc bigram
+    # COUNTS in one map-side-combinable agg; bc/ctx derive from db so
+    # the corpus is tokenized ONCE, and the model joins + per-doc
+    # rollup run on distinct (doc, bigram) rows, not occurrences
+    # (guide §2.3/§2.4). Σ c·bits over doc-bigrams ≡ Σ bits over
+    # occurrences, in exact integers, so the output is unchanged.
+    big = docs.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
-    scored = (
-        big.join(bc, ["w1", "w2"]).join(ctx, "w1").select("doc_id", bits.alias("bits"))
-    )
-    perdoc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("bits").cast("long").alias("surprisal_bits"),
+    perdoc = (
+        db.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * bits).cast("long").alias("surprisal_bits"),
+        )
     )
     corpus = perdoc.agg(
         F.expr(
@@ -1940,17 +1945,13 @@ _T25_NORM = (
 
 def _t25_bigram_occurrences(norm: DataFrame, out_key: str) -> DataFrame:
     """(out_key, g): every character-bigram occurrence of the normalized
-    string ``s`` — posexplode the char array + one window lead PER DOC
-    (the d18 substring_occurrences discipline; an inline
-    transform()-explode re-evaluates the whole array expression per
-    OUTPUT row). The window always partitions on doc_id — never on the
-    output key (lang would skew to one partition per language AND leak
-    leads across doc boundaries)."""
+    string ``s`` — explode(adjacent_pairs(char array)): row-local slices
+    + zip, no per-doc window shuffle, and pairing can never leak across
+    doc boundaries because each row's array is its own document."""
     cols = ["doc_id"] if out_key == "doc_id" else ["doc_id", out_key]
-    chars = norm.select(*cols, F.posexplode(F.split("s", "")).alias("p", "c"))
-    w = Window.partitionBy("doc_id").orderBy("p")
+    pairs = norm.select(*cols, F.explode(adjacent_pairs(F.split("s", ""))).alias("pr"))
     return (
-        chars.select(out_key, F.concat("c", F.lead("c", 1).over(w)).alias("g"))
+        pairs.select(out_key, F.concat("pr.w1", "pr.w2").alias("g"))
         .where(F.length("g") == 2)
         .select(out_key, "g")
     )
@@ -2682,13 +2683,9 @@ _SQL_T29_PERDOC = f"""big AS (
 )
 def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    nxt = F.lead("tok", 1).over(w)
-    big = (
-        toks.select("doc_id", F.col("tok").alias("w1"), nxt.alias("w2"))
-        .where(F.col("w2").isNotNull())
-    )
+    big = docs.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
@@ -2854,14 +2851,10 @@ _SQL_T30_BIGRAMS = (
 )
 def t30_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    big = docs.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
@@ -3051,23 +3044,18 @@ _SQL_T31_TRIGRAMS = (
 )
 def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    tri = (
-        toks.select(
-            "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-            F.lead("tok", 2).over(w).alias("w3"),
-        )
-        .where(F.col("w3").isNotNull())
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tri = docs.select(
+        "doc_id", F.explode(adjacent_triples(tokens("text"))).alias("tr")
+    ).select(
+        "doc_id",
+        F.col("tr.w1").alias("w1"),
+        F.col("tr.w2").alias("w2"),
+        F.col("tr.w3").alias("w3"),
     )
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    big = docs.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     is_train = F.col("doc_id") % 10 < 8
     tc3 = tri.where(is_train).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("cnt3")
@@ -3287,14 +3275,9 @@ def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("p", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    big = docs.select(
+        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(
@@ -3456,17 +3439,11 @@ def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t33_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("p")
-    big = (
-        toks.select(
-            "doc_id", "lang",
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .where(F.col("w2").isNotNull())
+    toks = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    big = docs.select(
+        "doc_id", "lang", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
+    ).select(
+        "doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
     )
     is_train = F.col("doc_id") % 10 < 8
     bc = (
