@@ -341,7 +341,11 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # df derives from tf (one row per (doc, token) → count per token is
+    # the distinct-doc count): no second tokenize pass, and a plain
+    # count instead of count_distinct's dedup expansion; the tf exchange
+    # is shared by both join sides via ReuseExchange.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("k", F.lit(1))
     scored = (
         tf.join(dfreq, "token")
@@ -1877,11 +1881,11 @@ def t23_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for docs above the CORPUS-mean surprisal — a 1-row broadcast "
     "scalar, so the cut tracks the vocabulary at any scale (CCNet cuts "
     "by perplexity quantiles; the mean keeps the threshold a scalar "
-    "instead of a global sort). Plan: ONE tokenize+lead pass builds "
-    "bigram occurrences "
-    "(posexplode + window — the t11 Generate lesson), counts and "
+    "instead of a global sort). Plan: ONE row-local tokenize+zip pass "
+    "builds bigram occurrences (arrays_zip slices — no token-stream "
+    "shuffle), collapsed to per-doc bigram counts map-side; counts and "
     "context totals are two stacked map-side-combinable aggs (ctx "
-    "derives from bc — the corpus is read once), the occurrence⋈count "
+    "derives from bc — the corpus is read once), the doc-bigram⋈count "
     "joins are vocabulary-sized with NO broadcast hint (AQE's call — "
     "the t9 discipline), and the per-doc rollup is one agg keyed "
     "doc_id. At 100 TB: corpus passes = 1, everything else is "
