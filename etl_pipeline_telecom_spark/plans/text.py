@@ -2393,12 +2393,14 @@ def _wp_vocab(docs: DataFrame, n_merges: int = _T26_MERGES) -> frozenset:
     vocab = {
         r.sym for r in s0.select(F.explode("syms").alias("sym")).distinct().collect()
     }
-    for m in merges:
-        for r in m.collect():  # 0-or-1 row per round
-            right = r.merge_right
-            if right.startswith("##"):
-                right = right[2:]
-            vocab.add(r.merge_left + right)
+    all_merges = merges[0]
+    for m in merges[1:]:
+        all_merges = all_merges.unionByName(m)
+    for r in all_merges.collect():  # one bounded collect (≤ 1 row per round)
+        right = r.merge_right
+        if right.startswith("##"):
+            right = right[2:]
+        vocab.add(r.merge_left + right)
     return frozenset(vocab)
 
 
