@@ -456,50 +456,56 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str, member_filter=None) -> Dat
             ).alias("cvec")
         )
     )
-    # Fold the k centroids into ONE array row and rank cells PER VECTOR
-    # ROW with array expressions instead of the previous
-    # crossJoin(cent) → N×k rows → window(partitionBy vec_id) shape: the
-    # window's Exchange shuffled every vector k times (qv + nrm payload
-    # per centroid copy) and sorted, purely to pick min/top-2 over k
-    # values already available row-locally (guide §2.4: remove shuffles
-    # outright). array_sort on struct(dist, cid) orders lexicographically
-    # — identical (dist, cid) tie-break, and dists are exact
-    # integer-valued doubles, so ranking is bit-identical to the window.
-    cent1 = cent.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    # Cell ranking, second iteration this round. The r14 form crossJoined
+    # the k-row broadcast and ran row_number() over (vec_id) — an
+    # Exchange + sort of N×k WIDE rows (qv + nrm per centroid copy). A
+    # first rewrite ranked cells row-locally with a transform() lambda,
+    # but Catalyst evaluates lambda bodies INTERPRETED: the 64-dim dot
+    # per (vector, cell) became ~1.2B boxed expression evals at the 100×
+    # probe (v7 t_big 47s → 239s — caught by the probe, reverted).
+    # Final form keeps the dot in CODEGEN (a flat projection over the
+    # broadcast nested-loop rows, |c|² attached per centroid, |v|² per
+    # vector) and picks each vector's cell with min_by(struct(dist,cid))
+    # — a map-side-combinable aggregate that collapses the k rows per
+    # vector BEFORE its single narrow Exchange; no window, no N×k sort.
+    # min_by's struct ordering is the identical (dist, cid) tie-break on
+    # exact integer-valued doubles. The nprobe=2 probe ranking keeps a
+    # window, but only over the ≤10-query side.
+    cent2 = cent.withColumn("c2", _dot(F.col("cvec"), F.col("cvec")))
+    scored = (
+        emb.withColumn("v2", _dot(F.col("qv"), F.col("qv")))
+        .crossJoin(F.broadcast(cent2))
+        .select(
+            "vec_id",
+            "qv",
+            "nrm",
+            "cid",
+            (F.col("v2") - 2 * _dot(F.col("qv"), F.col("cvec")) + F.col("c2")).alias(
+                "dist"
+            ),
+        )
     )
-    dist_to = lambda c: (  # noqa: E731 — local expression builder
-        _dot(F.col("qv"), F.col("qv"))
-        - 2 * _dot(F.col("qv"), c["cvec"])
-        + _dot(c["cvec"], c["cvec"])
-    )
-    ranked = emb.crossJoin(F.broadcast(cent1)).select(
-        "vec_id",
-        "qv",
-        "nrm",
-        F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(dist_to(c).alias("dist"), c["cid"].alias("cid")),
-            )
-        ).alias("ranked_cells"),
-    )
-    assign = ranked.select(
-        "vec_id", "qv", "nrm", F.col("ranked_cells").getItem(0)["cid"].alias("cid")
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("qv", "nrm", "cid"), F.struct("dist", "cid")
+            ).alias("b")
+        )
+        .select("vec_id", "b.qv", "b.nrm", "b.cid")
     )
     if member_filter is not None:
         assign = member_filter(assign)
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
     probes = (
-        ranked.where(F.col("vec_id") < 10)
+        scored.where(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 2)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qv").alias("qa"),
             F.col("nrm").alias("qn"),
-            F.explode(
-                F.transform(
-                    F.slice(F.col("ranked_cells"), 1, 2), lambda c: c["cid"]
-                )
-            ).alias("cid"),
+            "cid",
         )
     )
     return probes.join(assign, "cid").where(F.col("vec_id") != F.col("query_id"))
