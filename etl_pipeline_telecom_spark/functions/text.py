@@ -41,7 +41,7 @@ def alnum_token_count(col: Column | str) -> Column:
 def adjacent_pairs(arr: Column) -> Column:
     """array<struct<w1,w2>> of adjacent element pairs of ``arr``.
 
-    ``explode(adjacent_pairs(tokens(...)))`` replaces the
+    ``explode(adjacent_pairs(<array column>))`` replaces the
     posexplode + window(lead) bigram idiom: pair construction is
     row-local (arrays_zip of two slices — codegen, no doc-keyed
     Exchange + sort), and measured FASTER than the window form even at
@@ -50,7 +50,14 @@ def adjacent_pairs(arr: Column) -> Column:
     re-evaluates inline expressions per output row'' hazard (t11's 41s
     lesson) applied to per-position transform(sequence...) shingle
     builders — O(len) work per element; slices+zip build the whole pair
-    array once per row."""
+    array once per row.
+
+    CAUTION (caught by the r15 100× probe): ``arr`` is referenced FOUR
+    times here (two sizes, two slices) — pass a cheap ATTRIBUTE, not an
+    expression like ``tokens(text)``, or the tokenizer runs 4× per row
+    (t11's big-side wall tripled). :func:`token_pairs` /
+    :func:`token_triples` wrap the explode(array(·)) materialization
+    barrier that pins one evaluation."""
     n = F.greatest(F.size(arr) - 1, F.lit(0))  # slice length must be >= 0
     return F.arrays_zip(
         F.slice(arr, 1, n).alias("w1"),
@@ -65,6 +72,38 @@ def adjacent_triples(arr: Column) -> Column:
         F.slice(arr, 1, n).alias("w1"),
         F.slice(arr, 2, n).alias("w2"),
         F.slice(arr, 3, n).alias("w3"),
+    )
+
+
+def with_materialized_array(df, carry: list[str], arr: Column, out: str):
+    """Materialize ``arr`` as a real per-row column via an
+    explode(array(·)) barrier: Generate evaluates its child once per
+    input row and emits an ATTRIBUTE, and CollapseProject cannot inline
+    expressions through a Generate — so downstream multi-references
+    (slices, sizes, zips) cost array-pointer reads, not re-evaluations
+    of the producing expression."""
+    return df.select(*carry, F.explode(F.array(arr)).alias(out))
+
+
+def token_pairs(df, carry: list[str], arr: Column):
+    """(*carry, w1, w2): adjacent-pair occurrences of ``arr`` (one row
+    per pair), with the single-evaluation barrier around ``arr``."""
+    m = with_materialized_array(df, carry, arr, "_ng_toks")
+    return m.select(
+        *carry, F.explode(adjacent_pairs(F.col("_ng_toks"))).alias("_pr")
+    ).select(*carry, F.col("_pr.w1").alias("w1"), F.col("_pr.w2").alias("w2"))
+
+
+def token_triples(df, carry: list[str], arr: Column):
+    """(*carry, w1, w2, w3): adjacent-triple occurrences of ``arr``."""
+    m = with_materialized_array(df, carry, arr, "_ng_toks")
+    return m.select(
+        *carry, F.explode(adjacent_triples(F.col("_ng_toks"))).alias("_tr")
+    ).select(
+        *carry,
+        F.col("_tr.w1").alias("w1"),
+        F.col("_tr.w2").alias("w2"),
+        F.col("_tr.w3").alias("w3"),
     )
 
 

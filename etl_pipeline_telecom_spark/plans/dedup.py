@@ -1129,12 +1129,18 @@ def substring_occurrences(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     python join BOTH replaced measured ~36 s for 26M occurrences at the
     100× probe. Only full k-token windows exist by construction (slice
     length = size-k+1), so no trailing-null filter is needed."""
-    tk = tokens("text")
+    from ..functions.text import with_materialized_array
+
+    # materialization barrier (the r15 probe lesson): the k slices +
+    # sizes below reference the token array ~10×; pin the tokenizer to
+    # ONE evaluation per row by exploding it into a real attribute first
+    mat = with_materialized_array(docs, ["doc_id"], tokens("text"), "_tk")
+    tk = F.col("_tk")
     n = F.greatest(F.size(tk) - (k - 1), F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice(tk, i + 1, n).alias(f"t{i}") for i in range(k)]
     )
-    return docs.select(
+    return mat.select(
         "doc_id", F.posexplode(zipped).alias("pos0", "s")
     ).select(
         "doc_id",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import REGISTRY, register
-from ..functions.text import adjacent_pairs, quality_score, tokens
+from ..functions.text import quality_score, token_pairs, tokens
 from ..sources import load_table
 from .dedup import _DUP_OFFSET, corpus_with_dups, d5_lsh_jaccard_dedup
 from .similarity import v5_lsh_bucketed_neardup
@@ -1777,9 +1777,7 @@ def pipe4_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-for-doc gate-agreement pins in tests/test_r12_ops.py keep the
     # gate copies honest; the bigram copy is pinned by the crafted
     # funnel's hand-computed surprisal drop.
-    big = docs2.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(docs2, ["doc_id"], tokens("text"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
@@ -1887,9 +1885,7 @@ def _pipe5_bigram_scores(docs2: DataFrame, bc: DataFrame, ctx: DataFrame) -> Dat
     # then occurrence → per-doc-bigram count collapse (the t24 rewrite):
     # the model joins + doc rollup run on distinct (doc, bigram) rows;
     # Σ c·bits ≡ Σ bits over occurrences exactly.
-    big = docs2.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(docs2, ["doc_id"], tokens("text"))
     db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
     return (
@@ -1918,9 +1914,7 @@ def _pipe5_frozen_lm(spark: SparkSession, sf_dir: str):
     surv = base.join(
         fl.where(F.col("lang_keep") & F.col("gk")).select("doc_id"), "doc_id"
     )
-    big = surv.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(surv, ["doc_id"], tokens("text"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
     perdoc = _pipe5_bigram_scores(surv, bc, ctx)

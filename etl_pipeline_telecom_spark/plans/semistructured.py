@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..catalog import register
-from ..functions.text import adjacent_pairs, hash32, hash_bucket
+from ..functions.text import hash32, hash_bucket, token_pairs
 from ..functions.text import tokens
 from ..sources import load_table
 
@@ -1137,13 +1137,7 @@ def _sm13_admissions(docs: DataFrame) -> DataFrame:
     DATA (hash32 of content-derived keys), so the output is byte-stable
     under any physical layout (the sm12 determinism contract)."""
     spark = docs.sparkSession
-    big = docs.select(
-        "doc_id", "lang", "source",
-        F.explode(adjacent_pairs(tokens("text"))).alias("pr"),
-    ).select(
-        "doc_id", "lang", "source",
-        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"),
-    )
+    big = token_pairs(docs, ["doc_id", "lang", "source"], tokens("text"))
     occ = big.select(
         "doc_id", "lang", "source",
         (hash32(F.concat_ws(" ", "w1", "w2")) % _SM13_B).alias("feat"),
@@ -1447,11 +1441,7 @@ def _sm14_weights(docs: DataFrame) -> DataFrame:
     integer function of the data, so the output is byte-stable under any
     physical layout: the sm12/sm13 determinism contract)."""
     toks = docs.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
-    big = docs.select(
-        "doc_id", "source", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select(
-        "doc_id", "source", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
-    )
+    big = token_pairs(docs, ["doc_id", "source"], tokens("text"))
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))

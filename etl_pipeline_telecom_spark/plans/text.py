@@ -14,12 +14,13 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..functions.text import (
     STOPWORDS,
-    adjacent_pairs,
-    adjacent_triples,
     alnum_token_count,
     quality_score,
     token_count,
+    token_pairs,
+    token_triples,
     tokens,
+    with_materialized_array,
 )
 from ..sources import load_table
 
@@ -388,14 +389,25 @@ def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # bigrams via explode(arrays_zip(slice, slice)) — row-local, no
-    # doc-keyed Exchange + sort. The r7-era "41 s at the 100× probe"
-    # hazard was an inline per-position transform(sequence...) generator
-    # (O(len) work per element); the slice+zip pair array is built once
-    # per row and measured faster than the window form at every scale.
-    exploded = docs.select(
-        "lang", F.explode(adjacent_pairs(tokens("text"))).alias("p")
-    ).select("lang", F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"))
+    # bigrams via posexplode + a window lead per doc. The r15 zip form
+    # (explode(arrays_zip(slice, slice))) measured FASTER at sf0.1
+    # (0.31s vs 0.48s) but 1.5-2× slower at the 100× probe even with the
+    # single-evaluation barrier (t11's pair stream is the largest of the
+    # n-gram family and feeds a near-corpus-cardinality aggregate, so
+    # construction cost dominates); the window form's 100× evidence
+    # (SCALE_r13: 15.1s / 26×) wins here — kept, with the zip rewrite
+    # applied only to the model-training aggregates whose 100× margins
+    # are wide (t24/t29/t30/.../sm13/sm14, d18).
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("tok", 1).over(w)
+    exploded = (
+        toks.select("lang", F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("_n"))
+        .where(F.col("_n").isNotNull())
+        .drop("_n")
+    )
     counts = exploded.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     # Two-phase top-k: a single per-lang window collapses to #langs
     # partitions — at the 100× probe that meant one task sorting an
@@ -1900,9 +1912,7 @@ def t24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup run on distinct (doc, bigram) rows, not occurrences
     # (guide §2.3/§2.4). Σ c·bits over doc-bigrams ≡ Σ bits over
     # occurrences, in exact integers, so the output is unchanged.
-    big = docs.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("p")
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = token_pairs(docs, ["doc_id"], tokens("text"))
     db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
@@ -1953,9 +1963,9 @@ def _t25_bigram_occurrences(norm: DataFrame, out_key: str) -> DataFrame:
     + zip, no per-doc window shuffle, and pairing can never leak across
     doc boundaries because each row's array is its own document."""
     cols = ["doc_id"] if out_key == "doc_id" else ["doc_id", out_key]
-    pairs = norm.select(*cols, F.explode(adjacent_pairs(F.split("s", ""))).alias("pr"))
     return (
-        pairs.select(out_key, F.concat("pr.w1", "pr.w2").alias("g"))
+        token_pairs(norm, cols, F.split("s", ""))
+        .select(out_key, F.concat("w1", "w2").alias("g"))
         .where(F.length("g") == 2)
         .select(out_key, "g")
     )
@@ -2689,9 +2699,7 @@ _SQL_T29_PERDOC = f"""big AS (
 )
 def t29_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    big = docs.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(docs, ["doc_id"], tokens("text"))
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
@@ -2858,9 +2866,7 @@ _SQL_T30_BIGRAMS = (
 def t30_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    big = docs.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(docs, ["doc_id"], tokens("text"))
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("cc"))
@@ -3051,17 +3057,8 @@ _SQL_T31_TRIGRAMS = (
 def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tri = docs.select(
-        "doc_id", F.explode(adjacent_triples(tokens("text"))).alias("tr")
-    ).select(
-        "doc_id",
-        F.col("tr.w1").alias("w1"),
-        F.col("tr.w2").alias("w2"),
-        F.col("tr.w3").alias("w3"),
-    )
-    big = docs.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    tri = token_triples(docs, ["doc_id"], tokens("text"))
+    big = token_pairs(docs, ["doc_id"], tokens("text"))
     is_train = F.col("doc_id") % 10 < 8
     tc3 = tri.where(is_train).groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("cnt3")
@@ -3281,9 +3278,7 @@ def t31_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    big = docs.select(
-        "doc_id", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    big = token_pairs(docs, ["doc_id"], tokens("text"))
     is_train = F.col("doc_id") % 10 < 8
     bc = big.where(is_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(
@@ -3446,11 +3441,7 @@ def t32_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t33_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
-    big = docs.select(
-        "doc_id", "lang", F.explode(adjacent_pairs(tokens("text"))).alias("pr")
-    ).select(
-        "doc_id", "lang", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
-    )
+    big = token_pairs(docs, ["doc_id", "lang"], tokens("text"))
     is_train = F.col("doc_id") % 10 < 8
     bc = (
         big.where(is_train)
