@@ -1120,32 +1120,32 @@ def substring_occurrences(docs: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
     """(doc_id, pos, sh): every k-token shingle occurrence WITH its 1-based
     token position — unlike :func:`shingled_from_docs`, positions and
     within-doc repeats are kept (a substring duplicated inside one doc is
-    still a duplicate). Fully NATIVE (zero python) and row-LOCAL:
-    ``arrays_zip`` of k token-array slices builds every full k-token
-    window once per row, ``posexplode`` yields (start index, window).
-    This replaces the earlier posexplode + (k-1) window-``lead`` form —
-    same values, but without shuffling and sorting the whole token
-    stream by doc_id first (the window's Exchange); the per-shingle
-    python join BOTH replaced measured ~36 s for 26M occurrences at the
-    100× probe. Only full k-token windows exist by construction (slice
-    length = size-k+1), so no trailing-null filter is needed."""
-    from ..functions.text import with_materialized_array
+    still a duplicate). Fully NATIVE (zero python): ``posexplode`` of the
+    codegen'd tokenizer, then shingle assembly as ``concat_ws`` over k-1
+    window ``lead``s per doc — the per-shingle python join this replaced
+    measured ~36 s for 26M occurrences at the 100× probe; the window form
+    runs in whole-stage-codegen'd JVM. An r15 arrays_zip-of-k-slices
+    rewrite (row-local, no doc shuffle) measured ~equal at sf0.1 but
+    3× slower at the 100× probe (20.5s vs 6.7s — k=8 slice arrays
+    materialized per row dominate on the big side) and was reverted:
+    the same corpus-cardinality-stream rule as t11/t24. ``concat_ws``
+    skips trailing-null leads, so rows whose window overruns the doc are
+    filtered on the LAST lead being present (full k-token shingles
+    only)."""
+    from pyspark.sql import Window as _W
 
-    # materialization barrier (the r15 probe lesson): the k slices +
-    # sizes below reference the token array ~10×; pin the tokenizer to
-    # ONE evaluation per row by exploding it into a real attribute first
-    mat = with_materialized_array(docs, ["doc_id"], tokens("text"), "_tk")
-    tk = F.col("_tk")
-    n = F.greatest(F.size(tk) - (k - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(tk, i + 1, n).alias(f"t{i}") for i in range(k)]
-    )
-    return mat.select(
-        "doc_id", F.posexplode(zipped).alias("pos0", "s")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.concat_ws(" ", *[F.col(f"s.t{i}") for i in range(k)]).alias("sh"),
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+    w = _W.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("tok", k - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
     )
 
 

@@ -1905,26 +1905,31 @@ def t23_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t24_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Bigrams row-locally (explode of arrays_zip slices — no doc-keyed
-    # window shuffle), then collapse OCCURRENCES to per-doc bigram
-    # COUNTS in one map-side-combinable agg; bc/ctx derive from db so
-    # the corpus is tokenized ONCE, and the model joins + per-doc
-    # rollup run on distinct (doc, bigram) rows, not occurrences
-    # (guide §2.3/§2.4). Σ c·bits over doc-bigrams ≡ Σ bits over
-    # occurrences, in exact integers, so the output is unchanged.
-    big = token_pairs(docs, ["doc_id"], tokens("text"))
-    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    bc = db.groupBy("w1", "w2").agg(F.sum("c").alias("cnt"))
+    # KEPT the r13 posexplode+window form: the r15 zip + per-doc-count
+    # rewrite measured faster at sf0.1 (~0.8s vs 1.39s) but 66.5s vs
+    # 30.5s at the 100× probe (72× — over the 60× gate; the 26M-key
+    # (doc, w1, w2) aggregate plus double evaluation of its subtree cost
+    # more than the two window passes it replaced). t11's revert logic
+    # applies: corpus-cardinality pair streams keep the window; the zip
+    # form stays where pair streams feed small model aggregates.
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("tok", 1).over(w)
+    big = (
+        toks.select("doc_id", F.col("tok").alias("w1"), nxt.alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = bc.groupBy("w1").agg(F.sum("cnt").alias("cc"))
     bits = F.length(F.bin("cc")) - F.length(F.bin("cnt"))
-    perdoc = (
-        db.join(bc, ["w1", "w2"])
-        .join(ctx, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.sum(F.col("c") * bits).cast("long").alias("surprisal_bits"),
-        )
+    scored = (
+        big.join(bc, ["w1", "w2"]).join(ctx, "w1").select("doc_id", bits.alias("bits"))
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("surprisal_bits"),
     )
     corpus = perdoc.agg(
         F.expr(
