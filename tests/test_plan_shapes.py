@@ -187,6 +187,13 @@ _BNLJ_ALLOWED = {
     "m9_image_text_score",  # 1-row corpus-mean-threshold scalar crossed
                          # onto the per-doc score table (t24's
                          # data-derived-threshold broadcast pattern)
+    "t17_bpe_encode",    # r15: eight 0-or-1-row per-round winner
+                         # broadcasts crossed onto the VOCABULARY-sized
+                         # symbol table (the array-fold merge chain; the
+                         # winners were localCheckpoint-truncated out of
+                         # the plan before r15, so the bounded BNLJ is
+                         # newly visible, not newly created) — the
+                         # t9/t16 1-row-scalar pattern, per round
     "v14_ivf_pq_recall",  # composes v7's k-row centroid broadcast with
                          # v13's guarded Q=10 LUT side and v9's exact
                          # ground-truth pass — every BNLJ side bounded
