@@ -54,31 +54,43 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 64
 
 
+#: unroll threshold: dots over at most this many dims unroll into flat
+#: codegen arithmetic; longer dots keep the aggregate/zip_with HOF.
+_UNROLL_MAX = 16
+
+
 def _dot(a: Column, b: Column, n: int = _DIM) -> Column:
-    """Dot product over fixed-dimension arrays, unrolled to a flat
-    ``a[0]*b[0] + … + a[n-1]*b[n-1]`` expression.
+    """Dot product over fixed-dimension arrays: unrolled to a flat
+    ``a[0]*b[0] + … + a[n-1]*b[n-1]`` expression for SHORT (≤ 16-dim)
+    arrays, ``aggregate(zip_with(...))`` for full 64-dim vectors.
 
-    The previous ``aggregate(zip_with(...))`` form is a higher-order
-    function: Catalyst evaluates the lambda per element with a boxed
-    variable binding — interpreted, never codegen'd — and it dominated
-    the v-family CPU profile (e.g. v13 spent ~1.8s of its 1.9s wall in
-    HOF evaluation over 16-dim sub-vectors at sf0.1). The unrolled form
-    is ordinary arithmetic inside WholeStageCodegen (guide §4.1: prefer
-    built-in expressions over interpreted paths). Exactness is
-    unchanged: components are integer-valued doubles, so every product
-    and partial sum is exact regardless of association order — the same
-    argument the oracle's ``list_dot_product`` relies on.
+    r15 unrolled every site (the HOF lambda is evaluated interpreted,
+    one boxed call per element) and the 100× probe split cleanly by
+    dimension: the 16-dim subspace/prefix sites won big (v13 big wall
+    70.6→23.6 s — the PQ code-assignment dots ARE v13's compute), while
+    the 64-dim sites REGRESSED at both scales (v10 big +58%, v15 +66%,
+    v16 +37%; the whole family 2-3× slower locally): three 64-term
+    coalesce chains per projection push the generated method past the
+    JIT's ~8 KB bytecode ceiling, so the "codegen" ran in the bytecode
+    interpreter — slower than Catalyst's HOF loop — and at sf0.1 every
+    run re-paid Catalyst analysis of ~200-node expression trees.
+    VERDICT r15 item 1 directs exactly this split: keep the unroll
+    where the probe recorded wins (≤16-dim), restore the HOF at 64.
 
-    ``get()`` (NULL past the end) + coalesce-to-0 keeps the expression
-    total for arrays SHORTER than ``n`` — crafted test fixtures use
-    low-dim vectors — and is a no-op for full-length arrays: for equal
-    ``n``-dim inputs every term is non-NULL and the sum is the exact
-    dot product, term for term the same arithmetic as before."""
-    terms = [F.coalesce(F.get(a, i) * F.get(b, i), F.lit(0.0)) for i in range(n)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    Exactness is identical in both forms: components are integer-valued
+    doubles, so every product and partial sum is exact regardless of
+    association order — the oracle's ``list_dot_product`` argument.
+    For the unrolled form, ``get()`` (NULL past the end) + coalesce-to-0
+    keeps the expression total for arrays SHORTER than ``n`` (crafted
+    low-dim test vectors); for equal ``n``-dim inputs every term is
+    non-NULL and the sum is the same arithmetic, term for term."""
+    if n <= _UNROLL_MAX:
+        terms = [F.coalesce(F.get(a, i) * F.get(b, i), F.lit(0.0)) for i in range(n)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -456,51 +468,36 @@ def _ivf_candidates(spark: SparkSession, sf_dir: str, member_filter=None) -> Dat
             ).alias("cvec")
         )
     )
-    # Cell ranking, second iteration this round. The r14 form crossJoined
-    # the k-row broadcast and ran row_number() over (vec_id) — an
-    # Exchange + sort of N×k WIDE rows (qv + nrm per centroid copy). A
-    # first rewrite ranked cells row-locally with a transform() lambda,
-    # but Catalyst evaluates lambda bodies INTERPRETED: the 64-dim dot
-    # per (vector, cell) became ~1.2B boxed expression evals at the 100×
-    # probe (v7 t_big 47s → 239s — caught by the probe, reverted).
-    # Final form keeps the dot in CODEGEN (a flat projection over the
-    # broadcast nested-loop rows, |c|² attached per centroid, |v|² per
-    # vector) and picks each vector's cell with min_by(struct(dist,cid))
-    # — a map-side-combinable aggregate that collapses the k rows per
-    # vector BEFORE its single narrow Exchange; no window, no N×k sort.
-    # min_by's struct ordering is the identical (dist, cid) tie-break on
-    # exact integer-valued doubles. The nprobe=2 probe ranking keeps a
-    # window, but only over the ≤10-query side.
-    cent2 = cent.withColumn("c2", _dot(F.col("cvec"), F.col("cvec")))
-    scored = (
-        emb.withColumn("v2", _dot(F.col("qv"), F.col("qv")))
-        .crossJoin(F.broadcast(cent2))
-        .select(
-            "vec_id",
-            "qv",
-            "nrm",
-            "cid",
-            (F.col("v2") - 2 * _dot(F.col("qv"), F.col("cvec")) + F.col("c2")).alias(
-                "dist"
-            ),
-        )
+    # Cell ranking: the r14 crossJoin(k-row broadcast) + row_number()
+    # window form, RESTORED (VERDICT r15 item 1) after both r15
+    # iterations measured slower than it:
+    # - a transform() lambda ranker: interpreted lambda body — v7 big
+    #   wall 47→239 s, probe-caught and reverted in-round;
+    # - min_by(struct(qv,nrm,cid)) keyed struct(dist,cid): structurally
+    #   one narrow exchange instead of the N×k sort, but the wide-struct
+    #   ObjectHashAggregate measured SLOWER at both scales once the dot
+    #   product was back in HOF form (r16 same-session A/B at 100×:
+    #   v7 34.4 s min_by vs 26.8 s window, v14 41.5 vs 38.8; local
+    #   1.72 vs 1.63 s noop / same ordering under bench count()).
+    # The N×k window sorts k=|labels| rows per vec_id partition — tiny
+    # per-partition sorts after one narrow hash exchange; `ranked` also
+    # serves the nprobe=2 probe side, so assignment and probes share
+    # one exchange (§2.4).
+    dist = (
+        _dot(F.col("qv"), F.col("qv"))
+        - 2 * _dot(F.col("qv"), F.col("cvec"))
+        + _dot(F.col("cvec"), F.col("cvec"))
     )
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("qv", "nrm", "cid"), F.struct("dist", "cid")
-            ).alias("b")
-        )
-        .select("vec_id", "b.qv", "b.nrm", "b.cid")
+    dists = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qv", "nrm", "cid", dist.alias("dist")
     )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    ranked = dists.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "qv", "nrm", "cid")
     if member_filter is not None:
         assign = member_filter(assign)
-    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cid")
     probes = (
-        scored.where(F.col("vec_id") < 10)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= 2)
+        ranked.where((F.col("vec_id") < 10) & (F.col("rn") <= 2))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qv").alias("qa"),
@@ -642,58 +639,31 @@ def _decontam_best_match(train_pdf, eval_pdf):
     "skew",
 )
 def v8_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from ..guards import assert_bounded_input
 
     emb = _quantized(spark, sf_dir).withColumn("bucket", _hyperplane_bucket())
-    # The eval side is a benchmark suite — bounded by contract (≤ 65,536
-    # rows, guard-enforced) — so it rides to the executors as a BROADCAST
-    # dict of per-bucket matrices instead of one side of a cogroup: the
-    # previous groupBy.cogroup.applyInPandas paid a (bucket)-keyed
-    # shuffle of BOTH sides plus one Python invocation + pandas frame per
-    # populated bucket (≤ 256 groups of a few rows each — per-group
-    # overhead, the g2 disease). Train now streams through ONE
-    # mapInPandas pass with NO shuffle at all; per batch the rows group
-    # by bucket in numpy and hit the same tiled GEMM + in-worker top-1
-    # reduction, so exactness (integer dots, first-argmax tie to the
-    # smallest eval id over id-sorted columns) is unchanged.
+    # r14 cogroup form, RESTORED per VERDICT r15 item 1: the r15
+    # broadcast-eval + single-mapInPandas rewrite produced a shuffle-free
+    # plan that nonetheless measured slower at BOTH scales (probe big
+    # 11.3→18.3 s +63%, driver 1.44→4.50 s) — the per-batch pandas
+    # regrouping + eval-frame rebuild inside the worker cost more than
+    # the (bucket)-keyed shuffle it removed. A shuffle-free plan that
+    # runs slower is not an optimization; the cogroup's one narrow
+    # exchange per side is the measured winner.
+    # distinct eval-side names: both cogroup children derive from the same
+    # base plan, and shared attribute ids confuse the cogroup projection
     ev = emb.where(F.col("vec_id") % 50 == 7).select(
         "bucket", F.col("vec_id").alias("ev_id"), F.col("qv").alias("ev_qv")
     )
     assert_bounded_input(ev, 65536, "v8_embedding_decontam eval side")
-    ev_rows = ev.collect()  # bounded collect: the guarded eval benchmark
-    by_bucket: dict[int, tuple] = {}
-    for b in sorted({r["bucket"] for r in ev_rows}):
-        rows = sorted(
-            ((r["ev_id"], r["ev_qv"]) for r in ev_rows if r["bucket"] == b)
-        )
-        ids = np.array([i for i, _ in rows], dtype="int64")
-        vecs = np.stack([np.asarray(v, dtype="float64") for _, v in rows])
-        by_bucket[b] = (ids, vecs, np.sqrt(np.einsum("ij,ij->i", vecs, vecs)))
-    ev_bc = spark.sparkContext.broadcast(by_bucket)
-
-    def score_batches(pdfs):
-        table = ev_bc.value
-        for pdf in pdfs:
-            outs = []
-            for b, grp in pdf.groupby("bucket", sort=False):
-                hit = table.get(b)
-                if hit is None or grp.empty:
-                    continue
-                ev_ids, ve, ne = hit
-                eval_pdf = pd.DataFrame({"ev_id": ev_ids, "ev_qv": list(ve)})
-                outs.append(_decontam_best_match(grp, eval_pdf))
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else _decontam_best_match(pd.DataFrame({"vec_id": [], "qv": []}), pd.DataFrame())
-            )
-
     train = emb.where(F.col("vec_id") % 50 != 7).select("bucket", "vec_id", "qv")
-    matched = train.mapInPandas(
-        score_batches,
-        schema="vec_id long, top_eval_id long, cos_raw double, n_eval_matches long",
+    matched = (
+        train.groupBy("bucket")
+        .cogroup(ev.groupBy("bucket"))
+        .applyInPandas(
+            _decontam_best_match,
+            schema="vec_id long, top_eval_id long, cos_raw double, n_eval_matches long",
+        )
     )
     return matched.select(
         "vec_id", "top_eval_id", F.round("cos_raw", 6).alias("cos_sim"), "n_eval_matches"

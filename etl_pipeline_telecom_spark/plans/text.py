@@ -970,6 +970,14 @@ def _bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> tuple[list[DataF
         # never fires — the same selection the old window chain
         # computed. A left join against the 0-or-1-row best leaves
         # ba/bb NULL when no merge remains, making the fold a no-op.
+        # The fold result is CHECKPOINTED per round (r16): the r15 form
+        # let lineage accumulate, so round r's pair aggregate re-ran all
+        # r prior folds (and their winner BNLJs) over the vocabulary —
+        # quadratic total fold work across the loop, +27%/+30% big-side
+        # walls on t17/t26 in SCALE_r15. One eager vocab-sized
+        # materialization per round caps the chain at depth 1 (the d8
+        # per-round discipline) while keeping the r15 orchestration win
+        # (no per-position window passes, one job per round).
         seq = seq.join(F.broadcast(best.select("ba", "bb")), F.lit(True), "left").select(
             "word",
             "freq",
@@ -984,7 +992,7 @@ def _bpe_train(docs: DataFrame, n_merges: int = _BPE_MERGES) -> tuple[list[DataF
                     ),
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("syms"),
-        )
+        ).localCheckpoint()
     return merges, seq
 
 
@@ -2302,6 +2310,10 @@ def _wp_train(
                 F.col("score").alias("score_nano"),
             )
         )
+        # checkpointed per round for the same reason as _bpe_train (r16):
+        # unbounded lineage made round r re-run all prior folds — twice
+        # here, since BOTH the pair aggregate and the symbol-mass
+        # aggregate scan seq — t26 big wall +30% in SCALE_r15.
         seq = seq.join(F.broadcast(best.select("ba", "bb")), F.lit(True), "left").select(
             "word",
             "freq",
@@ -2322,7 +2334,7 @@ def _wp_train(
                     ),
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("syms"),
-        )
+        ).localCheckpoint()
     return merges, s0, seq
 
 

@@ -379,22 +379,21 @@ def test_gap_fill_aggregates_fact_before_grid(spark, sf_dir):
 
 
 def test_embedding_decontam_never_materializes_pair_rows(spark, sf_dir):
-    """v8: the train×eval screen is a per-bucket GEMM that reduces to
-    per-train top-1 INSIDE the worker — pair rows never exist, and there
-    is no join or window node at all (a join + per-pair scoring form
-    ships every same-bucket pair through Arrow: the shape v5's sf1 probe
-    showed going superlinear). r15 form: the guard-bounded eval side
-    rides as a BROADCAST of per-bucket matrices and train streams
-    through ONE MapInPandas — so the plan now has ZERO shuffles (the
-    r14 cogroup paid one Exchange per side plus a Python call per
-    bucket)."""
+    """v8: the train×eval screen is one cogrouped per-bucket GEMM
+    (FlatMapCoGroupsInPandas) that reduces to per-train top-1 inside the
+    worker — vectors cross the shuffle once per side, pair rows never
+    exist, and there is no join or window node at all. A join + per-pair
+    scoring form ships every same-bucket pair through Arrow (the shape
+    v5's sf1 probe showed going superlinear). (The r15 broadcast-eval +
+    single-mapInPandas shape was shuffle-free but measured slower at
+    both scales — reverted per VERDICT r15 item 1.)"""
     plan = _plan(spark, sf_dir, "v8_embedding_decontam")
-    assert "MapInPandas" in plan, "v8: GEMM MapInPandas node missing"
+    assert "FlatMapCoGroupsInPandas" in plan, "v8: cogrouped GEMM node missing"
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "CartesianProduct", "BroadcastNestedLoopJoin", "Window"):
         assert bad not in plan, f"v8: {bad} appeared"
     n_shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
-    assert n_shuffles == 0, f"v8: expected a shuffle-free scoring pass:\n{plan}"
+    assert n_shuffles == 2, f"v8: expected one cogroup shuffle per side:\n{plan}"
 
 
 def test_funnel_is_single_shuffle_no_join(spark, sf_dir):
