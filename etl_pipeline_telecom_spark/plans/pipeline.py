@@ -190,10 +190,26 @@ def d8_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    dups = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "lang", "text"
+    # dup re-insertion in ONE scan (r16, guide §6): the union form read
+    # documents.parquet twice — the dup branch's modulo predicate cannot
+    # prune parquet row groups, so the second scan re-decoded the full
+    # text column for 10% of rows kept. One Generate over a 1-or-2
+    # element offset array emits the same rows from a single scan
+    # (each offset is added to doc_id; text/lang flow through), and the
+    # lang IN (...) pushdown is preserved on the one scan.
+    corpus = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.explode(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.array(F.lit(0).cast("long"), F.lit(_DUP_OFFSET).cast("long")),
+            ).otherwise(F.array(F.lit(0).cast("long")))
+        ).alias("off"),
+    ).select(
+        (F.col("doc_id") + F.col("off")).alias("doc_id"), "lang", "text"
     )
-    corpus = docs.unionByName(dups)
     scored = corpus.select(
         "doc_id",
         "lang",
@@ -2027,7 +2043,48 @@ def _pipe5_replay_dir(sf_dir: str) -> str:
     return out_dir
 
 
-def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
+def _pipe5_model(spark: SparkSession, sf_dir: str):
+    """Build the frozen LM ONCE per pipe5 run: bc/ctx cached (each is
+    read by every micro-batch scorer AND the audit's scorer — r15 built
+    the model twice per run, stream + audit, and the audit's uncached
+    bc/ctx re-ran the corpus bigram aggregate once per consumer, ~4
+    evaluations of the heaviest stage per run), thr collected once
+    (1-row bounded collect, st7's bloom-bytes pattern)."""
+    bc, ctx, thr_df = _pipe5_frozen_lm(spark, sf_dir)
+    bc = bc.cache()
+    ctx = ctx.cache()
+    thr = thr_df.collect()[0]["thr_micro"]
+    if thr is None:  # degenerate base corpus: no langid+gopher survivors
+        # or no model-seen bigrams — fail HERE with the precondition named
+        # instead of embedding 'None' into a filter expression that dies
+        # later with an opaque parse error (ADVICE r13)
+        raise ValueError(
+            "pipe5: frozen-LM threshold is NULL — the base corpus produced "
+            "no scoreable training survivors (langid+gopher gate left "
+            "nothing, or no eval bigram hit a model bigram); pipe5 needs a "
+            "non-degenerate base corpus to freeze a quality model from"
+        )
+    return bc, ctx, thr
+
+
+def _pipe5_funnel_counts(frames: list[tuple[str, DataFrame]]) -> DataFrame:
+    """ONE-row (n_<tag>, ...) frame counting each input — a single job
+    over a tagged union instead of one BroadcastExchange build per count
+    (the r15 form paid 5 broadcast jobs + 1 write per micro-batch, and
+    ~20 broadcast builds inside the audit's single action)."""
+    tagged = None
+    for tag, df in frames:
+        t = df.select(F.lit(tag).alias("t"))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    return tagged.agg(
+        *[
+            F.count(F.when(F.col("t") == tag, 1)).cast("bigint").alias(tag)
+            for tag, _ in frames
+        ]
+    )
+
+
+def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str, model=None) -> None:
     """The production path: replay the arriving batch as micro-batches;
     each ``foreachBatch`` gates the slice against FROZEN base-side state
     (cached fp set + the bucket-sorted persisted band index + the frozen
@@ -2058,21 +2115,8 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
     )
     base_sh = corpus_shingled(spark, sf_dir).where(F.size("sh") > 0).where(~is_new)
     base_idx = persisted_band_index(spark, sf_dir)  # read-only; never rewritten
-    bc, ctx, thr_df = _pipe5_frozen_lm(spark, sf_dir)
-    bc = bc.cache()
-    ctx = ctx.cache()
-    # the 1-row published threshold — bounded collect, like st7's bloom bytes
-    thr = thr_df.collect()[0]["thr_micro"]
-    if thr is None:  # degenerate base corpus: no langid+gopher survivors
-        # or no model-seen bigrams — fail HERE with the precondition named
-        # instead of embedding 'None' into a filter expression that dies
-        # later with an opaque parse error (ADVICE r13)
-        raise ValueError(
-            "pipe5: frozen-LM threshold is NULL — the base corpus produced "
-            "no scoreable training survivors (langid+gopher gate left "
-            "nothing, or no eval bigram hit a model bigram); pipe5 needs a "
-            "non-degenerate base corpus to freeze a quality model from"
-        )
+    own_model = model is None
+    bc, ctx, thr = _pipe5_model(spark, sf_dir) if own_model else model
     empty = spark.createDataFrame(
         [], "slice_id int, doc_id bigint, fp string, sh array<string>"
     )
@@ -2143,19 +2187,20 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
                 .parquet(adm_path)
             )
 
-            # the slice's funnel row, published in ONE job (broadcast
-            # crossJoin of 1-row aggregates — pipe4's count pattern)
-            def cnt(df: DataFrame, name: str) -> DataFrame:
-                return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
-
+            # the slice's funnel row, published in ONE job: a tagged
+            # union of the (cached) stage frames into a single 1-row
+            # aggregate — the r15 broadcast-crossJoin form paid one
+            # BroadcastExchange build job per stage count (5 extra
+            # driver round trips per micro-batch)
             (
-                spark.range(1)
-                .select(F.lit(s).alias("slice_id"), F.lit(n0).cast("bigint").alias("n0"))
-                .crossJoin(F.broadcast(cnt(g1, "n1")))
-                .crossJoin(F.broadcast(cnt(g2, "n2")))
-                .crossJoin(F.broadcast(cnt(g3, "n3")))
-                .crossJoin(F.broadcast(cnt(ex, "n4")))
-                .crossJoin(F.broadcast(cnt(adm, "n5")))
+                _pipe5_funnel_counts(
+                    [("n1", g1), ("n2", g2), ("n3", g3), ("n4", ex), ("n5", adm)]
+                )
+                .select(
+                    F.lit(s).alias("slice_id"),
+                    F.lit(n0).cast("bigint").alias("n0"),
+                    "n1", "n2", "n3", "n4", "n5",
+                )
                 .write.mode("append")
                 .parquet(cnt_path)
             )
@@ -2184,14 +2229,21 @@ def _pipe5_run_stream(spark: SparkSession, sf_dir: str, state_dir: str) -> None:
                 "delta state is incomplete; refusing to audit it"
             )
     finally:
-        # the run's frozen-model caches are only needed while micro-batches
-        # execute; the audit re-derives everything from parquet state
-        for df in (bc, ctx, base_fps):
-            df.unpersist()
+        # base_fps dies with the stream; the model caches are unpersisted
+        # only when this call built them (when the caller passed a shared
+        # model, the audit's lazy plan still reads those caches)
+        base_fps.unpersist()
+        if own_model:
+            bc.unpersist()
+            ctx.unpersist()
 
 
 def _pipe5_audit(
-    spark: SparkSession, sf_dir: str, state_dir: str, admitted_out: dict | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    admitted_out: dict | None = None,
+    model=None,
 ) -> DataFrame:
     """The batch recompute the driver's oracle verifies: re-derive every
     slice's funnel from the raw tables, with each slice's PRIOR sides
@@ -2217,16 +2269,21 @@ def _pipe5_audit(
     )
     fl = _pipe5_flags(corpus).cache()
     base_ids = corpus.where(~is_new).select("doc_id")
-    base_fps = fl.join(base_ids, "doc_id").select("fp").distinct()
-    bc, ctx, thr_df = _pipe5_frozen_lm(spark, sf_dir)
+    # cached: read once per slice for the prior-fingerprint union (4×)
+    base_fps = fl.join(base_ids, "doc_id").select("fp").distinct().cache()
+    # the frozen model: reuse the run's cached bc/ctx + collected thr when
+    # the caller passes them (pipe5 itself); a standalone audit (tests)
+    # builds its own ONCE — cached, because bc feeds the scorer join and
+    # ctx derives from bc, so uncached every consumer re-ran the corpus
+    # bigram aggregate (~4 evaluations per audit in the r15 form).
+    bc, ctx, thr = _pipe5_model(spark, sf_dir) if model is None else model
     bf = batch.join(fl, "doc_id").cache()
     g1 = bf.where("lang_keep")
     g2 = g1.where("gk")
     scores = _pipe5_bigram_scores(corpus.join(g2.select("doc_id"), "doc_id"), bc, ctx)
     g3 = (
         g2.join(scores, "doc_id")
-        .crossJoin(F.broadcast(thr_df))
-        .where(F.expr("(sb * 1000000) div nb") <= F.col("thr_micro"))
+        .where(F.expr("(sb * 1000000) div nb") <= F.lit(thr).cast("bigint"))
         .select("doc_id", "sl", "fp")
         .cache()
     )
@@ -2234,9 +2291,6 @@ def _pipe5_audit(
     jps = jp.union(
         jp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
-
-    def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
     funnels = []
     for s in range(_PIPE5_SLICES):
@@ -2256,13 +2310,19 @@ def _pipe5_audit(
         adm = _pipe5_fuzzy_resolve(ex, edges, ext).cache()
         if admitted_out is not None:
             admitted_out[s] = adm
-        n = (
-            cnt(batch.where(F.col("sl") == s), "n0")
-            .crossJoin(F.broadcast(cnt(g1.where(F.col("sl") == s), "n1")))
-            .crossJoin(F.broadcast(cnt(g2.where(F.col("sl") == s), "n2")))
-            .crossJoin(F.broadcast(cnt(g3.where(F.col("sl") == s), "n3")))
-            .crossJoin(F.broadcast(cnt(ex, "n4")))
-            .crossJoin(F.broadcast(cnt(adm, "n5")))
+        # one tagged-union aggregate per slice instead of five broadcast
+        # builds (r16; see _pipe5_funnel_counts). n0 counts bf rather
+        # than batch: bf = batch ⋈ fl on doc_id and fl covers every
+        # corpus doc, so the count is identical — and bf is cached.
+        n = _pipe5_funnel_counts(
+            [
+                ("n0", bf.where(F.col("sl") == s)),
+                ("n1", g1.where(F.col("sl") == s)),
+                ("n2", g2.where(F.col("sl") == s)),
+                ("n3", g3.where(F.col("sl") == s)),
+                ("n4", ex),
+                ("n5", adm),
+            ]
         )
         funnels.append(
             n.selectExpr(
@@ -2475,8 +2535,14 @@ def pipe5_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        _pipe5_run_stream(spark, sf_dir, state_dir)
-        return _pipe5_audit(spark, sf_dir, state_dir)
+        # ONE frozen-model build per run, shared by the stream and the
+        # audit (r15 built it twice; the audit's copy was additionally
+        # uncached — see _pipe5_model). Model caches are vocabulary-
+        # bounded and stay pinned for the returned audit frame's lazy
+        # execution.
+        model = _pipe5_model(spark, sf_dir)
+        _pipe5_run_stream(spark, sf_dir, state_dir, model=model)
+        return _pipe5_audit(spark, sf_dir, state_dir, model=model)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
